@@ -1,0 +1,123 @@
+"""End-to-end decode throughput benchmark: ShadowKV vs full attention.
+
+TPU analogue of the reference's e2e harness (test/e2e.py:126-168): run a
+full-attention baseline at the largest batch that fits, then the
+ShadowKV engine at its (larger) batch, and report decode tokens/s and
+the speedup. Prints ONE JSON line to stdout; diagnostics go to stderr.
+
+Model: a llama-style ~1.4B config with synthetic weights (the real
+reference hardware is 1xA100-80G with an 8B model; a single v5e chip
+has 16 GB, so the bench model is scaled to keep the same regime:
+KV-cache-bandwidth-bound full attention vs compact-buffer ShadowKV).
+
+Env overrides: BENCH_DATALEN, BENCH_FULL_BATCH, BENCH_SHADOW_BATCH,
+BENCH_DECODE_STEPS, BENCH_MODE (full|shadow|both).
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def run_engine(mode, cfg, cache_cfg, rt, params, datalen, batch, steps):
+    from shadowkv_tpu.models.engine import Engine
+
+    eng = Engine(cfg, cache_cfg, rt, params)
+    ids = np.random.RandomState(0).randint(1, cfg.vocab_size, (batch, datalen))
+    t0 = time.perf_counter()
+    out, stats = eng.batch_generate(
+        ids, gen_len=steps, temperature=0.6, top_k=50, top_p=0.9,
+        warmup_steps=3,
+    )
+    log(
+        f"[{mode}] batch={batch} datalen={datalen} "
+        f"prefill={stats.prefill_seconds:.1f}s "
+        f"decode={stats.decode_seconds:.3f}s for {stats.decode_tokens} toks "
+        f"-> {stats.decode_tokens_per_second:.1f} tok/s "
+        f"(total {time.perf_counter() - t0:.1f}s)"
+    )
+    return stats.decode_tokens_per_second
+
+
+def main():
+    from shadowkv_tpu.config import CacheConfig, RuntimeConfig
+    from shadowkv_tpu.models.params import init_synthetic_params
+    from shadowkv_tpu.models.registry import toy_config
+
+    datalen = int(os.environ.get("BENCH_DATALEN", 32768))
+    full_batch = int(os.environ.get("BENCH_FULL_BATCH", 4))
+    shadow_batch = int(os.environ.get("BENCH_SHADOW_BATCH", 8))
+    steps = int(os.environ.get("BENCH_DECODE_STEPS", 32))
+    bench_mode = os.environ.get("BENCH_MODE", "both")
+
+    cfg = toy_config(
+        name="sbench-1.4b",
+        num_layers=16,
+        hidden_size=2048,
+        num_heads=16,
+        num_kv_heads=8,
+        head_dim=128,
+        intermediate_size=5632,
+        vocab_size=32768,
+        rope_theta=500000.0,
+        dtype=jnp.bfloat16,
+    )
+    rt = RuntimeConfig(prefill_sub_batch=1, prefill_block_q=256)
+    log(f"devices: {jax.devices()}")
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    full_tps = None
+    if bench_mode in ("full", "both"):
+        full_cfg = CacheConfig(mode="full", max_length=datalen + 128)
+        full_tps = run_engine(
+            "full", cfg, full_cfg, rt, params, datalen, full_batch, steps
+        )
+        gc.collect()
+
+    shadow_tps = None
+    if bench_mode in ("shadow", "both"):
+        shadow_cfg = CacheConfig(
+            mode="shadow",
+            max_length=datalen + 128,
+            sparse_budget=2048,
+            rank=160,
+            chunk_size=8,
+        )
+        shadow_tps = run_engine(
+            "shadowkv", cfg, shadow_cfg, rt, params, datalen, shadow_batch,
+            steps,
+        )
+
+    value = shadow_tps if shadow_tps is not None else full_tps
+    vs_baseline = (
+        round(shadow_tps / full_tps, 3)
+        if (shadow_tps and full_tps)
+        else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"shadowkv_decode_tokens_per_sec_{datalen // 1024}k",
+                "value": round(value, 1),
+                "unit": "tokens/s",
+                "vs_baseline": vs_baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

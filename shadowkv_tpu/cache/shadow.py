@@ -1,0 +1,366 @@
+"""ShadowKV sparse KV cache: low-rank K in HBM, chunked V store,
+landmark-selected sparse attention with a hits-first reuse policy.
+
+Functional TPU rebuild of the reference ``ShadowKVCache`` /
+``ShadowKVCache_CPU`` (models/kv_cache.py:155-1319). All state is one
+pytree threaded through the jitted decode step; the per-layer mutation
+of the reference (in-place CUDA buffer updates) becomes
+``dynamic_update_slice`` on stacked [L, ...] arrays inside the layer
+scan, which XLA turns back into in-place updates via buffer donation.
+
+Compact buffer layout per (layer, batch, kv head), identical to the
+reference (kv_cache.py:399-400, 891-894):
+
+    [ prefill_local | outlier_chunks * chunk | sparse_budget | gen ]
+      0 .. pl         pl .. sparse_start       .. sparse_end    .. cap
+
+The V store is chunk-major [L, B, K, C, chunk * Dh] exactly like the
+reference's pinned-CPU layout (kv_cache.py:554-563) so one chunk is one
+contiguous row — on TPU this keeps every gather a dense 1024-element
+(8 x 128) tile, lane-aligned for DMA. It lives in HBM by default and in
+``pinned_host`` memory when offload mode is enabled.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from shadowkv_tpu.config import CacheConfig, ModelConfig
+from shadowkv_tpu.core import rope as rope_lib
+from shadowkv_tpu.core.lowrank import lowrank_kv_factors, reconstruct_keys
+from shadowkv_tpu.core.selection import (
+    chunk_ids_to_positions,
+    compute_landmarks_outliers,
+    reorder_hits_first,
+    score_and_select,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShadowLayout:
+    """Static (trace-time) geometry of the shadow cache.
+
+    Computed from the prefill length the way the reference does at
+    prefill time (kv_cache.py:836-894): context chunks rounded down to a
+    multiple of 8, the remainder + last ``local_chunks`` chunks kept
+    dense as the "local" region.
+    """
+
+    prefill_len: int
+    chunk_size: int
+    chunks: int  # context chunks (landmark + outlier candidates)
+    prefill_local: int  # dense local region (remainder + local chunks)
+    outlier_chunks: int
+    num_landmarks: int  # chunks - outlier_chunks
+    select_sets: int  # sparse_budget // chunk_size
+    sparse_start: int
+    sparse_end: int
+    gen_capacity: int
+    buffer_cap: int
+    rank: int
+
+    @classmethod
+    def build(cls, cache: CacheConfig, prefill_len: int) -> "ShadowLayout":
+        cs = cache.chunk_size
+        chunks = prefill_len // cs - cache.local_chunks
+        chunks -= chunks % 8
+        prefill_local = prefill_len - chunks * cs
+        outl = cache.resolved_outlier_chunks()
+        select_sets = cache.select_sets
+        assert select_sets + outl <= chunks, (
+            f"prefill {prefill_len} too short for sparse_budget "
+            f"{cache.sparse_budget} + {outl} outliers"
+        )
+        sparse_start = prefill_local + outl * cs
+        sparse_end = sparse_start + cache.sparse_budget
+        return cls(
+            prefill_len=prefill_len,
+            chunk_size=cs,
+            chunks=chunks,
+            prefill_local=prefill_local,
+            outlier_chunks=outl,
+            num_landmarks=chunks - outl,
+            select_sets=select_sets,
+            sparse_start=sparse_start,
+            sparse_end=sparse_end,
+            gen_capacity=cache.gen_capacity,
+            buffer_cap=sparse_end + cache.gen_capacity,
+            rank=cache.rank,
+        )
+
+
+class ShadowCache(flax.struct.PyTreeNode):
+    """Stacked-over-layers ShadowKV state (one pytree, jit-friendly)."""
+
+    u: jnp.ndarray  # [L, B, S_p, r] pre-RoPE K left factors
+    sv: jnp.ndarray  # [L, B, K, r, Dh]
+    landmarks: jnp.ndarray  # [L, B, K, C_lm, Dh]
+    landmark_idx: jnp.ndarray  # [L, B, K, C_lm] int32
+    k_buf: jnp.ndarray  # [L, B, K, cap, Dh] compact post-RoPE K buffer
+    v_buf: jnp.ndarray  # [L, B, K, cap, Dh]
+    v_full: jnp.ndarray  # [L, B, K, C, chunk * Dh] chunk-major V store
+    cached_ids: jnp.ndarray  # [L, B, K, S] chunk ids in sparse slots
+    gen_len: jnp.ndarray  # int32 scalar, tokens in gen region
+    layout: ShadowLayout = flax.struct.field(pytree_node=False)
+
+    @property
+    def kv_len(self) -> jnp.ndarray:
+        """Logical KV length (prefill + generated)."""
+        return self.layout.prefill_len + self.gen_len
+
+
+def shadow_prefill_layer(
+    model: ModelConfig,
+    layout: ShadowLayout,
+    k_pre_rope: jnp.ndarray,  # [B, S, K, Dh]
+    k_roped: jnp.ndarray,  # [B, S, K, Dh]
+    v: jnp.ndarray,  # [B, S, K, Dh]
+    q_last: jnp.ndarray,  # [B, 1, H, Dh] last prefill query (roped)
+) -> dict:
+    """Build one layer's shadow-cache slices at prefill.
+
+    Mirrors ShadowKVCache_CPU.prefill_kv_cache + get_svd
+    (kv_cache.py:666-737, 788-980): SVD factors from *pre-RoPE* K,
+    landmarks/outliers from *post-RoPE* K, buffer seeded from the last
+    prefill query's selection.
+    """
+    b, s, kh, dh = v.shape
+    lo = layout
+    cs = lo.chunk_size
+    dtype = model.dtype
+
+    # --- low-rank factors of pre-RoPE K ---
+    u, sv = lowrank_kv_factors(
+        k_pre_rope.reshape(b, s, kh * dh), lo.rank, kh, dh, dtype=dtype
+    )
+
+    # [B, K, S, Dh] views
+    k_roped_h = k_roped.transpose(0, 2, 1, 3)
+    v_h = v.transpose(0, 2, 1, 3)
+
+    ctx_len = lo.chunks * cs
+    k_ctx = k_roped_h[:, :, :ctx_len].reshape(b, kh, lo.chunks, cs, dh)
+    v_ctx = v_h[:, :, :ctx_len].reshape(b, kh, lo.chunks, cs, dh)
+
+    lm = compute_landmarks_outliers(k_ctx, lo.outlier_chunks)
+
+    # --- compact buffer: [local | outliers | sparse | gen] ---
+    k_buf = jnp.zeros((b, kh, lo.buffer_cap, dh), dtype)
+    v_buf = jnp.zeros((b, kh, lo.buffer_cap, dh), dtype)
+    k_buf = k_buf.at[:, :, : lo.prefill_local].set(
+        k_roped_h[:, :, s - lo.prefill_local :]
+    )
+    v_buf = v_buf.at[:, :, : lo.prefill_local].set(
+        v_h[:, :, s - lo.prefill_local :]
+    )
+
+    out_idx = lm.outlier_idx[..., None, None].astype(jnp.int32)
+    k_out = jnp.take_along_axis(k_ctx, out_idx, axis=2)
+    v_out = jnp.take_along_axis(v_ctx, out_idx, axis=2)
+    k_buf = k_buf.at[:, :, lo.prefill_local : lo.sparse_start].set(
+        k_out.reshape(b, kh, lo.outlier_chunks * cs, dh)
+    )
+    v_buf = v_buf.at[:, :, lo.prefill_local : lo.sparse_start].set(
+        v_out.reshape(b, kh, lo.outlier_chunks * cs, dh)
+    )
+
+    # --- chunk-major V store over the context region ---
+    v_full = v_ctx.reshape(b, kh, lo.chunks, cs * dh)
+
+    # --- seed the sparse region from the last prefill query ---
+    # (kv_cache.py:922-970: q_len=1 scoring, exact K/V gathered — the
+    # seeded K is the true post-RoPE K, not a reconstruction.)
+    g = model.num_groups
+    q_grouped = q_last.transpose(0, 2, 1, 3).reshape(b, kh, g, 1, dh)
+    seed_ids = score_and_select(
+        q_grouped, lm.landmarks, lm.landmark_idx, lo.select_sets
+    )
+    seed_pos = chunk_ids_to_positions(seed_ids, cs)  # [B, K, budget]
+    k_seed = jnp.take_along_axis(
+        k_roped_h, seed_pos[..., None].astype(jnp.int32), axis=2
+    )
+    v_seed = jnp.take_along_axis(
+        v_h, seed_pos[..., None].astype(jnp.int32), axis=2
+    )
+    k_buf = k_buf.at[:, :, lo.sparse_start : lo.sparse_end].set(k_seed)
+    v_buf = v_buf.at[:, :, lo.sparse_start : lo.sparse_end].set(v_seed)
+
+    return dict(
+        u=u,
+        sv=sv,
+        landmarks=lm.landmarks,
+        landmark_idx=lm.landmark_idx,
+        k_buf=k_buf,
+        v_buf=v_buf,
+        v_full=v_full,
+        cached_ids=seed_ids,
+    )
+
+
+def assemble_cache(layer_slices: dict, layout: ShadowLayout) -> ShadowCache:
+    """Stack per-layer prefill outputs (scan ys) into a ShadowCache."""
+    return ShadowCache(
+        u=layer_slices["u"],
+        sv=layer_slices["sv"],
+        landmarks=layer_slices["landmarks"],
+        landmark_idx=layer_slices["landmark_idx"],
+        k_buf=layer_slices["k_buf"],
+        v_buf=layer_slices["v_buf"],
+        v_full=layer_slices["v_full"],
+        cached_ids=layer_slices["cached_ids"],
+        gen_len=jnp.zeros((), jnp.int32),
+        layout=layout,
+    )
+
+
+def concat_shadow_caches(caches: list[ShadowCache]) -> ShadowCache:
+    """Concatenate sub-batch prefill results along the batch axis
+    (reference batch_prefill accumulates sub-batches into shared
+    buffers via ``prefilled_batch``, kv_cache.py:824-980)."""
+    if len(caches) == 1:
+        return caches[0]
+    first = caches[0]
+
+    def cat(get):
+        return jnp.concatenate([get(c) for c in caches], axis=1)
+
+    return ShadowCache(
+        u=cat(lambda c: c.u),
+        sv=cat(lambda c: c.sv),
+        landmarks=cat(lambda c: c.landmarks),
+        landmark_idx=cat(lambda c: c.landmark_idx),
+        k_buf=cat(lambda c: c.k_buf),
+        v_buf=cat(lambda c: c.v_buf),
+        v_full=cat(lambda c: c.v_full),
+        cached_ids=cat(lambda c: c.cached_ids),
+        gen_len=first.gen_len,
+        layout=first.layout,
+    )
+
+
+def shadow_decode_layer(
+    model: ModelConfig,
+    cache: ShadowCache,
+    layer: jnp.ndarray,  # traced int32 layer index
+    q: jnp.ndarray,  # [B, Qn, H, Dh] roped queries
+    k_new: jnp.ndarray,  # [B, Qn, K, Dh] roped new keys
+    v_new: jnp.ndarray,  # [B, Qn, K, Dh]
+    cos_table: jnp.ndarray,
+    sin_table: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, ShadowCache]:
+    """One layer's sparse-attention cache update at decode time.
+
+    Returns (k_view, v_view, kv_valid_len, cache) where k/v views are the
+    compact buffer [B, K, cap, Dh] for this layer (mask by valid length).
+
+    The layer index is a traced scalar: all reads from the big stacked
+    arrays (U, v_full) are single XLA gathers whose indices include the
+    layer coordinate — no [B, S, r]-sized layer slice is ever
+    materialized (this is the scan-carry design from SURVEY.md §7.0).
+    """
+    lo = cache.layout
+    b, qn, kh, dh = k_new.shape
+    g = model.num_groups
+    cs = lo.chunk_size
+
+    # --- 1. selection from landmarks (kv_cache.py:983-1057) ---
+    lms = jax.lax.dynamic_index_in_dim(
+        cache.landmarks, layer, axis=0, keepdims=False
+    )
+    lm_idx = jax.lax.dynamic_index_in_dim(
+        cache.landmark_idx, layer, axis=0, keepdims=False
+    )
+    q_grouped = q.transpose(0, 2, 1, 3).reshape(b, kh, g, qn, dh)
+    new_ids = score_and_select(q_grouped, lms, lm_idx, lo.select_sets)
+
+    # --- 2. hits-first reorder (map.cuh:754-796) ---
+    prev_ids = jax.lax.dynamic_index_in_dim(
+        cache.cached_ids, layer, axis=0, keepdims=False
+    )
+    ro = reorder_hits_first(prev_ids, new_ids)
+
+    # Old buffer contents for this layer (compact: a few MB).
+    k_buf_l = jax.lax.dynamic_index_in_dim(
+        cache.k_buf, layer, axis=0, keepdims=False
+    )
+    v_buf_l = jax.lax.dynamic_index_in_dim(
+        cache.v_buf, layer, axis=0, keepdims=False
+    )
+
+    # --- 3. V: hits shuffled from old slots, misses gathered from the
+    #        chunk-major store (gather_copy_with_offsets, K2/K3) ---
+    # src_slot is a chunk slot; expand to the cs token rows it occupies.
+    hit_rows = (
+        lo.sparse_start
+        + ro.src_slot[..., None] * cs
+        + jnp.arange(cs, dtype=jnp.int32)
+    ).reshape(b, kh, lo.select_sets * cs)  # [B, K, S*cs]
+    v_hits = jnp.take_along_axis(
+        v_buf_l, hit_rows[..., None].astype(jnp.int32), axis=2
+    ).reshape(b, kh, lo.select_sets, cs, dh)
+    # Wait-free full-array gather including the layer coordinate.
+    bi = jnp.arange(b)[:, None, None]
+    ki = jnp.arange(kh)[None, :, None]
+    v_miss = cache.v_full[layer, bi, ki, ro.ids].reshape(
+        b, kh, lo.select_sets, cs, dh
+    )
+    hit_e = ro.hit_mask[..., None, None]
+    v_sparse = jnp.where(hit_e, v_hits, v_miss).reshape(
+        b, kh, lo.select_sets * cs, dh
+    )
+
+    # --- 4. K: hits shuffled; misses reconstructed U[rows] @ SV + RoPE
+    #        (gather_copy_d2d + batch_gather_gemm + push-cache, K6-K10) ---
+    k_hits = jnp.take_along_axis(
+        k_buf_l, hit_rows[..., None].astype(jnp.int32), axis=2
+    ).reshape(b, kh, lo.select_sets, cs, dh)
+    pos = chunk_ids_to_positions(ro.ids, cs)  # [B, K, budget]
+    u_rows = cache.u[layer, jnp.arange(b)[:, None, None], pos]  # [B,K,bud,r]
+    sv_l = jax.lax.dynamic_index_in_dim(
+        cache.sv, layer, axis=0, keepdims=False
+    )
+    k_rec = jnp.einsum(
+        "bknr,bkrd->bknd", u_rows, sv_l, preferred_element_type=jnp.float32
+    ).astype(k_buf_l.dtype)
+    k_rec = rope_lib.apply_rope_at(
+        k_rec, pos, cos_table, sin_table, style=model.rope_style
+    )
+    k_rec = k_rec.reshape(b, kh, lo.select_sets, cs, dh)
+    k_sparse = jnp.where(hit_e, k_hits, k_rec).reshape(
+        b, kh, lo.select_sets * cs, dh
+    )
+
+    # --- 5. write sparse region + append new tokens to gen region ---
+    k_buf_l = jax.lax.dynamic_update_slice(
+        k_buf_l, k_sparse, (0, 0, lo.sparse_start, 0)
+    )
+    v_buf_l = jax.lax.dynamic_update_slice(
+        v_buf_l, v_sparse, (0, 0, lo.sparse_start, 0)
+    )
+    gen_row = lo.sparse_end + cache.gen_len
+    k_buf_l = jax.lax.dynamic_update_slice(
+        k_buf_l, k_new.transpose(0, 2, 1, 3), (0, 0, gen_row, 0)
+    )
+    v_buf_l = jax.lax.dynamic_update_slice(
+        v_buf_l, v_new.transpose(0, 2, 1, 3), (0, 0, gen_row, 0)
+    )
+
+    # --- 6. commit this layer's state ---
+    cache = cache.replace(
+        k_buf=jax.lax.dynamic_update_slice(
+            cache.k_buf, k_buf_l[None], (layer, 0, 0, 0, 0)
+        ),
+        v_buf=jax.lax.dynamic_update_slice(
+            cache.v_buf, v_buf_l[None], (layer, 0, 0, 0, 0)
+        ),
+        cached_ids=jax.lax.dynamic_update_slice(
+            cache.cached_ids, ro.ids[None], (layer, 0, 0, 0)
+        ),
+    )
+    valid_len = lo.sparse_end + cache.gen_len + qn
+    return k_buf_l, v_buf_l, valid_len, cache

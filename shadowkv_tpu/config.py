@@ -1,0 +1,122 @@
+"""Configuration dataclasses for the engine.
+
+The reference scatters configuration over argparse defaults, constructor
+kwargs and in-class constants (see SURVEY.md §5.6; reference
+``models/llama.py:172-182``, ``models/kv_cache.py:205-206,547-548``).
+Here everything lives in three frozen dataclasses so a run is fully
+described by (ModelConfig, CacheConfig, RuntimeConfig).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyper-parameters for a decoder-only transformer.
+
+    Mirrors the information the reference pulls from HF configs in
+    ``models/llama.py``, ``glm.py``, ``qwen.py``, ``phi3.py``.
+    """
+
+    name: str = "llama"
+    num_layers: int = 32
+    hidden_size: int = 4096
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    intermediate_size: int = 14336
+    vocab_size: int = 128256
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    # 'neox': rotate-half over the full head_dim (llama / yi / qwen / phi3).
+    # 'glm': interleaved (even,odd) pairs over only the first
+    #        ``rope_partial_dim`` dims, rest passed through
+    #        (reference models/glm.py:261-273, kernels/rope_new.cu:429-534).
+    rope_style: str = "neox"
+    rope_partial_dim: Optional[int] = None
+    # Llama-3.1-style NTK rope scaling dict (factor, low_freq_factor,
+    # high_freq_factor, original_max_position_embeddings) or None.
+    rope_scaling: Optional[dict] = None
+    qkv_bias: bool = False  # qwen2 / glm4 use biases on q,k,v
+    tie_word_embeddings: bool = False
+    max_position_embeddings: int = 1048576
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def num_groups(self) -> int:
+        """GQA group size (query heads per KV head)."""
+        return self.num_heads // self.num_kv_heads
+
+    @property
+    def q_size(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    @property
+    def rope_dim(self) -> int:
+        """Number of head dims that get rotary applied."""
+        return self.rope_partial_dim or self.head_dim
+
+
+@dataclasses.dataclass(frozen=True)
+class CacheConfig:
+    """KV-cache / sparse-attention policy configuration.
+
+    Defaults match the reference's canonical setting
+    (sparse_budget=2048, rank=160, chunk_size=8 — README.md:92,
+    test/eval_acc.py:74-78) and its in-class constants
+    (local_chunk=4 kv_cache.py:547, outlier scaling kv_cache.py:548).
+    """
+
+    mode: str = "full"  # 'full' | 'shadow' | 'shadow_offload'
+    max_length: int = 32 * 1024
+    sparse_budget: int = 2048
+    rank: int = 160
+    chunk_size: int = 8
+    local_chunks: int = 4
+    # Number of outlier chunks; the reference production path scales it
+    # with the budget: (sparse_budget // 1024) * 24 (kv_cache.py:548).
+    outlier_chunks: Optional[int] = None
+    # Capacity of the generated-token region of the compact buffer.
+    gen_capacity: int = 256
+    # Memory kind for the full V store: 'device' (HBM) or 'pinned_host'.
+    v_memory_kind: str = "device"
+
+    def resolved_outlier_chunks(self) -> int:
+        if self.outlier_chunks is not None:
+            return self.outlier_chunks
+        return max(1, (self.sparse_budget // 1024) * 24)
+
+    @property
+    def select_sets(self) -> int:
+        assert self.sparse_budget % self.chunk_size == 0
+        return self.sparse_budget // self.chunk_size
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Execution configuration: batching, sampling, mesh layout."""
+
+    batch_size: int = 1
+    # Decode/prefill split point: query lengths above this take the
+    # prefill path (reference models/base.py:299 uses 4*1024).
+    prefill_threshold: int = 4 * 1024
+    # Prefill is chunked into sub-batches to bound activation memory
+    # (reference models/base.py:533-543 uses T=4/8).
+    prefill_sub_batch: int = 4
+    # Query-block size for blockwise causal prefill attention.
+    prefill_block_q: int = 512
+    temperature: float = 0.0  # 0 => greedy
+    top_k: int = 0
+    top_p: float = 0.9
+    # Mesh axis sizes; dp shards batch, tp shards heads / factors.
+    dp: int = 1
+    tp: int = 1

@@ -1,0 +1,135 @@
+"""Attention primitives (jnp reference implementations).
+
+The reference uses flash-attn / flashinfer CUDA kernels
+(models/base.py:308-341). Here the jnp versions are the semantic
+reference and the CPU-testable path; the Pallas flash-decode kernel over
+the compact ShadowKV buffer lives in shadowkv_tpu/kernels/ and is tested
+against these.
+
+Conventions: q is [B, S, H, Dh], k/v are [B, T, K, Dh] with GQA
+(H = K * G). Softmax is computed in fp32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _gqa_scores(q: jnp.ndarray, k: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """q [B,S,K,G,Dh] x k [B,T,K,Dh] -> scores [B,K,G,S,T] fp32."""
+    return jnp.einsum(
+        "bskgd,btkd->bkgst",
+        q,
+        k,
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+
+def mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Plain (masked) GQA attention. mask broadcasts against [B,K,G,S,T]."""
+    b, s, h, dh = q.shape
+    kheads = k.shape[2]
+    g = h // kheads
+    scale = scale if scale is not None else dh**-0.5
+    qg = q.reshape(b, s, kheads, g, dh)
+    scores = _gqa_scores(qg, k, scale)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bkgst,btkd->bskgd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, s, h, dh).astype(q.dtype)
+
+
+def causal_prefill_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    block_q: int = 512,
+) -> jnp.ndarray:
+    """Blockwise causal self-attention for prefill.
+
+    Memory-bounded analogue of the reference's
+    flash_attn_with_kvcache(causal=True) prefill call
+    (models/base.py:308): queries are processed in blocks of ``block_q``
+    via lax.scan so peak score memory is [B,H,block_q,T] instead of
+    [B,H,S,S].
+    """
+    b, s, h, dh = q.shape
+    t = k.shape[1]
+    scale = scale if scale is not None else dh**-0.5
+    if s <= block_q:
+        pos_q = jnp.arange(t - s, t)
+        pos_k = jnp.arange(t)
+        mask = pos_q[:, None] >= pos_k[None, :]
+        return mha(q, k, v, mask=mask[None, None, None], scale=scale)
+
+    # Pad queries to a block multiple; padded rows attend to position 0
+    # only (mask degenerates) and are sliced off at the end.
+    s_pad = ((s + block_q - 1) // block_q) * block_q
+    if s_pad != s:
+        q = jnp.pad(q, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
+    nblocks = s_pad // block_q
+    qb = q.reshape(b, nblocks, block_q, h, dh).transpose(1, 0, 2, 3, 4)
+    offset = t - s  # history before this prefill chunk
+
+    def body(carry, inputs):
+        i, qi = inputs
+        pos_q = offset + i * block_q + jnp.arange(block_q)
+        pos_k = jnp.arange(t)
+        mask = pos_q[:, None] >= pos_k[None, :]
+        out = mha(qi, k, v, mask=mask[None, None, None], scale=scale)
+        return carry, out
+
+    _, outs = jax.lax.scan(body, None, (jnp.arange(nblocks), qb))
+    out = outs.transpose(1, 0, 2, 3, 4).reshape(b, s_pad, h, dh)
+    return out[:, :s]
+
+
+def decode_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_len: jnp.ndarray | int,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Attention for decode: new queries attend to cache[:kv_len].
+
+    Mirrors flash_attn_with_kvcache over the compact buffer
+    (models/base.py:341): keys are position-scrambled (RoPE already
+    applied at absolute positions) so only a validity mask is needed —
+    attention is permutation-invariant over keys, and every cached token
+    precedes the query.
+
+    Args:
+      q: [B, S_new, H, Dh] (S_new small, usually 1).
+      k/v: [B, T_cap, K, Dh] compact buffer.
+      kv_len: scalar or [B] number of valid rows in the buffer,
+        *including* the S_new new tokens (causally masked among
+        themselves at the tail).
+    """
+    b, s_new, h, dh = q.shape
+    t = k.shape[1]
+    scale = scale if scale is not None else dh**-0.5
+    kv_len = jnp.asarray(kv_len)
+    if kv_len.ndim == 0:
+        kv_len = jnp.full((b,), kv_len)
+    pos_k = jnp.arange(t)
+    # Valid = within length; new tokens at positions [len - s_new, len)
+    # are causal among themselves.
+    q_abs = kv_len[:, None] - s_new + jnp.arange(s_new)[None, :]  # [B,S]
+    mask = pos_k[None, None, :] <= q_abs[:, :, None]  # [B,S,T]
+    mask = mask[:, None, None]  # [B,1,1,S,T]
+    return mha(q, k, v, mask=mask, scale=scale)

@@ -1,0 +1,101 @@
+"""Transformer layer building blocks (pure functions over param pytrees).
+
+The reference delegates these to flashinfer/vllm custom CUDA ops
+(rmsnorm: models/tensor_op.py:34-39; silu_and_mul: models/llama.py:418).
+On TPU these are elementwise/VPU ops XLA fuses into adjacent matmuls,
+so plain jnp IS the idiomatic fast path.
+
+Parameters for all layers are stacked along a leading layer axis so the
+forward pass can ``lax.scan`` over layers (one compiled layer body
+instead of the reference's eager per-layer Python loop,
+models/base.py:147).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class LayerParams(NamedTuple):
+    """Weights for one transformer block (or stacked [L, ...] for scan).
+
+    Fused projections mirror the reference's weight containers
+    (models/llama.py:59-152 fuses wqkv and gate_up_proj).
+    """
+
+    attn_norm: jnp.ndarray  # [D]
+    wqkv: jnp.ndarray  # [D, (H + 2K) * Dh]
+    bqkv: Optional[jnp.ndarray]  # [(H + 2K) * Dh] or None
+    wo: jnp.ndarray  # [H * Dh, D]
+    mlp_norm: jnp.ndarray  # [D]
+    w_gate_up: jnp.ndarray  # [D, 2 * I]
+    w_down: jnp.ndarray  # [I, D]
+
+
+class ModelParams(NamedTuple):
+    embed: jnp.ndarray  # [V, D]
+    layers: LayerParams  # leaves stacked [L, ...]
+    final_norm: jnp.ndarray  # [D]
+    lm_head: jnp.ndarray  # [D, V]
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """RMSNorm in fp32 accumulation, output in x.dtype."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def qkv_proj(
+    x: jnp.ndarray,
+    layer: LayerParams,
+    num_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused QKV projection.
+
+    Args:
+      x: [B, S, D] (already normed).
+    Returns:
+      q: [B, S, H, Dh], k: [B, S, K, Dh], v: [B, S, K, Dh]
+    """
+    qkv = jnp.dot(x, layer.wqkv, preferred_element_type=x.dtype)
+    if layer.bqkv is not None:
+        qkv = qkv + layer.bqkv.astype(qkv.dtype)
+    q_size = num_heads * head_dim
+    kv_size = num_kv_heads * head_dim
+    q = qkv[..., :q_size]
+    k = qkv[..., q_size : q_size + kv_size]
+    v = qkv[..., q_size + kv_size :]
+    b, s = x.shape[:2]
+    return (
+        q.reshape(b, s, num_heads, head_dim),
+        k.reshape(b, s, num_kv_heads, head_dim),
+        v.reshape(b, s, num_kv_heads, head_dim),
+    )
+
+
+def o_proj(attn_out: jnp.ndarray, layer: LayerParams) -> jnp.ndarray:
+    """[B, S, H, Dh] -> [B, S, D]."""
+    b, s = attn_out.shape[:2]
+    flat = attn_out.reshape(b, s, -1)
+    return jnp.dot(flat, layer.wo, preferred_element_type=flat.dtype)
+
+
+def swiglu_mlp(x: jnp.ndarray, layer: LayerParams) -> jnp.ndarray:
+    """SwiGLU MLP with fused gate/up projection.
+
+    Matches reference post_attention_compute (models/llama.py:397-427);
+    the reference chunks this above 64K tokens to bound memory
+    (models/base.py:351-364) — on TPU, XLA's fusion keeps the
+    intermediate blocked, and prefill is sub-batched upstream instead.
+    """
+    gate_up = jnp.dot(x, layer.w_gate_up, preferred_element_type=x.dtype)
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    hidden = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    return jnp.dot(hidden, layer.w_down, preferred_element_type=x.dtype)

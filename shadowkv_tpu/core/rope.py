@@ -1,0 +1,174 @@
+"""Rotary position embeddings, TPU-first.
+
+The reference uses vllm custom CUDA ops during prefill
+(``models/llama.py:296``) and bespoke decode/push-cache kernels
+(``kernels/rope_new.cu``). On TPU, RoPE is a handful of elementwise ops
+that XLA fuses into the surrounding matmuls, so the base implementation
+is plain jnp; the fused reconstruction Pallas kernel re-implements the
+same math in-register (see shadowkv_tpu/kernels/reconstruct.py).
+
+Two styles are supported, matching the reference model zoo:
+
+- 'neox' (llama / yi / qwen2 / phi3): rotate-half over the full head
+  dim, cos/sin each of size head_dim with the half-frequencies repeated
+  (reference models/tensor_op.py:120-151).
+- 'glm' (GLM-4): interleaved (even, odd) pairs over only the first 64
+  dims; the remaining dims pass through unchanged (reference
+  models/glm.py:261-273, kernels/rope_new.cu:429-534).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from shadowkv_tpu.config import ModelConfig
+
+
+def _llama3_scale_inv_freq(
+    inv_freq: jnp.ndarray, scaling: dict
+) -> jnp.ndarray:
+    """Llama-3.1 NTK-by-parts frequency scaling (matches HF semantics)."""
+    factor = scaling["factor"]
+    low_freq_factor = scaling.get("low_freq_factor", 1.0)
+    high_freq_factor = scaling.get("high_freq_factor", 4.0)
+    old_max = scaling.get("original_max_position_embeddings", 8192)
+
+    low_freq_wavelen = old_max / low_freq_factor
+    high_freq_wavelen = old_max / high_freq_factor
+    wavelen = 2 * math.pi / inv_freq
+
+    scaled = jnp.where(wavelen > low_freq_wavelen, inv_freq / factor, inv_freq)
+    smooth = (old_max / wavelen - low_freq_factor) / (
+        high_freq_factor - low_freq_factor
+    )
+    smoothed = (1 - smooth) / factor * inv_freq + smooth * inv_freq
+    is_medium = (wavelen <= low_freq_wavelen) & (wavelen >= high_freq_wavelen)
+    return jnp.where(is_medium, smoothed, scaled)
+
+
+def compute_inv_freq(cfg: ModelConfig) -> jnp.ndarray:
+    """[rope_dim // 2] inverse frequencies in fp32."""
+    dim = cfg.rope_dim
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim)
+    )
+    if cfg.rope_scaling and cfg.rope_scaling.get("rope_type") in (
+        "llama3",
+        "llama3.1",
+    ):
+        inv_freq = _llama3_scale_inv_freq(inv_freq, cfg.rope_scaling)
+    return inv_freq
+
+
+def compute_cos_sin(
+    cfg: ModelConfig, max_len: int, dtype=jnp.float32
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Precompute (cos, sin), each [max_len, rope_dim // 2].
+
+    Stored at half width: 'neox' repeats halves at apply time, 'glm'
+    interleaves pairs. Keeping the table half-width is what the
+    reference's fused cache does (models/llama.py:322-332 keeps only the
+    first 64 columns of each).
+    """
+    inv_freq = compute_inv_freq(cfg)
+    t = jnp.arange(max_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)  # [max_len, rope_dim//2]
+    return jnp.cos(freqs).astype(dtype), jnp.sin(freqs).astype(dtype)
+
+
+def apply_rope(
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    style: str = "neox",
+) -> jnp.ndarray:
+    """Apply rotary embedding.
+
+    Args:
+      x: [B, seq, H, head_dim] queries or keys (BSHD layout).
+      cos/sin: [seq, rope_dim // 2] gathered for these positions.
+      style: 'neox' or 'glm'.
+    """
+    orig_dtype = x.dtype
+    half = cos.shape[-1]
+    xf = x.astype(jnp.float32)
+    # Broadcast tables over (batch, heads): [1, seq, 1, half]
+    shape = (1, cos.shape[0], 1, half)
+    c = cos.reshape(shape)
+    s = sin.reshape(shape)
+
+    if style == "neox":
+        assert 2 * half == x.shape[-1]
+        x1 = xf[..., :half]
+        x2 = xf[..., half:]
+        out = jnp.concatenate(
+            [x1 * c - x2 * s, x2 * c + x1 * s], axis=-1
+        )
+    elif style == "glm":
+        rot = 2 * half  # rotated prefix (64 for GLM-4)
+        xr = xf[..., :rot]
+        x_pass = xf[..., rot:]
+        x_even = xr[..., 0::2]
+        x_odd = xr[..., 1::2]
+        r_even = x_even * c - x_odd * s
+        r_odd = x_odd * c + x_even * s
+        rotated = jnp.stack([r_even, r_odd], axis=-1).reshape(xr.shape)
+        out = jnp.concatenate([rotated, x_pass], axis=-1)
+    else:
+        raise ValueError(f"unknown rope style: {style}")
+    return out.astype(orig_dtype)
+
+
+def apply_rope_at(
+    x: jnp.ndarray,
+    positions: jnp.ndarray,
+    cos_table: jnp.ndarray,
+    sin_table: jnp.ndarray,
+    style: str = "neox",
+) -> jnp.ndarray:
+    """Apply RoPE at arbitrary (possibly non-contiguous) positions.
+
+    Used by the K-reconstruction path, where selected chunks carry their
+    original absolute positions (reference kv_cache.py:447-470 applies
+    ``rope_func(result, position_ids)`` after the U x SV matmul).
+
+    Args:
+      x: [..., n, head_dim]
+      positions: [..., n] int32 absolute positions, broadcastable against
+        x's leading dims.
+      cos_table/sin_table: [max_len, rope_dim // 2].
+    """
+    cos = jnp.take(cos_table, positions, axis=0)
+    sin = jnp.take(sin_table, positions, axis=0)
+    orig_dtype = x.dtype
+    half = cos_table.shape[-1]
+    xf = x.astype(jnp.float32)
+    c = cos.astype(jnp.float32)
+    s = sin.astype(jnp.float32)
+    # c/s: [..., n, half] already aligned with x's trailing dims.
+    if c.ndim < x.ndim:
+        c = jnp.expand_dims(c, tuple(range(x.ndim - c.ndim)))
+        s = jnp.expand_dims(s, tuple(range(x.ndim - s.ndim)))
+
+    if style == "neox":
+        x1 = xf[..., :half]
+        x2 = xf[..., half:]
+        out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    elif style == "glm":
+        rot = 2 * half
+        xr = xf[..., :rot]
+        x_pass = xf[..., rot:]
+        x_even = xr[..., 0::2]
+        x_odd = xr[..., 1::2]
+        r_even = x_even * c - x_odd * s
+        r_odd = x_odd * c + x_even * s
+        rotated = jnp.stack([r_even, r_odd], axis=-1).reshape(xr.shape)
+        out = jnp.concatenate([rotated, x_pass], axis=-1)
+    else:
+        raise ValueError(f"unknown rope style: {style}")
+    return out.astype(orig_dtype)

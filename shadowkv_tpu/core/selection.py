@@ -1,0 +1,164 @@
+"""Chunk landmarks, outlier detection, top-k selection, hit/miss reorder.
+
+Pure-jnp implementations of the selection machinery the reference builds
+from torch ops + CUDA kernels:
+
+- landmark/outlier computation at prefill (kv_cache.py:846-935),
+- per-step landmark scoring + top-k (kv_cache.py:421-445, 983-1057,
+  CUDA batch_gemm_softmax K12),
+- the temporal-locality hits-first reorder that the reference implements
+  as a shared-memory hash-map CUDA kernel (kernels/map.cuh:754-796).
+  On TPU the candidate sets are tiny (select_sets <= 256 chunks), so a
+  dense [S, S] membership comparison on the VPU replaces the hash map;
+  races are designed out by functional semantics.
+
+Shapes use B=batch, K=kv heads, G=GQA group, C=chunks, S=select_sets.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LandmarkState(NamedTuple):
+    landmarks: jnp.ndarray  # [B, K, C_lm, Dh] post-RoPE chunk means
+    landmark_idx: jnp.ndarray  # [B, K, C_lm] int32 chunk ids
+    outlier_idx: jnp.ndarray  # [B, K, O] int32 outlier chunk ids
+
+
+def compute_landmarks_outliers(
+    k_roped_ctx: jnp.ndarray,
+    outlier_chunks: int,
+) -> LandmarkState:
+    """Split context chunks into outliers and landmarks.
+
+    Matches kv_cache.py:846-935: landmark candidate = chunk mean of
+    post-RoPE K; outliers = the ``outlier_chunks`` chunks whose *minimum*
+    intra-chunk cosine similarity to their mean is lowest; remaining
+    chunk means + their chunk ids become the landmark table.
+
+    Args:
+      k_roped_ctx: [B, K, C, chunk_size, Dh] post-RoPE context keys.
+    """
+    b, kh, c, cs, dh = k_roped_ctx.shape
+    kf = k_roped_ctx.astype(jnp.float32)
+    means = jnp.mean(kf, axis=-2)  # [B, K, C, Dh]
+
+    # Cosine similarity between each token and its chunk mean.
+    dots = jnp.einsum("bkcd,bkcsd->bkcs", means, kf)
+    denom = (
+        jnp.linalg.norm(means, axis=-1)[..., None]
+        * jnp.linalg.norm(kf, axis=-1)
+        + 1e-8
+    )
+    cos_sim = dots / denom  # [B, K, C, chunk]
+    min_sim = jnp.min(cos_sim, axis=-1)  # [B, K, C]
+
+    # Lowest min-similarity chunks are outliers (topk largest=False).
+    _, outlier_idx = jax.lax.top_k(-min_sim, outlier_chunks)
+    outlier_idx = outlier_idx.astype(jnp.int32)  # [B, K, O]
+
+    # Landmarks: remaining chunks in ascending chunk-id order, exactly
+    # like the reference's masked_select (kv_cache.py:915-926).
+    is_outlier = (
+        jnp.zeros((b, kh, c), jnp.bool_)
+        .at[
+            jnp.arange(b)[:, None, None],
+            jnp.arange(kh)[None, :, None],
+            outlier_idx,
+        ]
+        .set(True)
+    )
+    # Stable sort by is_outlier puts the C - O landmark ids first.
+    order = jnp.argsort(is_outlier, axis=-1, stable=True)
+    rest_idx = order[..., : c - outlier_chunks].astype(jnp.int32)
+    rest_idx = jnp.sort(rest_idx, axis=-1)  # ascending ids
+    landmarks = jnp.take_along_axis(
+        means, rest_idx[..., None].astype(jnp.int32), axis=2
+    ).astype(k_roped_ctx.dtype)
+    return LandmarkState(landmarks, rest_idx, outlier_idx)
+
+
+def score_and_select(
+    query: jnp.ndarray,
+    landmarks: jnp.ndarray,
+    landmark_idx: jnp.ndarray,
+    select_sets: int,
+) -> jnp.ndarray:
+    """Score landmarks against queries and pick top chunks.
+
+    Matches the reference scoring exactly (accuracy-parity traps,
+    SURVEY.md §7.2 item 7): scale fixed at 1/sqrt(128) regardless of
+    head_dim (kv_cache.py:429,930,1017), softmax in fp32 over landmarks,
+    sum over query positions, **max** over the GQA group
+    (kv_cache.py:433,936,1023).
+
+    Args:
+      query: [B, K, G, Q, Dh] current queries grouped per KV head.
+      landmarks: [B, K, C_lm, Dh]; landmark_idx: [B, K, C_lm].
+    Returns:
+      selected chunk ids [B, K, select_sets] int32 (by original chunk id).
+    """
+    scores = jnp.einsum(
+        "bkgqd,bkcd->bkgqc",
+        query.astype(jnp.float32),
+        landmarks.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) / jnp.sqrt(128.0).astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.sum(probs, axis=-2)  # over Q -> [B, K, G, C]
+    probs = jnp.max(probs, axis=-2)  # over G -> [B, K, C]
+    _, top = jax.lax.top_k(probs, select_sets)
+    return jnp.take_along_axis(landmark_idx, top.astype(jnp.int32), axis=-1)
+
+
+class ReorderResult(NamedTuple):
+    ids: jnp.ndarray  # [B, K, S] selected chunk ids, hits first
+    hit_mask: jnp.ndarray  # [B, K, S] bool, True for slots reusing cache
+    src_slot: jnp.ndarray  # [B, K, S] int32 buffer slot a hit comes from
+    hit_count: jnp.ndarray  # [B, K] int32
+
+
+def reorder_hits_first(
+    prev_ids: jnp.ndarray, new_ids: jnp.ndarray
+) -> ReorderResult:
+    """Temporal-locality cache policy: pack re-selected chunks first.
+
+    Functional equivalent of the reference CUDA hash-map kernel
+    ``reorder_keys_and_mixed_offsets`` (kernels/map.cuh:621-683,754-796):
+    chunks selected last step that are selected again keep their cached
+    K/V (a D2D shuffle), only misses are fetched/reconstructed. Hits are
+    packed at the front so downstream kernels can skip the hit prefix
+    via ``hit_count`` (the reference's ``cnts``).
+
+    Args:
+      prev_ids: [B, K, S] chunk ids resident in the sparse buffer slots.
+      new_ids:  [B, K, S] freshly selected chunk ids (top-k order).
+    """
+    s = new_ids.shape[-1]
+    eq = new_ids[..., :, None] == prev_ids[..., None, :]  # [B,K,S,S]
+    hit = jnp.any(eq, axis=-1)
+    slot_of_new = jnp.argmax(eq, axis=-1).astype(jnp.int32)  # valid if hit
+
+    # Stable partition: hits first, preserving top-k order inside each
+    # group (argsort of miss flag is stable in jnp).
+    order = jnp.argsort(
+        jnp.logical_not(hit), axis=-1, stable=True
+    ).astype(jnp.int32)
+    ids = jnp.take_along_axis(new_ids, order, axis=-1)
+    hit_sorted = jnp.take_along_axis(hit, order, axis=-1)
+    src_slot = jnp.take_along_axis(slot_of_new, order, axis=-1)
+    hit_count = jnp.sum(hit, axis=-1).astype(jnp.int32)
+    return ReorderResult(ids, hit_sorted, src_slot, hit_count)
+
+
+def chunk_ids_to_positions(
+    chunk_ids: jnp.ndarray, chunk_size: int
+) -> jnp.ndarray:
+    """[B, K, S] chunk ids -> [B, K, S * chunk_size] token positions."""
+    offs = jnp.arange(chunk_size, dtype=jnp.int32)
+    pos = chunk_ids[..., None] * chunk_size + offs
+    return pos.reshape(*chunk_ids.shape[:-1], -1)

@@ -1,0 +1,281 @@
+"""The inference engine: prefill + autoregressive decode loops.
+
+Replaces the reference ``LLM`` base class driver
+(models/base.py:127-657). Differences are deliberate and TPU-first:
+
+- the per-layer Python loop is a single jitted ``lax.scan`` program,
+- the decode step (including sampling) is ONE compiled function with
+  donated cache buffers — no per-layer kernel launches, no streams:
+  XLA's scheduler provides the compute/copy overlap the reference gets
+  from ``copy_stream`` (models/base.py:326-338),
+- sub-batch prefill (reference batch_prefill T=4/8, base.py:533-543)
+  writes each sub-batch into the shared cache at a batch offset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shadowkv_tpu.cache.full import FullCache
+from shadowkv_tpu.cache.shadow import ShadowCache, ShadowLayout
+from shadowkv_tpu.config import CacheConfig, ModelConfig, RuntimeConfig
+from shadowkv_tpu.core import rope as rope_lib
+from shadowkv_tpu.core.layers import ModelParams
+from shadowkv_tpu.core.sampling import sample_token
+from shadowkv_tpu.models import forward
+
+
+@dataclasses.dataclass
+class GenerationStats:
+    prefill_seconds: float = 0.0
+    decode_seconds: float = 0.0
+    prefill_tokens: int = 0
+    decode_tokens: int = 0
+
+    @property
+    def decode_tokens_per_second(self) -> float:
+        if self.decode_seconds == 0:
+            return 0.0
+        return self.decode_tokens / self.decode_seconds
+
+
+class Engine:
+    """Single-program inference engine over one model + cache config."""
+
+    def __init__(
+        self,
+        model: ModelConfig,
+        cache_cfg: CacheConfig,
+        rt: RuntimeConfig,
+        params: ModelParams,
+    ):
+        self.model = model
+        self.cache_cfg = cache_cfg
+        self.rt = rt
+        self.params = params
+        cos, sin = rope_lib.compute_cos_sin(
+            model, cache_cfg.max_length + cache_cfg.gen_capacity
+        )
+        self.cos_table = cos
+        self.sin_table = sin
+        self._build_jits()
+
+    # -- jit construction ---------------------------------------------------
+
+    def _build_jits(self):
+        model, rt = self.model, self.rt
+
+        @partial(jax.jit, static_argnums=(2, 4), donate_argnums=(1,))
+        def prefill_full_fn(params, cache, start_pos, input_ids, batch_start):
+            return forward.prefill_full(
+                model, rt, params, cache, input_ids, start_pos,
+                self.cos_table, self.sin_table, batch_start,
+            )
+
+        @partial(jax.jit, static_argnums=(1,))
+        def prefill_shadow_fn(params, layout, input_ids):
+            return forward.prefill_shadow(
+                model, rt, layout, params, input_ids,
+                self.cos_table, self.sin_table,
+            )
+
+        def _sample(logits, key, temperature, top_k, top_p):
+            return sample_token(
+                logits[:, -1], key,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+            )
+
+        @partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(1,))
+        def decode_full_fn(params, cache, tokens, key, temperature, top_k, top_p):
+            logits, cache = forward.decode_full(
+                model, params, cache, tokens, self.cos_table, self.sin_table
+            )
+            return _sample(logits, key, temperature, top_k, top_p), cache
+
+        @partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(1,))
+        def decode_shadow_fn(params, cache, tokens, key, temperature, top_k, top_p):
+            logits, cache = forward.decode_shadow(
+                model, params, cache, tokens, self.cos_table, self.sin_table
+            )
+            return _sample(logits, key, temperature, top_k, top_p), cache
+
+        @partial(jax.jit, static_argnums=(2, 3, 4))
+        def sample_fn(logits, key, temperature, top_k, top_p):
+            return _sample(logits, key, temperature, top_k, top_p)
+
+        self._prefill_full = prefill_full_fn
+        self._prefill_shadow = prefill_shadow_fn
+        self._decode_full = decode_full_fn
+        self._decode_shadow = decode_shadow_fn
+        self._sample = sample_fn
+
+    @property
+    def is_shadow(self) -> bool:
+        return self.cache_cfg.mode in ("shadow", "shadow_offload")
+
+    # -- prefill ------------------------------------------------------------
+
+    def prefill(self, input_ids: np.ndarray):
+        """Prefill in sub-batches (reference batch_prefill T=4/8,
+        models/base.py:533-543); returns (last-token logits, cache)."""
+        input_ids = jnp.asarray(input_ids, jnp.int32)
+        b, s = input_ids.shape
+        t = max(1, min(self.rt.prefill_sub_batch, b))
+        logits_parts = []
+        if self.is_shadow:
+            from shadowkv_tpu.cache.shadow import concat_shadow_caches
+
+            layout = ShadowLayout.build(self.cache_cfg, s)
+            parts = []
+            for b0 in range(0, b, t):
+                lg, c = self._prefill_shadow(
+                    self.params, layout, input_ids[b0 : b0 + t]
+                )
+                logits_parts.append(lg)
+                parts.append(c)
+            cache = concat_shadow_caches(parts)
+            if self.cache_cfg.mode == "shadow_offload":
+                cache = self._offload_v(cache)
+        else:
+            cache = FullCache.init(self.model, self.cache_cfg, b)
+            for b0 in range(0, b, t):
+                lg, cache = self._prefill_full(
+                    self.params, cache, 0, input_ids[b0 : b0 + t], b0
+                )
+                logits_parts.append(lg)
+        logits = (
+            logits_parts[0]
+            if len(logits_parts) == 1
+            else jnp.concatenate(logits_parts, axis=0)
+        )
+        return logits, cache
+
+    def _offload_v(self, cache: ShadowCache) -> ShadowCache:
+        """Move the chunk-major V store to host memory (pinned_host).
+
+        TPU analogue of the reference's pinned-CPU V cache
+        (kv_cache.py:554-563); misses are fetched back per step by the
+        offload decode path.
+        """
+        dev = jax.devices()[0]
+        host_sharding = jax.sharding.SingleDeviceSharding(
+            dev, memory_kind="pinned_host"
+        )
+        v_host = jax.device_put(cache.v_full, host_sharding)
+        return cache.replace(v_full=v_host)
+
+    # -- generation ---------------------------------------------------------
+
+    def generate(
+        self,
+        input_ids: np.ndarray,
+        gen_len: int = 256,
+        temperature: float = 0.0,
+        top_k: int = 50,
+        top_p: float = 0.9,
+        seed: int = 0,
+        stop_ids: tuple[int, ...] = (),
+        benchmark: bool = False,
+    ) -> tuple[np.ndarray, GenerationStats]:
+        """Autoregressive generation for a batch of equal-length prompts.
+
+        Returns ([B, <=gen_len] generated ids, stats). Stop-token
+        handling truncates per sequence post-hoc (decode continues for
+        the full batch, as the reference's batch loop does).
+        """
+        stats = GenerationStats()
+        b, s = np.asarray(input_ids).shape
+
+        t0 = time.perf_counter()
+        logits, cache = self.prefill(input_ids)
+        key = jax.random.PRNGKey(seed)
+        key, sub = jax.random.split(key)
+        sample_args = (temperature, top_k, top_p)
+        tokens = self._sample(logits, sub, *sample_args)
+        tokens.block_until_ready()
+        stats.prefill_seconds = time.perf_counter() - t0
+        stats.prefill_tokens = b * s
+
+        decode = self._decode_shadow if self.is_shadow else self._decode_full
+        out = [np.asarray(tokens)]
+        t0 = time.perf_counter()
+        for _ in range(gen_len - 1):
+            key, sub = jax.random.split(key)
+            tokens, cache = decode(
+                self.params, cache, tokens[:, None], sub, *sample_args
+            )
+            out.append(np.asarray(tokens))
+            if stop_ids and b == 1 and out[-1][0] in stop_ids:
+                break
+        jax.block_until_ready(tokens)
+        stats.decode_seconds = time.perf_counter() - t0
+        stats.decode_tokens = b * len(out)
+        result = np.stack(out, axis=1)  # [B, T]
+        if stop_ids:
+            result = _truncate_at_stop(result, stop_ids)
+        return result, stats
+
+    def batch_generate(
+        self,
+        input_ids: np.ndarray,
+        gen_len: int = 100,
+        temperature: float = 0.6,
+        top_k: int = 50,
+        top_p: float = 0.9,
+        seed: int = 0,
+        warmup_steps: int = 2,
+    ) -> tuple[np.ndarray, GenerationStats]:
+        """Throughput-oriented generation (reference batch_generate,
+        models/base.py:572-657): timed decode loop without host syncs
+        in the middle."""
+        stats = GenerationStats()
+        b, s = np.asarray(input_ids).shape
+
+        t0 = time.perf_counter()
+        logits, cache = self.prefill(input_ids)
+        key = jax.random.PRNGKey(seed)
+        key, sub = jax.random.split(key)
+        sample_args = (temperature, top_k, top_p)
+        tokens = self._sample(logits, sub, *sample_args)
+        tokens.block_until_ready()
+        stats.prefill_seconds = time.perf_counter() - t0
+        stats.prefill_tokens = b * s
+
+        decode = self._decode_shadow if self.is_shadow else self._decode_full
+        # Warmup (compile + cache steady-state), not timed.
+        for _ in range(warmup_steps):
+            key, sub = jax.random.split(key)
+            tokens, cache = decode(
+                self.params, cache, tokens[:, None], sub, *sample_args
+            )
+        jax.block_until_ready(tokens)
+
+        out = []
+        t0 = time.perf_counter()
+        for _ in range(gen_len):
+            key, sub = jax.random.split(key)
+            tokens, cache = decode(
+                self.params, cache, tokens[:, None], sub, *sample_args
+            )
+            out.append(tokens)
+        jax.block_until_ready(tokens)
+        stats.decode_seconds = time.perf_counter() - t0
+        stats.decode_tokens = b * gen_len
+        return np.stack([np.asarray(t) for t in out], axis=1), stats
+
+
+def _truncate_at_stop(tokens: np.ndarray, stop_ids: tuple[int, ...]):
+    """Zero out everything after the first stop token per row."""
+    out = tokens.copy()
+    for row in range(out.shape[0]):
+        hits = np.isin(out[row], stop_ids).nonzero()[0]
+        if hits.size:
+            out[row, hits[0] :] = stop_ids[0]
+    return out

@@ -1,0 +1,262 @@
+"""The transformer forward pass: one scan over stacked layer params.
+
+Replaces the reference's eager per-layer Python loop + per-mode dispatch
+(models/base.py:127-370 ``inference``/``layer_compute``) with two jitted
+programs per cache mode:
+
+- ``prefill_*``: embeds the prompt, runs all layers via ``lax.scan``,
+  builds the cache, returns last-token logits.
+- ``decode_*``: one autoregressive step over the cache.
+
+The whole cache rides in the scan carry; per-layer reads from the big
+stacked arrays are gathers indexed by the (traced) layer counter, so no
+layer-sized temporary of U or the V store is ever materialized
+(SURVEY.md §7.0 mapping for the scan-carry design).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from shadowkv_tpu.cache.full import FullCache
+from shadowkv_tpu.cache.shadow import (
+    ShadowCache,
+    ShadowLayout,
+    shadow_decode_layer,
+    shadow_prefill_layer,
+)
+from shadowkv_tpu.config import CacheConfig, ModelConfig, RuntimeConfig
+from shadowkv_tpu.core import rope as rope_lib
+from shadowkv_tpu.core.attention import (
+    causal_prefill_attention,
+    decode_attention,
+)
+from shadowkv_tpu.core.layers import (
+    LayerParams,
+    ModelParams,
+    o_proj,
+    qkv_proj,
+    rms_norm,
+    swiglu_mlp,
+)
+
+
+def _scan_layers(model: ModelConfig, params: ModelParams, x, cache, body):
+    """Scan ``body`` over (layer index, layer params)."""
+    xs = (jnp.arange(model.num_layers), params.layers)
+    (x, cache), _ = jax.lax.scan(body, (x, cache), xs)
+    return x, cache
+
+
+def _finalize(model: ModelConfig, params: ModelParams, x, last_only: bool):
+    if last_only:
+        x = x[:, -1:]
+    x = rms_norm(x, params.final_norm, model.rms_norm_eps)
+    return jnp.dot(x, params.lm_head, preferred_element_type=jnp.float32)
+
+
+def _layer_qkv(model: ModelConfig, lp: LayerParams, x, cos, sin):
+    """Shared pre-attention compute. Returns (q_roped, k_roped, k_pre, v)."""
+    h = rms_norm(x, lp.attn_norm, model.rms_norm_eps)
+    q, k, v = qkv_proj(
+        h, lp, model.num_heads, model.num_kv_heads, model.head_dim
+    )
+    q_r = rope_lib.apply_rope(q, cos, sin, model.rope_style)
+    k_r = rope_lib.apply_rope(k, cos, sin, model.rope_style)
+    return q_r, k_r, k, v
+
+
+def _layer_tail(lp: LayerParams, model: ModelConfig, x, ctx):
+    x = x + o_proj(ctx, lp)
+    h = rms_norm(x, lp.mlp_norm, model.rms_norm_eps)
+    return x + swiglu_mlp(h, lp)
+
+
+# --------------------------------------------------------------------------
+# Full-attention baseline (reference KV_Cache path)
+# --------------------------------------------------------------------------
+
+
+def prefill_full(
+    model: ModelConfig,
+    rt: RuntimeConfig,
+    params: ModelParams,
+    cache: FullCache,
+    input_ids: jnp.ndarray,  # [Bsub, S]
+    start_pos: int,  # static
+    cos_table: jnp.ndarray,
+    sin_table: jnp.ndarray,
+    batch_start: int = 0,  # static: sub-batch offset into the cache
+):
+    """Prefill with dense attention; supports chunked continuation via
+    a static ``start_pos`` and sub-batch prefill via ``batch_start``
+    (reference prefill/prefill_cont + batch_prefill,
+    models/base.py:162-204,499-548)."""
+    b, s = input_ids.shape
+    x = jnp.take(params.embed, input_ids, axis=0).astype(model.dtype)
+    positions = start_pos + jnp.arange(s)
+    cos = jnp.take(cos_table, positions, axis=0)
+    sin = jnp.take(sin_table, positions, axis=0)
+    end = start_pos + s
+
+    def body(carry, inputs):
+        x, cache = carry
+        layer, lp = inputs
+        q, k_r, _, v = _layer_qkv(model, lp, x, cos, sin)
+        k_cache = jax.lax.dynamic_update_slice(
+            cache.k, k_r[None].astype(cache.k.dtype),
+            (layer, batch_start, start_pos, 0, 0),
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            cache.v, v[None].astype(cache.v.dtype),
+            (layer, batch_start, start_pos, 0, 0),
+        )
+        cache = cache.replace(k=k_cache, v=v_cache)
+        k_hist = jax.lax.dynamic_slice(
+            cache.k, (layer, batch_start, 0, 0, 0),
+            (1, b, end, cache.k.shape[3], cache.k.shape[4]),
+        )[0]
+        v_hist = jax.lax.dynamic_slice(
+            cache.v, (layer, batch_start, 0, 0, 0),
+            (1, b, end, cache.v.shape[3], cache.v.shape[4]),
+        )[0]
+        ctx = causal_prefill_attention(
+            q, k_hist, v_hist, block_q=min(rt.prefill_block_q, s)
+        )
+        return (_layer_tail(lp, model, x, ctx), cache), None
+
+    x, cache = _scan_layers(model, params, x, cache, body)
+    cache = cache.replace(length=jnp.asarray(end, jnp.int32))
+    logits = _finalize(model, params, x, last_only=True)
+    return logits, cache
+
+
+def decode_full(
+    model: ModelConfig,
+    params: ModelParams,
+    cache: FullCache,
+    tokens: jnp.ndarray,  # [B, Qn]
+    cos_table: jnp.ndarray,
+    sin_table: jnp.ndarray,
+):
+    b, qn = tokens.shape
+    x = jnp.take(params.embed, tokens, axis=0).astype(model.dtype)
+    positions = cache.length + jnp.arange(qn)
+    cos = jnp.take(cos_table, positions, axis=0)
+    sin = jnp.take(sin_table, positions, axis=0)
+    new_len = cache.length + qn
+
+    def body(carry, inputs):
+        x, cache = carry
+        layer, lp = inputs
+        q, k_r, _, v = _layer_qkv(model, lp, x, cos, sin)
+        k_cache = jax.lax.dynamic_update_slice(
+            cache.k, k_r[None].astype(cache.k.dtype),
+            (layer, 0, cache.length, 0, 0),
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            cache.v, v[None].astype(cache.v.dtype),
+            (layer, 0, cache.length, 0, 0),
+        )
+        cache = cache.replace(k=k_cache, v=v_cache)
+        k_hist = jax.lax.dynamic_index_in_dim(
+            cache.k, layer, axis=0, keepdims=False
+        )
+        v_hist = jax.lax.dynamic_index_in_dim(
+            cache.v, layer, axis=0, keepdims=False
+        )
+        ctx = decode_attention(q, k_hist, v_hist, new_len)
+        return (_layer_tail(lp, model, x, ctx), cache), None
+
+    x, cache = _scan_layers(model, params, x, cache, body)
+    cache = cache.replace(length=new_len)
+    logits = _finalize(model, params, x, last_only=True)
+    return logits, cache
+
+
+# --------------------------------------------------------------------------
+# ShadowKV sparse path
+# --------------------------------------------------------------------------
+
+
+def prefill_shadow(
+    model: ModelConfig,
+    rt: RuntimeConfig,
+    layout: ShadowLayout,
+    params: ModelParams,
+    input_ids: jnp.ndarray,  # [B, S]
+    cos_table: jnp.ndarray,
+    sin_table: jnp.ndarray,
+):
+    """Prefill building the shadow cache (reference models/base.py:299-313
+    prefill branch: dense attention during prefill, SVD of pre-RoPE K,
+    landmark/outlier registration, budget seeding from the last query)."""
+    b, s = input_ids.shape
+    assert s == layout.prefill_len
+    x = jnp.take(params.embed, input_ids, axis=0).astype(model.dtype)
+    positions = jnp.arange(s)
+    cos = jnp.take(cos_table, positions, axis=0)
+    sin = jnp.take(sin_table, positions, axis=0)
+
+    def body(x, inputs):
+        layer, lp = inputs
+        q, k_r, k_pre, v = _layer_qkv(model, lp, x, cos, sin)
+        slices = shadow_prefill_layer(
+            model,
+            layout,
+            k_pre,
+            k_r,
+            v,
+            q[:, -1:],
+        )
+        ctx = causal_prefill_attention(
+            q, k_r, v, block_q=min(rt.prefill_block_q, s)
+        )
+        return _layer_tail(lp, model, x, ctx), slices
+
+    xs = (jnp.arange(model.num_layers), params.layers)
+    x, layer_slices = jax.lax.scan(body, x, xs)
+    from shadowkv_tpu.cache.shadow import assemble_cache
+
+    cache = assemble_cache(layer_slices, layout)
+    logits = _finalize(model, params, x, last_only=True)
+    return logits, cache
+
+
+def decode_shadow(
+    model: ModelConfig,
+    params: ModelParams,
+    cache: ShadowCache,
+    tokens: jnp.ndarray,  # [B, Qn]
+    cos_table: jnp.ndarray,
+    sin_table: jnp.ndarray,
+):
+    """One sparse decode step (reference models/base.py:315-341 decode
+    branch; see SURVEY.md §3.3 for the kernel-by-kernel mapping)."""
+    b, qn = tokens.shape
+    x = jnp.take(params.embed, tokens, axis=0).astype(model.dtype)
+    positions = cache.kv_len + jnp.arange(qn)
+    cos = jnp.take(cos_table, positions, axis=0)
+    sin = jnp.take(sin_table, positions, axis=0)
+
+    def body(carry, inputs):
+        x, cache = carry
+        layer, lp = inputs
+        q, k_r, _, v = _layer_qkv(model, lp, x, cos, sin)
+        k_view, v_view, valid_len, cache = shadow_decode_layer(
+            model, cache, layer, q, k_r, v, cos_table, sin_table
+        )
+        ctx = decode_attention(
+            q, k_view.transpose(0, 2, 1, 3), v_view.transpose(0, 2, 1, 3),
+            valid_len,
+        )
+        return (_layer_tail(lp, model, x, ctx), cache), None
+
+    x, cache = _scan_layers(model, params, x, cache, body)
+    cache = cache.replace(gen_len=cache.gen_len + qn)
+    logits = _finalize(model, params, x, last_only=True)
+    return logits, cache

@@ -1,0 +1,144 @@
+"""Parameter initialization and HF safetensors loading.
+
+The reference streams HF weights per layer to GPU and frees the torch
+module (models/llama.py:303-352). Here weights load from safetensors
+shards directly into stacked [L, ...] jnp arrays (no torch in the
+path), fusing wq/wk/wv -> wqkv and gate/up -> w_gate_up the way the
+reference's weight containers do (models/llama.py:59-152).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shadowkv_tpu.config import ModelConfig
+from shadowkv_tpu.core.layers import LayerParams, ModelParams
+
+
+def init_synthetic_params(
+    cfg: ModelConfig, key: jax.Array, scale: float = 0.02
+) -> ModelParams:
+    """Random weights with the right shapes (benchmarks / tests)."""
+    keys = jax.random.split(key, 8)
+    l, d = cfg.num_layers, cfg.hidden_size
+    qkv_out = (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim
+    dt = cfg.dtype
+
+    def rnd(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
+
+    layers = LayerParams(
+        attn_norm=jnp.ones((l, d), dt),
+        wqkv=rnd(keys[0], (l, d, qkv_out)),
+        bqkv=jnp.zeros((l, qkv_out), dt) if cfg.qkv_bias else None,
+        wo=rnd(keys[1], (l, cfg.q_size, d)),
+        mlp_norm=jnp.ones((l, d), dt),
+        w_gate_up=rnd(keys[2], (l, d, 2 * cfg.intermediate_size)),
+        w_down=rnd(keys[3], (l, cfg.intermediate_size, d)),
+    )
+    embed = rnd(keys[4], (cfg.vocab_size, d))
+    return ModelParams(
+        embed=embed,
+        layers=layers,
+        final_norm=jnp.ones((d,), dt),
+        lm_head=embed.T if cfg.tie_word_embeddings else rnd(keys[5], (d, cfg.vocab_size)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HF safetensors loading (no torch dependency)
+# ---------------------------------------------------------------------------
+
+
+def _open_shards(model_dir: str):
+    from safetensors import safe_open
+
+    index_path = os.path.join(model_dir, "model.safetensors.index.json")
+    shard_of: dict[str, str] = {}
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            shard_of = json.load(f)["weight_map"]
+    else:
+        single = os.path.join(model_dir, "model.safetensors")
+        with safe_open(single, framework="np") as f:
+            for k in f.keys():
+                shard_of[k] = "model.safetensors"
+    handles: dict[str, object] = {}
+
+    def get(name: str) -> np.ndarray:
+        shard = shard_of[name]
+        if shard not in handles:
+            handles[shard] = safe_open(
+                os.path.join(model_dir, shard), framework="np"
+            )
+        return handles[shard].get_tensor(name)
+
+    return get, shard_of
+
+
+def load_hf_llama_params(model_dir: str, cfg: ModelConfig) -> ModelParams:
+    """Load a llama-family HF checkpoint (llama-3/3.1, Yi, Qwen2).
+
+    HF stores projections as [out, in]; we transpose to [in, out] for
+    x @ W matmuls and fuse along the output dim.
+    """
+    get, shard_of = _open_shards(model_dir)
+    dt = cfg.dtype
+
+    def t(name):
+        return jnp.asarray(
+            get(name).astype(np.float32), dtype=jnp.float32
+        )
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        wq = t(p + "self_attn.q_proj.weight").T
+        wk = t(p + "self_attn.k_proj.weight").T
+        wv = t(p + "self_attn.v_proj.weight").T
+        wqkv = jnp.concatenate([wq, wk, wv], axis=-1)
+        if cfg.qkv_bias:
+            bqkv = jnp.concatenate(
+                [
+                    t(p + "self_attn.q_proj.bias"),
+                    t(p + "self_attn.k_proj.bias"),
+                    t(p + "self_attn.v_proj.bias"),
+                ],
+                axis=-1,
+            )
+        else:
+            bqkv = None
+        gate = t(p + "mlp.gate_proj.weight").T
+        up = t(p + "mlp.up_proj.weight").T
+        layers.append(
+            LayerParams(
+                attn_norm=t(p + "input_layernorm.weight"),
+                wqkv=wqkv,
+                bqkv=bqkv,
+                wo=t(p + "self_attn.o_proj.weight").T,
+                mlp_norm=t(p + "post_attention_layernorm.weight"),
+                w_gate_up=jnp.concatenate([gate, up], axis=-1),
+                w_down=t(p + "mlp.down_proj.weight").T,
+            )
+        )
+
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs).astype(dt), *layers
+    )
+    embed = t("model.embed_tokens.weight").astype(dt)
+    if cfg.tie_word_embeddings or "lm_head.weight" not in shard_of:
+        lm_head = embed.T
+    else:
+        lm_head = t("lm_head.weight").T.astype(dt)
+    return ModelParams(
+        embed=embed,
+        layers=stacked,
+        final_norm=t("model.norm.weight").astype(dt),
+        lm_head=lm_head,
+    )

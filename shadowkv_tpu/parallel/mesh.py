@@ -1,0 +1,93 @@
+"""Device mesh construction and sharding rules.
+
+The reference's only parallelism is NCCL data-parallel evaluation
+(SURVEY §2.4). The TPU rebuild goes further (per BASELINE.json): a
+(dp, tp) mesh where
+
+- dp shards the batch,
+- tp shards GQA KV heads — and with them the SV factors, landmark
+  tables, compact buffers, and the V store. Chunk selection is per
+  kv-head, so the entire sparse pipeline needs NO cross-chip
+  communication; only the attention-output projection reduces over tp
+  (one psum per layer, inserted by GSPMD from the shardings below).
+- U is batch-sharded but replicated across tp (it is shared across
+  heads, kv_cache.py:278-317), exactly as SURVEY §7.0 prescribes.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from shadowkv_tpu.cache.full import FullCache
+from shadowkv_tpu.cache.shadow import ShadowCache
+from shadowkv_tpu.core.layers import LayerParams, ModelParams
+
+
+def build_mesh(dp: int, tp: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= dp * tp, (
+        f"need {dp * tp} devices, have {len(devices)}"
+    )
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def param_pspecs(params: ModelParams) -> ModelParams:
+    """Megatron-style tensor-parallel PartitionSpecs for the weights.
+
+    QKV / gate-up shard their output (head / ffn) dim on tp; wo and
+    w_down shard their input dim so the following matmul produces a
+    partial sum that GSPMD turns into one psum per layer.
+    """
+    layer_specs = LayerParams(
+        attn_norm=P(None, None),
+        wqkv=P(None, None, "tp"),
+        bqkv=P(None, "tp") if params.layers.bqkv is not None else None,
+        wo=P(None, "tp", None),
+        mlp_norm=P(None, None),
+        w_gate_up=P(None, None, "tp"),
+        w_down=P(None, "tp", None),
+    )
+    return ModelParams(
+        embed=P(None, None),
+        layers=layer_specs,
+        final_norm=P(None),
+        lm_head=P(None, "tp"),
+    )
+
+
+def full_cache_pspecs(cache: FullCache) -> FullCache:
+    return FullCache(
+        k=P(None, "dp", None, "tp", None),
+        v=P(None, "dp", None, "tp", None),
+        length=P(),
+    )
+
+
+def shadow_cache_pspecs(cache: ShadowCache) -> ShadowCache:
+    return ShadowCache(
+        u=P(None, "dp", None, None),  # shared across heads -> tp-replicated
+        sv=P(None, "dp", "tp", None, None),
+        landmarks=P(None, "dp", "tp", None, None),
+        landmark_idx=P(None, "dp", "tp", None),
+        k_buf=P(None, "dp", "tp", None, None),
+        v_buf=P(None, "dp", "tp", None, None),
+        v_full=P(None, "dp", "tp", None, None),
+        cached_ids=P(None, "dp", "tp", None),
+        gen_len=P(),
+        layout=cache.layout,
+    )
+
+
+def shard_pytree(mesh: Mesh, tree, pspecs):
+    """device_put every leaf with its NamedSharding."""
+    return jax.tree.map(
+        lambda x, spec: (
+            x if x is None else jax.device_put(x, NamedSharding(mesh, spec))
+        ),
+        tree,
+        pspecs,
+        is_leaf=lambda x: x is None,
+    )

@@ -1,0 +1,34 @@
+"""Test configuration: force the CPU platform with 8 virtual devices.
+
+Must run before jax initializes any backend. The axon TPU plugin may
+already be *registered* by sitecustomize, but platform selection is
+lazy, so overriding JAX_PLATFORMS here still wins.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The axon TPU sitecustomize (if present) overrides jax_platforms to
+# "axon,cpu" at interpreter start, which would silently run tests on the
+# real TPU chip (slow remote compiles, TPU matmul precision). Force the
+# CPU platform *after* jax import so our setting wins.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return jax.random.PRNGKey(0)
