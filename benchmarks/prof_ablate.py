@@ -1,0 +1,163 @@
+"""Ablation timing of the shadow decode layer to find the bottleneck."""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from shadowkv_tpu.config import CacheConfig, RuntimeConfig
+from shadowkv_tpu.cache.shadow import ShadowLayout, concat_shadow_caches
+from shadowkv_tpu.core import rope as rope_lib
+from shadowkv_tpu.core.attention import decode_attention_hm
+from shadowkv_tpu.core.rope import compute_cos_sin
+from shadowkv_tpu.core.selection import (
+    reorder_hits_first,
+    score_and_select,
+)
+from shadowkv_tpu.models import forward
+from shadowkv_tpu.models.params import init_synthetic_params
+from shadowkv_tpu.models.registry import toy_config
+
+
+def timeit(fn, *args, n=10, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    datalen = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    nlayers = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    cfg = toy_config(
+        name="prof", num_layers=nlayers, hidden_size=2048, num_heads=16,
+        num_kv_heads=8, head_dim=128, intermediate_size=5632,
+        vocab_size=32768, rope_theta=500000.0, dtype=jnp.bfloat16,
+    )
+    rt = RuntimeConfig(prefill_sub_batch=1, prefill_block_q=256)
+    cache_cfg = CacheConfig(
+        mode="shadow", max_length=datalen + 128, sparse_budget=2048,
+        rank=160, chunk_size=8,
+    )
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0))
+    cos, sin = compute_cos_sin(cfg, datalen + 256)
+    layout = ShadowLayout.build(cache_cfg, datalen)
+    lo = layout
+
+    prefill = jax.jit(forward.prefill_shadow, static_argnums=(0, 1, 2))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, datalen), 0, cfg.vocab_size)
+    caches = [prefill(cfg, rt, layout, params, ids, cos, sin)[1] for _ in range(batch)]
+    cache = concat_shadow_caches(caches)
+    jax.block_until_ready(cache)
+
+    b, kh, g, dh = batch, cfg.num_kv_heads, cfg.num_groups, cfg.head_dim
+    cs = lo.chunk_size
+    ssets = lo.select_sets
+    rank = lo.rank
+    q = jax.random.normal(jax.random.PRNGKey(2), (b, 1, cfg.num_heads, dh), cfg.dtype)
+
+    lms0, idx0, prev0 = cache.landmarks[0], cache.landmark_idx[0], cache.cached_ids[0]
+    kbuf0, vbuf0, sv0, u0 = cache.k_buf[0], cache.v_buf[0], cache.sv[0], cache.u[0]
+
+    def sel_only(q, lms, idx, prev):
+        qg = q.transpose(0, 2, 1, 3).reshape(b, kh, g, 1, dh)
+        ids_new = score_and_select(qg, lms, idx, ssets)
+        ro = reorder_hits_first(prev, ids_new)
+        return ro.ids, ro.hit_count
+
+    t = timeit(jax.jit(sel_only), q, lms0, idx0, prev0)
+    print(f"selection+reorder     x{nlayers}: {t*nlayers*1e3:7.2f} ms ({t*1e3:.3f}/layer)")
+    ids_new = jax.jit(sel_only)(q, lms0, idx0, prev0)[0]
+
+    def v_path(ids_sel, v_full, vbuf):
+        bi = jnp.arange(b)[:, None, None]
+        ki = jnp.arange(kh)[None, :, None]
+        v_old = vbuf[:, :, lo.sparse_start:lo.sparse_end].reshape(b, kh, ssets, cs*dh)
+        v_hits = jnp.take_along_axis(v_old, ids_sel[..., None] % ssets, axis=2)
+        v_miss = v_full[0, bi, ki, ids_sel]
+        v_sp = jnp.where((ids_sel % 2 == 0)[..., None], v_hits, v_miss)
+        return jax.lax.dynamic_update_slice(
+            vbuf, v_sp.reshape(b, kh, ssets*cs, dh), (0, 0, lo.sparse_start, 0))
+
+    t = timeit(jax.jit(v_path), ids_new, cache.v_full, vbuf0)
+    print(f"v hits+miss+write     x{nlayers}: {t*nlayers*1e3:7.2f} ms ({t*1e3:.3f}/layer)")
+
+    def u_gather_only(ids_sel, u_l):
+        bi = jnp.arange(b)[:, None, None]
+        return u_l[bi, ids_sel]  # [B,K,S,cs*r]
+
+    t = timeit(jax.jit(u_gather_only), ids_new, u0)
+    print(f"u chunk gather        x{nlayers}: {t*nlayers*1e3:7.2f} ms ({t*1e3:.3f}/layer)")
+
+    def k_gemm_only(ids_sel, u_l, sv_l):
+        bi = jnp.arange(b)[:, None, None]
+        u_rows = u_l[bi, ids_sel].reshape(b, kh, ssets*cs, rank)
+        return jnp.einsum("bknr,bkrd->bknd", u_rows, sv_l,
+                          preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    t = timeit(jax.jit(k_gemm_only), ids_new, u0, sv0)
+    print(f"u gather + gemm       x{nlayers}: {t*nlayers*1e3:7.2f} ms ({t*1e3:.3f}/layer)")
+
+    half = cos.shape[-1]
+    cos_ctx = cos[: lo.chunks * cs].reshape(lo.chunks, cs, half)
+    sin_ctx = sin[: lo.chunks * cs].reshape(lo.chunks, cs, half)
+
+    def k_full_path(ids_sel, u_l, sv_l, kbuf):
+        bi = jnp.arange(b)[:, None, None]
+        u_rows = u_l[bi, ids_sel].reshape(b, kh, ssets*cs, rank)
+        k_rec = jnp.einsum("bknr,bkrd->bknd", u_rows, sv_l,
+                           preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        cos_g = cos_ctx[ids_sel].reshape(b, kh, ssets*cs, half)
+        sin_g = sin_ctx[ids_sel].reshape(b, kh, ssets*cs, half)
+        k_rec = rope_lib.rotate_with_tables(k_rec, cos_g, sin_g, "neox")
+        k_old = kbuf[:, :, lo.sparse_start:lo.sparse_end].reshape(b, kh, ssets, cs*dh)
+        k_hits = jnp.take_along_axis(k_old, ids_sel[..., None] % ssets, axis=2)
+        k_sp = jnp.where((ids_sel % 2 == 0)[..., None],
+                         k_hits, k_rec.reshape(b, kh, ssets, cs*dh))
+        return jax.lax.dynamic_update_slice(
+            kbuf, k_sp.reshape(b, kh, ssets*cs, dh), (0, 0, lo.sparse_start, 0))
+
+    t = timeit(jax.jit(k_full_path), ids_new, u0, sv0, kbuf0)
+    print(f"k full path           x{nlayers}: {t*nlayers*1e3:7.2f} ms ({t*1e3:.3f}/layer)")
+
+    def attn(q, kbuf, vbuf):
+        return decode_attention_hm(q, kbuf, vbuf, lo.sparse_end + 1)
+
+    t = timeit(jax.jit(attn), q, kbuf0, vbuf0)
+    print(f"attention (head-major) x{nlayers}: {t*nlayers*1e3:7.2f} ms ({t*1e3:.3f}/layer)")
+
+    def mlp_qkv_only(params, x):
+        # the dense compute of one step without any cache logic
+        from shadowkv_tpu.core.layers import qkv_proj, rms_norm, swiglu_mlp, o_proj
+        def body(x, inputs):
+            _, lp = inputs
+            h = rms_norm(x, lp.attn_norm, cfg.rms_norm_eps)
+            q_, k_, v_ = qkv_proj(h, lp, cfg.num_heads, cfg.num_kv_heads, dh)
+            ctx = q_  # skip attention
+            x = x + o_proj(ctx, lp)
+            h2 = rms_norm(x, lp.mlp_norm, cfg.rms_norm_eps)
+            return x + swiglu_mlp(h2, lp), None
+        x, _ = jax.lax.scan(body, x, (jnp.arange(nlayers), params.layers))
+        return x @ params.lm_head
+
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (b, 1, cfg.hidden_size), cfg.dtype)
+    t = timeit(jax.jit(mlp_qkv_only), params, x0)
+    print(f"dense compute (all layers+head): {t*1e3:7.2f} ms")
+
+    step = jax.jit(lambda p, c, t_: forward.decode_shadow(cfg, p, c, t_, cos, sin))
+    tokens = jnp.ones((batch, 1), jnp.int32)
+    t = timeit(step, params, cache, tokens)
+    print(f"WHOLE shadow step ({nlayers} layers): {t*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

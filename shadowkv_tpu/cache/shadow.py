@@ -36,7 +36,7 @@ from shadowkv_tpu.core.lowrank import lowrank_kv_factors, reconstruct_keys
 from shadowkv_tpu.core.selection import (
     chunk_ids_to_positions,
     compute_landmarks_outliers,
-    reorder_hits_first,
+    assign_slots_stable,
     score_and_select,
 )
 
@@ -95,9 +95,17 @@ class ShadowLayout:
 
 
 class ShadowCache(flax.struct.PyTreeNode):
-    """Stacked-over-layers ShadowKV state (one pytree, jit-friendly)."""
+    """Stacked-over-layers ShadowKV state (one pytree, jit-friendly).
 
-    u: jnp.ndarray  # [L, B, S_p, r] pre-RoPE K left factors
+    U is stored CHUNK-MAJOR: [L, B, C, chunk_size * rank], one selected
+    chunk = one contiguous 2.5 KB row, so the decode-time gather moves
+    dense lane-aligned tiles instead of 320 B slivers (same reasoning as
+    the reference's chunk-major pinned V store, kv_cache.py:554-563).
+    Only the context region (chunks * chunk_size rows) is kept — the
+    local tail is never reconstructed.
+    """
+
+    u: jnp.ndarray  # [L, B, C, cs, r] chunk-major pre-RoPE K factors
     sv: jnp.ndarray  # [L, B, K, r, Dh]
     landmarks: jnp.ndarray  # [L, B, K, C_lm, Dh]
     landmark_idx: jnp.ndarray  # [L, B, K, C_lm] int32
@@ -138,6 +146,10 @@ def shadow_prefill_layer(
     u, sv = lowrank_kv_factors(
         k_pre_rope.reshape(b, s, kh * dh), lo.rank, kh, dh, dtype=dtype
     )
+    # Chunk-major context slice of U (decode only ever gathers context
+    # chunks, kv_cache.py:1108-1176). Kept [C, cs, r] so the gathered
+    # result is already matmul-shaped (no post-gather retiling).
+    u = u[:, : lo.chunks * cs].reshape(b, lo.chunks, cs, lo.rank)
 
     # [B, K, S, Dh] views
     k_roped_h = k_roped.transpose(0, 2, 1, 3)
@@ -278,11 +290,12 @@ def shadow_decode_layer(
     q_grouped = q.transpose(0, 2, 1, 3).reshape(b, kh, g, qn, dh)
     new_ids = score_and_select(q_grouped, lms, lm_idx, lo.select_sets)
 
-    # --- 2. hits-first reorder (map.cuh:754-796) ---
+    # --- 2. slot-stable reuse assignment (TPU redesign of the
+    #        reference's hash-map hits-first repack, map.cuh:754-796) ---
     prev_ids = jax.lax.dynamic_index_in_dim(
         cache.cached_ids, layer, axis=0, keepdims=False
     )
-    ro = reorder_hits_first(prev_ids, new_ids)
+    asg = assign_slots_stable(prev_ids, new_ids)
 
     # Old buffer contents for this layer (compact: a few MB).
     k_buf_l = jax.lax.dynamic_index_in_dim(
@@ -292,47 +305,59 @@ def shadow_decode_layer(
         cache.v_buf, layer, axis=0, keepdims=False
     )
 
-    # --- 3. V: hits shuffled from old slots, misses gathered from the
-    #        chunk-major store (gather_copy_with_offsets, K2/K3) ---
-    # src_slot is a chunk slot; expand to the cs token rows it occupies.
-    hit_rows = (
-        lo.sparse_start
-        + ro.src_slot[..., None] * cs
-        + jnp.arange(cs, dtype=jnp.int32)
-    ).reshape(b, kh, lo.select_sets * cs)  # [B, K, S*cs]
-    v_hits = jnp.take_along_axis(
-        v_buf_l, hit_rows[..., None].astype(jnp.int32), axis=2
-    ).reshape(b, kh, lo.select_sets, cs, dh)
-    # Wait-free full-array gather including the layer coordinate.
+    # --- 3. V: staying slots keep their rows untouched (dense select);
+    #        incoming chunks gathered from the chunk-major store
+    #        (replaces gather_copy_with_offsets, K2/K3) ---
+    ssets = lo.select_sets
+    stay_e = asg.stay_mask[..., None]  # [B,K,S,1]
+    v_sparse_old = v_buf_l[:, :, lo.sparse_start : lo.sparse_end].reshape(
+        b, kh, ssets, cs * dh
+    )
     bi = jnp.arange(b)[:, None, None]
     ki = jnp.arange(kh)[None, :, None]
-    v_miss = cache.v_full[layer, bi, ki, ro.ids].reshape(
-        b, kh, lo.select_sets, cs, dh
-    )
-    hit_e = ro.hit_mask[..., None, None]
-    v_sparse = jnp.where(hit_e, v_hits, v_miss).reshape(
-        b, kh, lo.select_sets * cs, dh
+    # Single XLA gather including the layer coordinate — no layer-sized
+    # temporary of the V store is materialized.
+    v_new_rows = cache.v_full[layer, bi, ki, asg.slot_ids]  # [B,K,S,cs*Dh]
+    v_sparse = jnp.where(stay_e, v_sparse_old, v_new_rows).reshape(
+        b, kh, ssets * cs, dh
     )
 
-    # --- 4. K: hits shuffled; misses reconstructed U[rows] @ SV + RoPE
-    #        (gather_copy_d2d + batch_gather_gemm + push-cache, K6-K10) ---
-    k_hits = jnp.take_along_axis(
-        k_buf_l, hit_rows[..., None].astype(jnp.int32), axis=2
-    ).reshape(b, kh, lo.select_sets, cs, dh)
-    pos = chunk_ids_to_positions(ro.ids, cs)  # [B, K, budget]
-    u_rows = cache.u[layer, jnp.arange(b)[:, None, None], pos]  # [B,K,bud,r]
+    # --- 4. K: staying slots untouched; incoming reconstructed
+    #        U[chunks] @ SV + RoPE (batch_gather_gemm + push-cache,
+    #        K6-K10) ---
+    k_sparse_old = k_buf_l[:, :, lo.sparse_start : lo.sparse_end].reshape(
+        b, kh, ssets, cs * dh
+    )
+    # Chunk-major U gather: one contiguous [cs, r] block per chunk.
+    u_rows = cache.u[layer, bi, asg.slot_ids]  # [B,K,S,cs,r]
+    u_rows = u_rows.reshape(b, kh, ssets * cs, lo.rank)
     sv_l = jax.lax.dynamic_index_in_dim(
         cache.sv, layer, axis=0, keepdims=False
     )
     k_rec = jnp.einsum(
         "bknr,bkrd->bknd", u_rows, sv_l, preferred_element_type=jnp.float32
     ).astype(k_buf_l.dtype)
-    k_rec = rope_lib.apply_rope_at(
-        k_rec, pos, cos_table, sin_table, style=model.rope_style
+    # Decomposed RoPE: rotate(x, chunk*cs + off) =
+    # rotate(rotate(x, off), chunk*cs). The off table is cs rows (no
+    # gather); the chunk-base gather is cs x smaller than per-token.
+    half = cos_table.shape[-1]
+    k_rec = k_rec.reshape(b, kh, ssets, cs, dh)
+    cos_off = cos_table[:cs][None, None, None]  # [1,1,1,cs,half]
+    sin_off = sin_table[:cs][None, None, None]
+    k_rec = rope_lib.rotate_with_tables(
+        k_rec, cos_off, sin_off, style=model.rope_style
     )
-    k_rec = k_rec.reshape(b, kh, lo.select_sets, cs, dh)
-    k_sparse = jnp.where(hit_e, k_hits, k_rec).reshape(
-        b, kh, lo.select_sets * cs, dh
+    base_rows = (jnp.arange(lo.chunks) * cs).astype(jnp.int32)
+    cos_base = cos_table[base_rows]  # [C, half] (static slice pattern)
+    sin_base = sin_table[base_rows]
+    cos_g = cos_base[asg.slot_ids][..., None, :]  # [B,K,S,1,half]
+    sin_g = sin_base[asg.slot_ids][..., None, :]
+    k_rec = rope_lib.rotate_with_tables(
+        k_rec, cos_g, sin_g, style=model.rope_style
+    )
+    k_rec = k_rec.reshape(b, kh, ssets, cs * dh)
+    k_sparse = jnp.where(stay_e, k_sparse_old, k_rec).reshape(
+        b, kh, ssets * cs, dh
     )
 
     # --- 5. write sparse region + append new tokens to gen region ---
@@ -359,7 +384,7 @@ def shadow_decode_layer(
             cache.v_buf, v_buf_l[None], (layer, 0, 0, 0, 0)
         ),
         cached_ids=jax.lax.dynamic_update_slice(
-            cache.cached_ids, ro.ids[None], (layer, 0, 0, 0)
+            cache.cached_ids, asg.slot_ids[None], (layer, 0, 0, 0)
         ),
     )
     valid_len = lo.sparse_end + cache.gen_len + qn

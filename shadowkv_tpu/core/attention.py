@@ -98,6 +98,48 @@ def causal_prefill_attention(
     return out[:, :s]
 
 
+def decode_attention_hm(
+    q: jnp.ndarray,
+    k_hm: jnp.ndarray,
+    v_hm: jnp.ndarray,
+    kv_len: jnp.ndarray | int,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Decode attention over a HEAD-MAJOR cache [B, K, T, Dh].
+
+    The ShadowKV compact buffer is stored head-major; transposing it to
+    seq-major per step costs a multi-MB shuffle per layer on TPU, so the
+    einsums here contract directly against the native layout.
+
+    Args:
+      q: [B, S_new, H, Dh]; k_hm/v_hm: [B, K, T_cap, Dh];
+      kv_len: scalar or [B] valid rows (incl. the S_new new tokens).
+    """
+    b, s_new, h, dh = q.shape
+    kheads, t = k_hm.shape[1], k_hm.shape[2]
+    g = h // kheads
+    scale = scale if scale is not None else dh**-0.5
+    kv_len = jnp.asarray(kv_len)
+    if kv_len.ndim == 0:
+        kv_len = jnp.full((b,), kv_len)
+    qg = q.reshape(b, s_new, kheads, g, dh)
+    scores = jnp.einsum(
+        "bskgd,bktd->bkgst", qg, k_hm, preferred_element_type=jnp.float32
+    ) * scale
+    pos_k = jnp.arange(t)
+    q_abs = kv_len[:, None] - s_new + jnp.arange(s_new)[None, :]  # [B,S]
+    mask = pos_k[None, None, :] <= q_abs[:, :, None]  # [B,S,T]
+    scores = jnp.where(
+        mask[:, None, None], scores, jnp.finfo(jnp.float32).min
+    )
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bkgst,bktd->bskgd", probs.astype(v_hm.dtype), v_hm,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, s_new, h, dh).astype(q.dtype)
+
+
 def decode_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -124,6 +124,45 @@ def apply_rope(
     return out.astype(orig_dtype)
 
 
+def rotate_with_tables(
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    style: str = "neox",
+) -> jnp.ndarray:
+    """Core rotation with pre-gathered tables.
+
+    Args:
+      x: [..., head_dim]; cos/sin: [..., rope_dim // 2] broadcastable
+        against x's leading dims.
+    """
+    orig_dtype = x.dtype
+    half = cos.shape[-1]
+    xf = x.astype(jnp.float32)
+    c = cos.astype(jnp.float32)
+    s = sin.astype(jnp.float32)
+    if c.ndim < x.ndim:
+        c = jnp.expand_dims(c, tuple(range(x.ndim - c.ndim)))
+        s = jnp.expand_dims(s, tuple(range(x.ndim - s.ndim)))
+    if style == "neox":
+        x1 = xf[..., :half]
+        x2 = xf[..., half:]
+        out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    elif style == "glm":
+        rot = 2 * half
+        xr = xf[..., :rot]
+        x_pass = xf[..., rot:]
+        x_even = xr[..., 0::2]
+        x_odd = xr[..., 1::2]
+        r_even = x_even * c - x_odd * s
+        r_odd = x_odd * c + x_even * s
+        rotated = jnp.stack([r_even, r_odd], axis=-1).reshape(xr.shape)
+        out = jnp.concatenate([rotated, x_pass], axis=-1)
+    else:
+        raise ValueError(f"unknown rope style: {style}")
+    return out.astype(orig_dtype)
+
+
 def apply_rope_at(
     x: jnp.ndarray,
     positions: jnp.ndarray,
@@ -145,30 +184,4 @@ def apply_rope_at(
     """
     cos = jnp.take(cos_table, positions, axis=0)
     sin = jnp.take(sin_table, positions, axis=0)
-    orig_dtype = x.dtype
-    half = cos_table.shape[-1]
-    xf = x.astype(jnp.float32)
-    c = cos.astype(jnp.float32)
-    s = sin.astype(jnp.float32)
-    # c/s: [..., n, half] already aligned with x's trailing dims.
-    if c.ndim < x.ndim:
-        c = jnp.expand_dims(c, tuple(range(x.ndim - c.ndim)))
-        s = jnp.expand_dims(s, tuple(range(x.ndim - s.ndim)))
-
-    if style == "neox":
-        x1 = xf[..., :half]
-        x2 = xf[..., half:]
-        out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
-    elif style == "glm":
-        rot = 2 * half
-        xr = xf[..., :rot]
-        x_pass = xf[..., rot:]
-        x_even = xr[..., 0::2]
-        x_odd = xr[..., 1::2]
-        r_even = x_even * c - x_odd * s
-        r_odd = x_odd * c + x_even * s
-        rotated = jnp.stack([r_even, r_odd], axis=-1).reshape(xr.shape)
-        out = jnp.concatenate([rotated, x_pass], axis=-1)
-    else:
-        raise ValueError(f"unknown rope style: {style}")
-    return out.astype(orig_dtype)
+    return rotate_with_tables(x, cos, sin, style)

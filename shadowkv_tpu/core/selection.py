@@ -112,7 +112,7 @@ def score_and_select(
     probs = jnp.sum(probs, axis=-2)  # over Q -> [B, K, G, C]
     probs = jnp.max(probs, axis=-2)  # over G -> [B, K, C]
     _, top = jax.lax.top_k(probs, select_sets)
-    return jnp.take_along_axis(landmark_idx, top.astype(jnp.int32), axis=-1)
+    return take_small_int(landmark_idx, top.astype(jnp.int32))
 
 
 class ReorderResult(NamedTuple):
@@ -153,6 +153,85 @@ def reorder_hits_first(
     src_slot = jnp.take_along_axis(slot_of_new, order, axis=-1)
     hit_count = jnp.sum(hit, axis=-1).astype(jnp.int32)
     return ReorderResult(ids, hit_sorted, src_slot, hit_count)
+
+
+def take_small_int(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """take_along_axis over the last dim via one-hot select-reduce.
+
+    XLA's native gather on TPU is latency-bound for narrow int rows
+    (measured ~0.08 ms for an 8192-element gather); a broadcast compare
+    + masked sum runs on the VPU in a few microseconds for the small
+    shapes used in selection (S, C <= a few hundred).
+
+    Args:
+      arr: [..., C] int array; idx: [..., S] indices into C.
+    Returns:
+      [..., S] = arr[..., idx] (batched).
+    """
+    c = arr.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, idx.shape + (c,), idx.ndim)
+    eq = iota == idx[..., None]
+    return jnp.sum(jnp.where(eq, arr[..., None, :], 0), axis=-1)
+
+
+class SlotAssignment(NamedTuple):
+    slot_ids: jnp.ndarray  # [B, K, S] chunk id occupying each slot
+    stay_mask: jnp.ndarray  # [B, K, S] True where the slot's chunk stays
+    stay_count: jnp.ndarray  # [B, K] int32 (the reference's hit count)
+
+
+def assign_slots_stable(
+    prev_slot_ids: jnp.ndarray, new_ids: jnp.ndarray
+) -> SlotAssignment:
+    """Slot-STABLE temporal-reuse policy (TPU-first redesign).
+
+    Same semantics as the reference's hash-map hits-first repacking
+    (kernels/map.cuh:754-796) — re-selected chunks keep their cached
+    K/V, only newly selected chunks are fetched/reconstructed — but
+    re-selected chunks KEEP THEIR SLOT instead of being packed to the
+    front. The repacking only exists so the reference's CUDA kernels
+    can early-exit on a contiguous hit prefix; attention is
+    permutation-invariant over buffer rows, so on TPU slot stability
+    is strictly better: the hit path becomes a dense ``where`` against
+    the existing buffer (zero data movement) instead of two gathers.
+
+    Incoming chunks (in new_ids but not resident) fill the slots
+    vacated by evicted chunks, in order.
+
+    Args:
+      prev_slot_ids: [B, K, S] chunk ids currently in the buffer slots.
+      new_ids: [B, K, S] freshly selected chunk ids (distinct).
+    Returns:
+      slot_ids: updated occupancy; stay_mask: per-slot reuse flag.
+    """
+    s = new_ids.shape[-1]
+    # stay[slot]: is the resident chunk still selected?
+    eq_stay = prev_slot_ids[..., :, None] == new_ids[..., None, :]
+    stay = jnp.any(eq_stay, axis=-1)  # [B,K,S]
+    # incoming[j]: is new_ids[j] not already resident?
+    eq_in = new_ids[..., :, None] == prev_slot_ids[..., None, :]
+    incoming = jnp.logical_not(jnp.any(eq_in, axis=-1))  # [B,K,S]
+
+    # Rank-match incoming chunks to vacant slots, scatter- and
+    # argsort-free (everything is a VPU compare/reduce):
+    #   vacancy rank of slot i  = #vacant slots before i
+    #   incoming rank of pick j = #incoming picks before j
+    # slot i (if vacant) receives the incoming pick with equal rank.
+    vac_rank = jnp.cumsum(
+        jnp.logical_not(stay).astype(jnp.int32), axis=-1
+    ) - 1  # [B,K,S] valid where ~stay
+    in_rank = jnp.cumsum(incoming.astype(jnp.int32), axis=-1) - 1
+    r_iota = jax.lax.broadcasted_iota(
+        jnp.int32, incoming.shape[:-1] + (s, s), incoming.ndim - 1
+    )  # [B,K,R,S] value = R index
+    sel = (in_rank[..., None, :] == r_iota) & incoming[..., None, :]
+    incoming_dense = jnp.sum(
+        jnp.where(sel, new_ids[..., None, :], 0), axis=-1
+    )  # [B,K,S] rank -> incoming chunk id
+    new_for_slot = take_small_int(incoming_dense, jnp.maximum(vac_rank, 0))
+    slot_ids = jnp.where(stay, prev_slot_ids, new_for_slot)
+    stay_count = jnp.sum(stay, axis=-1).astype(jnp.int32)
+    return SlotAssignment(slot_ids, stay, stay_count)
 
 
 def chunk_ids_to_positions(

@@ -60,8 +60,15 @@ class Engine:
         self.cache_cfg = cache_cfg
         self.rt = rt
         self.params = params
+        # bf16 tables when the model runs bf16 (the reference's fused
+        # cos/sin cache is bf16 too, models/llama.py:322-332); fp32
+        # otherwise for exact CPU testing.
+        table_dtype = (
+            jnp.float32 if model.dtype == jnp.float32 else jnp.bfloat16
+        )
         cos, sin = rope_lib.compute_cos_sin(
-            model, cache_cfg.max_length + cache_cfg.gen_capacity
+            model, cache_cfg.max_length + cache_cfg.gen_capacity,
+            dtype=table_dtype,
         )
         self.cos_table = cos
         self.sin_table = sin

@@ -34,6 +34,7 @@ from shadowkv_tpu.core import rope as rope_lib
 from shadowkv_tpu.core.attention import (
     causal_prefill_attention,
     decode_attention,
+    decode_attention_hm,
 )
 from shadowkv_tpu.core.layers import (
     LayerParams,
@@ -250,10 +251,7 @@ def decode_shadow(
         k_view, v_view, valid_len, cache = shadow_decode_layer(
             model, cache, layer, q, k_r, v, cos_table, sin_table
         )
-        ctx = decode_attention(
-            q, k_view.transpose(0, 2, 1, 3), v_view.transpose(0, 2, 1, 3),
-            valid_len,
-        )
+        ctx = decode_attention_hm(q, k_view, v_view, valid_len)
         return (_layer_tail(lp, model, x, ctx), cache), None
 
     x, cache = _scan_layers(model, params, x, cache, body)

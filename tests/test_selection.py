@@ -103,3 +103,38 @@ def test_chunk_ids_to_positions():
     np.testing.assert_array_equal(
         np.asarray(pos)[0, 0], [8, 9, 10, 11, 0, 1, 2, 3]
     )
+
+
+def test_assign_slots_stable_properties():
+    from shadowkv_tpu.core.selection import assign_slots_stable
+
+    rs = np.random.RandomState(3)
+    prev = jnp.array(rs.choice(100, (2, 2, 8), replace=False).reshape(2, 2, 8))
+    new = prev.at[..., ::2].add(1000)  # half evicted, half stay
+    asg = assign_slots_stable(prev, new)
+    slot_ids = np.asarray(asg.slot_ids)
+    stay = np.asarray(asg.stay_mask)
+    # Occupancy equals the new selection as a set.
+    np.testing.assert_array_equal(
+        np.sort(slot_ids, -1), np.sort(np.asarray(new), -1)
+    )
+    # Staying chunks keep their exact slot.
+    prev_np = np.asarray(prev)
+    for b in range(2):
+        for k in range(2):
+            for j in range(8):
+                if stay[b, k, j]:
+                    assert slot_ids[b, k, j] == prev_np[b, k, j]
+    assert (np.asarray(asg.stay_count) == 4).all()
+
+    # All-stay: nothing moves even if top-k order changed.
+    asg2 = assign_slots_stable(prev, prev[..., ::-1])
+    np.testing.assert_array_equal(np.asarray(asg2.slot_ids), prev_np)
+    assert np.asarray(asg2.stay_mask).all()
+
+    # All-miss: every slot replaced, occupancy = new ids in order.
+    asg3 = assign_slots_stable(prev, prev + 500)
+    assert not np.asarray(asg3.stay_mask).any()
+    np.testing.assert_array_equal(
+        np.asarray(asg3.slot_ids), np.asarray(prev + 500)
+    )
