@@ -3,11 +3,18 @@
 Functional equivalent of the reference ``KV_Cache``
 (models/kv_cache.py:32-153): dense K/V per layer, append-on-decode.
 The reference preallocates on CPU and staggers H2D copies; on TPU the
-baseline cache lives in HBM as one stacked [L, B, T, K, Dh] pair whose
-per-layer slices are threaded through the layer scan. ``length`` is
-advanced once per forward step by the engine (the reference advances
-``kv_offset`` only after the last layer writes, kv_cache.py:127-130 —
-with scan the same effect falls out for free).
+baseline cache lives in HBM as one stacked pair whose per-layer slices
+are threaded through the layer scan. ``length`` is advanced once per
+forward step by the engine (the reference advances ``kv_offset`` only
+after the last layer writes, kv_cache.py:127-130 — with scan the same
+effect falls out for free).
+
+Layout is HEAD-MAJOR [L, B, K, T, Dh]: both the decode-append write and
+the attention-read contraction then prefer the same (T sublane, Dh lane)
+tiling, so XLA keeps ONE layout for the donated buffer. The seq-major
+[L, B, T, K, Dh] alternative makes the updater and the attention dots
+disagree on layout and XLA materializes full 2x cache copies per step
+(measured: +8 GB HLO temp at 32K/batch-4 on v5e, an instant OOM).
 """
 
 from __future__ import annotations
@@ -20,8 +27,8 @@ from shadowkv_tpu.config import CacheConfig, ModelConfig
 
 
 class FullCache(flax.struct.PyTreeNode):
-    k: jnp.ndarray  # [L, B, T, K, Dh]
-    v: jnp.ndarray  # [L, B, T, K, Dh]
+    k: jnp.ndarray  # [L, B, K, T, Dh]
+    v: jnp.ndarray  # [L, B, K, T, Dh]
     length: jnp.ndarray  # int32 scalar: valid tokens
 
     @classmethod
@@ -31,8 +38,8 @@ class FullCache(flax.struct.PyTreeNode):
         shape = (
             model.num_layers,
             batch_size,
-            cache.max_length,
             model.num_kv_heads,
+            cache.max_length,
             model.head_dim,
         )
         return cls(
@@ -40,20 +47,3 @@ class FullCache(flax.struct.PyTreeNode):
             v=jnp.zeros(shape, model.dtype),
             length=jnp.zeros((), jnp.int32),
         )
-
-
-def write_prefill(
-    cache_k_l: jnp.ndarray,
-    cache_v_l: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    start: jnp.ndarray,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Write [B, S, K, Dh] new keys/values at offset ``start``."""
-    cache_k_l = jax.lax.dynamic_update_slice(
-        cache_k_l, k.astype(cache_k_l.dtype), (0, start, 0, 0)
-    )
-    cache_v_l = jax.lax.dynamic_update_slice(
-        cache_v_l, v.astype(cache_v_l.dtype), (0, start, 0, 0)
-    )
-    return cache_k_l, cache_v_l

@@ -121,6 +121,39 @@ class ShadowCache(flax.struct.PyTreeNode):
         """Logical KV length (prefill + generated)."""
         return self.layout.prefill_len + self.gen_len
 
+    @classmethod
+    def init(
+        cls,
+        model: ModelConfig,
+        layout: ShadowLayout,
+        batch_size: int,
+    ) -> "ShadowCache":
+        """Preallocate zeroed full-batch buffers. Sub-batch prefill
+        writes slices in place (reference batch_prefill accumulates into
+        shared buffers via ``prefilled_batch``, kv_cache.py:824-980);
+        writing into a donated preallocation instead of concatenating
+        sub-batch caches keeps peak HBM at 1x the cache size."""
+        l, b = model.num_layers, batch_size
+        kh, dh, dt = model.num_kv_heads, model.head_dim, model.dtype
+        lo = layout
+        cs = lo.chunk_size
+        return cls(
+            u=jnp.zeros((l, b, lo.chunks, cs, lo.rank), dt),
+            sv=jnp.zeros((l, b, kh, lo.rank, dh), dt),
+            landmarks=jnp.zeros((l, b, kh, lo.num_landmarks, dh), dt),
+            landmark_idx=jnp.zeros(
+                (l, b, kh, lo.num_landmarks), jnp.int32
+            ),
+            k_buf=jnp.zeros((l, b, kh, lo.buffer_cap, dh), dt),
+            v_buf=jnp.zeros((l, b, kh, lo.buffer_cap, dh), dt),
+            v_full=jnp.zeros((l, b, kh, lo.chunks, cs * dh), dt),
+            cached_ids=jnp.zeros((l, b, kh, lo.select_sets), jnp.int32),
+            gen_len=jnp.zeros((), jnp.int32),
+            layout=layout,
+        )
+
+
+
 
 def shadow_prefill_layer(
     model: ModelConfig,

@@ -98,6 +98,65 @@ def causal_prefill_attention(
     return out[:, :s]
 
 
+def causal_prefill_attention_hm(
+    q: jnp.ndarray,
+    k_hm: jnp.ndarray,
+    v_hm: jnp.ndarray,
+    end: jnp.ndarray | int,
+    scale: float | None = None,
+    block_q: int = 512,
+) -> jnp.ndarray:
+    """Blockwise causal attention against a HEAD-MAJOR cache.
+
+    Used by the full-attention prefill over the [L, B, K, T, Dh] cache:
+    contracting directly against the cache's native layout keeps XLA on
+    one layout for the donated buffer (see cache/full.py docstring).
+
+    Args:
+      q: [B, S, H, Dh] the current prefill chunk's queries.
+      k_hm/v_hm: [B, K, T_cap, Dh] cache (already containing this chunk).
+      end: total valid tokens including this chunk (queries occupy
+        positions [end - S, end)).
+    """
+    b, s, h, dh = q.shape
+    kheads, t = k_hm.shape[1], k_hm.shape[2]
+    g = h // kheads
+    scale = scale if scale is not None else dh**-0.5
+    s_pad = ((s + block_q - 1) // block_q) * block_q
+    if s_pad != s:
+        q = jnp.pad(q, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
+    nblocks = s_pad // block_q
+    qb = q.reshape(b, nblocks, block_q, kheads, g, dh).transpose(
+        1, 0, 2, 3, 4, 5
+    )
+    offset = end - s  # absolute position of the first query row
+
+    def body(carry, inputs):
+        i, qi = inputs
+        pos_q = offset + i * block_q + jnp.arange(block_q)
+        pos_k = jnp.arange(t)
+        mask = pos_q[:, None] >= pos_k[None, :]  # [block_q, T]
+        scores = jnp.einsum(
+            "bskgd,bktd->bkgst", qi, k_hm,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        scores = jnp.where(
+            mask[None, None, None], scores, jnp.finfo(jnp.float32).min
+        )
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum(
+            "bkgst,bktd->bskgd", probs.astype(v_hm.dtype), v_hm,
+            preferred_element_type=jnp.float32,
+        ).astype(qi.dtype)
+        return carry, out
+
+    _, outs = jax.lax.scan(
+        body, None, (jnp.arange(nblocks), qb)
+    )  # [nblocks, B, block_q, K, G, Dh]
+    out = outs.transpose(1, 0, 2, 3, 4, 5).reshape(b, s_pad, h, dh)
+    return out[:, :s]
+
+
 def decode_attention_hm(
     q: jnp.ndarray,
     k_hm: jnp.ndarray,

@@ -1,0 +1,92 @@
+"""Accuracy evaluation entry point.
+
+TPU counterpart of the reference CLI (reference test/eval_acc.py:66-124):
+
+    python -m shadowkv_tpu.entry.eval_acc \
+        --model_name meta-llama/Meta-Llama-3.1-8B-Instruct \
+        --datalen 131072 --method shadow \
+        --dataset_name ruler/niah_single_1,ruler/qa_2 \
+        --sparse_budget 2048 --rank 160 --chunk_size 8
+
+Multi-process data parallelism: launch one process per host with
+JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID set; each
+process evaluates a dataset shard (replacing torchrun + NCCL,
+reference test/eval_acc.py:18,44-64).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "--model_name", type=str,
+        default="gradientai/Llama-3-8B-Instruct-Gradient-1048k",
+    )
+    p.add_argument(
+        "--dataset_name", type=lambda s: s.split(","),
+        default=["ruler/niah_single_1"],
+    )
+    p.add_argument("--num_samples", type=int, default=-1)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--datalen", type=int, default=128 * 1024)
+    p.add_argument(
+        "--method", type=str, default="full",
+        choices=["full", "shadow", "shadow_offload", "shadowkv",
+                 "shadowkv_cpu"],
+    )
+    p.add_argument("--sparse_budget", type=int, default=2048)
+    p.add_argument("--rank", type=int, default=160)
+    p.add_argument("--chunk_size", type=int, default=8)
+    p.add_argument("--model_dir", type=str, default=None,
+                   help="local HF checkpoint directory")
+    p.add_argument("--bucket", type=int, default=1024,
+                   help="prompt-length bucket (one XLA compile per "
+                        "bucket; 0 = exact lengths)")
+    p.add_argument("--minference", action="store_true", default=False)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    from shadowkv_tpu.data.dataset import Dataset
+    from shadowkv_tpu.eval.evaluator import Evaluator, init_dist
+    from shadowkv_tpu.models.llm import LLM
+
+    dist = init_dist()
+    evaluator = Evaluator(dist)
+
+    llm = LLM(
+        model_name=args.model_name,
+        batch_size=args.batch_size,
+        max_length=args.datalen + 2048,
+        attn_mode=args.method,
+        sparse_budget=args.sparse_budget,
+        rank=args.rank,
+        chunk_size=args.chunk_size,
+        model_dir=args.model_dir,
+        minference=args.minference,
+    )
+    if dist.master_process:
+        llm.print_kv_stats()
+
+    for name in args.dataset_name:
+        dataset = Dataset(
+            name, llm.tokenizer, args.datalen, args.num_samples,
+            dist.rank, dist.world_size, bucket=args.bucket,
+        )
+        out = (
+            f"archive/{args.model_name.split('/')[-1]}/"
+            f"{name}_{args.datalen}_{args.method}_{args.sparse_budget}_"
+            f"{args.rank}_{args.chunk_size}.jsonl"
+        )
+        evaluator.test(llm, dataset, out, args.method)
+
+    evaluator.summarize()
+
+
+if __name__ == "__main__":
+    main()

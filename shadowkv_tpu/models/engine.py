@@ -86,11 +86,11 @@ class Engine:
                 self.cos_table, self.sin_table, batch_start,
             )
 
-        @partial(jax.jit, static_argnums=(1,))
-        def prefill_shadow_fn(params, layout, input_ids):
-            return forward.prefill_shadow(
-                model, rt, layout, params, input_ids,
-                self.cos_table, self.sin_table,
+        @partial(jax.jit, static_argnums=(3,), donate_argnums=(1,))
+        def prefill_shadow_fn(params, cache, input_ids, batch_start):
+            return forward.prefill_shadow_into(
+                model, rt, params, cache, input_ids,
+                self.cos_table, self.sin_table, batch_start,
             )
 
         def _sample(logits, key, temperature, top_k, top_p):
@@ -137,17 +137,13 @@ class Engine:
         t = max(1, min(self.rt.prefill_sub_batch, b))
         logits_parts = []
         if self.is_shadow:
-            from shadowkv_tpu.cache.shadow import concat_shadow_caches
-
             layout = ShadowLayout.build(self.cache_cfg, s)
-            parts = []
+            cache = ShadowCache.init(self.model, layout, b)
             for b0 in range(0, b, t):
-                lg, c = self._prefill_shadow(
-                    self.params, layout, input_ids[b0 : b0 + t]
+                lg, cache = self._prefill_shadow(
+                    self.params, cache, input_ids[b0 : b0 + t], b0
                 )
                 logits_parts.append(lg)
-                parts.append(c)
-            cache = concat_shadow_caches(parts)
             if self.cache_cfg.mode == "shadow_offload":
                 cache = self._offload_v(cache)
         else:

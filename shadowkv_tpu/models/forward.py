@@ -33,7 +33,7 @@ from shadowkv_tpu.config import CacheConfig, ModelConfig, RuntimeConfig
 from shadowkv_tpu.core import rope as rope_lib
 from shadowkv_tpu.core.attention import (
     causal_prefill_attention,
-    decode_attention,
+    causal_prefill_attention_hm,
     decode_attention_hm,
 )
 from shadowkv_tpu.core.layers import (
@@ -109,24 +109,24 @@ def prefill_full(
         layer, lp = inputs
         q, k_r, _, v = _layer_qkv(model, lp, x, cos, sin)
         k_cache = jax.lax.dynamic_update_slice(
-            cache.k, k_r[None].astype(cache.k.dtype),
-            (layer, batch_start, start_pos, 0, 0),
+            cache.k, k_r.transpose(0, 2, 1, 3)[None].astype(cache.k.dtype),
+            (layer, batch_start, 0, start_pos, 0),
         )
         v_cache = jax.lax.dynamic_update_slice(
-            cache.v, v[None].astype(cache.v.dtype),
-            (layer, batch_start, start_pos, 0, 0),
+            cache.v, v.transpose(0, 2, 1, 3)[None].astype(cache.v.dtype),
+            (layer, batch_start, 0, start_pos, 0),
         )
         cache = cache.replace(k=k_cache, v=v_cache)
         k_hist = jax.lax.dynamic_slice(
             cache.k, (layer, batch_start, 0, 0, 0),
-            (1, b, end, cache.k.shape[3], cache.k.shape[4]),
+            (1, b, cache.k.shape[2], end, cache.k.shape[4]),
         )[0]
         v_hist = jax.lax.dynamic_slice(
             cache.v, (layer, batch_start, 0, 0, 0),
-            (1, b, end, cache.v.shape[3], cache.v.shape[4]),
+            (1, b, cache.v.shape[2], end, cache.v.shape[4]),
         )[0]
-        ctx = causal_prefill_attention(
-            q, k_hist, v_hist, block_q=min(rt.prefill_block_q, s)
+        ctx = causal_prefill_attention_hm(
+            q, k_hist, v_hist, end, block_q=min(rt.prefill_block_q, s)
         )
         return (_layer_tail(lp, model, x, ctx), cache), None
 
@@ -156,12 +156,12 @@ def decode_full(
         layer, lp = inputs
         q, k_r, _, v = _layer_qkv(model, lp, x, cos, sin)
         k_cache = jax.lax.dynamic_update_slice(
-            cache.k, k_r[None].astype(cache.k.dtype),
-            (layer, 0, cache.length, 0, 0),
+            cache.k, k_r.transpose(0, 2, 1, 3)[None].astype(cache.k.dtype),
+            (layer, 0, 0, cache.length, 0),
         )
         v_cache = jax.lax.dynamic_update_slice(
-            cache.v, v[None].astype(cache.v.dtype),
-            (layer, 0, cache.length, 0, 0),
+            cache.v, v.transpose(0, 2, 1, 3)[None].astype(cache.v.dtype),
+            (layer, 0, 0, cache.length, 0),
         )
         cache = cache.replace(k=k_cache, v=v_cache)
         k_hist = jax.lax.dynamic_index_in_dim(
@@ -170,7 +170,7 @@ def decode_full(
         v_hist = jax.lax.dynamic_index_in_dim(
             cache.v, layer, axis=0, keepdims=False
         )
-        ctx = decode_attention(q, k_hist, v_hist, new_len)
+        ctx = decode_attention_hm(q, k_hist, v_hist, new_len)
         return (_layer_tail(lp, model, x, ctx), cache), None
 
     x, cache = _scan_layers(model, params, x, cache, body)
@@ -224,6 +224,69 @@ def prefill_shadow(
     from shadowkv_tpu.cache.shadow import assemble_cache
 
     cache = assemble_cache(layer_slices, layout)
+    logits = _finalize(model, params, x, last_only=True)
+    return logits, cache
+
+
+def prefill_shadow_into(
+    model: ModelConfig,
+    rt: RuntimeConfig,
+    params: ModelParams,
+    cache: ShadowCache,
+    input_ids: jnp.ndarray,  # [Bsub, S]
+    cos_table: jnp.ndarray,
+    sin_table: jnp.ndarray,
+    batch_start: int = 0,  # static
+):
+    """Sub-batch shadow prefill writing into a preallocated (donated)
+    full-batch cache at ``batch_start`` — peak HBM stays at one cache
+    (see ShadowCache.init; reference batch_prefill + prefilled_batch,
+    models/base.py:499-548, kv_cache.py:824-980).
+
+    The cache rides the layer-scan CARRY and each layer writes its
+    [1, b_sub, ...] slice in place, instead of stacking [L, b_sub, ...]
+    ys and copying at the end — that stacking costs an extra ~1/T cache
+    of HLO temp, which is exactly what pushed a batch-8 32K prefill 93 MB
+    over a 16 GB chip."""
+    b, s = input_ids.shape
+    layout = cache.layout
+    assert s == layout.prefill_len
+    x = jnp.take(params.embed, input_ids, axis=0).astype(model.dtype)
+    positions = jnp.arange(s)
+    cos = jnp.take(cos_table, positions, axis=0)
+    sin = jnp.take(sin_table, positions, axis=0)
+
+    def body(carry, inputs):
+        x, cache = carry
+        layer, lp = inputs
+        q, k_r, k_pre, v = _layer_qkv(model, lp, x, cos, sin)
+        slices = shadow_prefill_layer(
+            model, layout, k_pre, k_r, v, q[:, -1:]
+        )
+
+        def put(dst, src):
+            idx = (layer, batch_start) + (0,) * (dst.ndim - 2)
+            return jax.lax.dynamic_update_slice(
+                dst, src[None].astype(dst.dtype), idx
+            )
+
+        cache = cache.replace(
+            u=put(cache.u, slices["u"]),
+            sv=put(cache.sv, slices["sv"]),
+            landmarks=put(cache.landmarks, slices["landmarks"]),
+            landmark_idx=put(cache.landmark_idx, slices["landmark_idx"]),
+            k_buf=put(cache.k_buf, slices["k_buf"]),
+            v_buf=put(cache.v_buf, slices["v_buf"]),
+            v_full=put(cache.v_full, slices["v_full"]),
+            cached_ids=put(cache.cached_ids, slices["cached_ids"]),
+        )
+        ctx = causal_prefill_attention(
+            q, k_r, v, block_q=min(rt.prefill_block_q, s)
+        )
+        return (_layer_tail(lp, model, x, ctx), cache), None
+
+    xs = (jnp.arange(model.num_layers), params.layers)
+    (x, cache), _ = jax.lax.scan(body, (x, cache), xs)
     logits = _finalize(model, params, x, last_only=True)
     return logits, cache
 

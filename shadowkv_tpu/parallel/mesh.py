@@ -60,8 +60,8 @@ def param_pspecs(params: ModelParams) -> ModelParams:
 
 def full_cache_pspecs(cache: FullCache) -> FullCache:
     return FullCache(
-        k=P(None, "dp", None, "tp", None),
-        v=P(None, "dp", None, "tp", None),
+        k=P(None, "dp", "tp", None, None),
+        v=P(None, "dp", "tp", None, None),
         length=P(),
     )
 
