@@ -39,13 +39,25 @@ class ModelConfig:
     #        (reference models/glm.py:261-273, kernels/rope_new.cu:429-534).
     rope_style: str = "neox"
     rope_partial_dim: Optional[int] = None
-    # Llama-3.1-style NTK rope scaling dict (factor, low_freq_factor,
+    # Llama-3.1-style NTK rope scaling (factor, low_freq_factor,
     # high_freq_factor, original_max_position_embeddings) or None.
-    rope_scaling: Optional[dict] = None
+    # Accepts a dict; stored as a sorted item-tuple so the config stays
+    # hashable (it rides jit static_argnums).
+    rope_scaling: Optional[Any] = None
     qkv_bias: bool = False  # qwen2 / glm4 use biases on q,k,v
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 1048576
     dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        if isinstance(self.rope_scaling, dict):
+            object.__setattr__(
+                self, "rope_scaling", tuple(sorted(self.rope_scaling.items()))
+            )
+
+    @property
+    def rope_scaling_dict(self) -> Optional[dict]:
+        return dict(self.rope_scaling) if self.rope_scaling else None
 
     @property
     def num_groups(self) -> int:

@@ -29,10 +29,17 @@ import jax.numpy as jnp
 from shadowkv_tpu.config import ModelConfig
 
 
-def _llama3_scale_inv_freq(
-    inv_freq: jnp.ndarray, scaling: dict
-) -> jnp.ndarray:
-    """Llama-3.1 NTK-by-parts frequency scaling (matches HF semantics)."""
+def _llama3_scale_inv_freq(inv_freq, scaling: dict):
+    """Llama-3.1 NTK-by-parts frequency scaling (HF semantics).
+
+    Computed in float64 numpy at trace time: jnp fp32 transcendentals
+    drift ~1e-5 relative vs torch fp32, which amplifies to O(1e-2) logit
+    deviation at long range; float64 then a single cast matches HF's
+    fp32 tables to 1 ulp.
+    """
+    import numpy as np
+
+    inv_freq = np.asarray(inv_freq, np.float64)
     factor = scaling["factor"]
     low_freq_factor = scaling.get("low_freq_factor", 1.0)
     high_freq_factor = scaling.get("high_freq_factor", 4.0)
@@ -42,27 +49,28 @@ def _llama3_scale_inv_freq(
     high_freq_wavelen = old_max / high_freq_factor
     wavelen = 2 * math.pi / inv_freq
 
-    scaled = jnp.where(wavelen > low_freq_wavelen, inv_freq / factor, inv_freq)
+    scaled = np.where(wavelen > low_freq_wavelen, inv_freq / factor, inv_freq)
     smooth = (old_max / wavelen - low_freq_factor) / (
         high_freq_factor - low_freq_factor
     )
     smoothed = (1 - smooth) / factor * inv_freq + smooth * inv_freq
     is_medium = (wavelen <= low_freq_wavelen) & (wavelen >= high_freq_wavelen)
-    return jnp.where(is_medium, smoothed, scaled)
+    return np.where(is_medium, smoothed, scaled)
 
 
 def compute_inv_freq(cfg: ModelConfig) -> jnp.ndarray:
-    """[rope_dim // 2] inverse frequencies in fp32."""
+    """[rope_dim // 2] inverse frequencies in fp32 (float64 internally
+    for parity with HF tables; see _llama3_scale_inv_freq)."""
+    import numpy as np
+
     dim = cfg.rope_dim
     inv_freq = 1.0 / (
-        cfg.rope_theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim)
+        cfg.rope_theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim)
     )
-    if cfg.rope_scaling and cfg.rope_scaling.get("rope_type") in (
-        "llama3",
-        "llama3.1",
-    ):
-        inv_freq = _llama3_scale_inv_freq(inv_freq, cfg.rope_scaling)
-    return inv_freq
+    scaling = cfg.rope_scaling_dict
+    if scaling and scaling.get("rope_type") in ("llama3", "llama3.1"):
+        inv_freq = _llama3_scale_inv_freq(inv_freq, scaling)
+    return jnp.asarray(inv_freq, jnp.float32)
 
 
 def compute_cos_sin(

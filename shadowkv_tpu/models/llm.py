@@ -22,7 +22,7 @@ from shadowkv_tpu.config import CacheConfig, ModelConfig, RuntimeConfig
 from shadowkv_tpu.models.engine import Engine, GenerationStats
 from shadowkv_tpu.models.params import (
     init_synthetic_params,
-    load_hf_llama_params,
+    load_hf_params,
 )
 from shadowkv_tpu.models.prompt_templates import (
     CHAT_TEMPLATES,
@@ -110,7 +110,7 @@ class LLM:
 
     def _load_params(self):
         if self.model_dir and os.path.isdir(self.model_dir):
-            return load_hf_llama_params(self.model_dir, self.config)
+            return load_hf_params(self.model_dir, self.config)
         print(
             f"[LLM] no checkpoint dir for {self.model_name}; using "
             "synthetic weights (throughput benchmarking only)",

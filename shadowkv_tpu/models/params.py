@@ -82,8 +82,15 @@ def _open_shards(model_dir: str):
     return get, shard_of
 
 
-def load_hf_llama_params(model_dir: str, cfg: ModelConfig) -> ModelParams:
-    """Load a llama-family HF checkpoint (llama-3/3.1, Yi, Qwen2).
+def load_hf_params(model_dir: str, cfg: ModelConfig) -> ModelParams:
+    """Load an HF safetensors checkpoint into stacked params.
+
+    Handles the reference model zoo's weight layouts (reference
+    models/llama.py:303-352, qwen.py, phi3.py:116-121, glm.py:117-118):
+
+    - llama-3/3.1 / Yi / Qwen2 / GLM-4(hf): separate q/k/v projections
+      (biases when cfg.qkv_bias), separate gate/up MLP;
+    - Phi-3: pre-fused ``qkv_proj`` and ``gate_up_proj``.
 
     HF stores projections as [out, in]; we transpose to [in, out] for
     x @ W matmuls and fuse along the output dim.
@@ -96,26 +103,48 @@ def load_hf_llama_params(model_dir: str, cfg: ModelConfig) -> ModelParams:
             get(name).astype(np.float32), dtype=jnp.float32
         )
 
+    def has(name):
+        return name in shard_of
+
     layers = []
     for i in range(cfg.num_layers):
         p = f"model.layers.{i}."
-        wq = t(p + "self_attn.q_proj.weight").T
-        wk = t(p + "self_attn.k_proj.weight").T
-        wv = t(p + "self_attn.v_proj.weight").T
-        wqkv = jnp.concatenate([wq, wk, wv], axis=-1)
-        if cfg.qkv_bias:
-            bqkv = jnp.concatenate(
+        if has(p + "self_attn.qkv_proj.weight"):  # phi3-style fused
+            wqkv = t(p + "self_attn.qkv_proj.weight").T
+            bqkv = (
+                t(p + "self_attn.qkv_proj.bias")
+                if has(p + "self_attn.qkv_proj.bias")
+                else None
+            )
+        else:
+            wqkv = jnp.concatenate(
                 [
-                    t(p + "self_attn.q_proj.bias"),
-                    t(p + "self_attn.k_proj.bias"),
-                    t(p + "self_attn.v_proj.bias"),
+                    t(p + "self_attn.q_proj.weight").T,
+                    t(p + "self_attn.k_proj.weight").T,
+                    t(p + "self_attn.v_proj.weight").T,
                 ],
                 axis=-1,
             )
-        else:
             bqkv = None
-        gate = t(p + "mlp.gate_proj.weight").T
-        up = t(p + "mlp.up_proj.weight").T
+            if cfg.qkv_bias and has(p + "self_attn.q_proj.bias"):
+                bqkv = jnp.concatenate(
+                    [
+                        t(p + "self_attn.q_proj.bias"),
+                        t(p + "self_attn.k_proj.bias"),
+                        t(p + "self_attn.v_proj.bias"),
+                    ],
+                    axis=-1,
+                )
+        if has(p + "mlp.gate_up_proj.weight"):  # phi3/glm fused
+            w_gate_up = t(p + "mlp.gate_up_proj.weight").T
+        else:
+            w_gate_up = jnp.concatenate(
+                [
+                    t(p + "mlp.gate_proj.weight").T,
+                    t(p + "mlp.up_proj.weight").T,
+                ],
+                axis=-1,
+            )
         layers.append(
             LayerParams(
                 attn_norm=t(p + "input_layernorm.weight"),
@@ -123,7 +152,7 @@ def load_hf_llama_params(model_dir: str, cfg: ModelConfig) -> ModelParams:
                 bqkv=bqkv,
                 wo=t(p + "self_attn.o_proj.weight").T,
                 mlp_norm=t(p + "post_attention_layernorm.weight"),
-                w_gate_up=jnp.concatenate([gate, up], axis=-1),
+                w_gate_up=w_gate_up,
                 w_down=t(p + "mlp.down_proj.weight").T,
             )
         )
@@ -132,7 +161,7 @@ def load_hf_llama_params(model_dir: str, cfg: ModelConfig) -> ModelParams:
         lambda *xs: jnp.stack(xs).astype(dt), *layers
     )
     embed = t("model.embed_tokens.weight").astype(dt)
-    if cfg.tie_word_embeddings or "lm_head.weight" not in shard_of:
+    if cfg.tie_word_embeddings or not has("lm_head.weight"):
         lm_head = embed.T
     else:
         lm_head = t("lm_head.weight").T.astype(dt)
