@@ -53,10 +53,11 @@ def main():
     layout = ShadowLayout.build(cache_cfg, datalen)
     lo = layout
 
-    prefill = jax.jit(forward.prefill_shadow, static_argnums=(0, 1, 2))
-    ids = jax.random.randint(jax.random.PRNGKey(1), (1, datalen), 0, cfg.vocab_size)
-    caches = [prefill(cfg, rt, layout, params, ids, cos, sin)[1] for _ in range(batch)]
-    cache = concat_shadow_caches(caches)
+    from shadowkv_tpu.models.engine import Engine
+    import numpy as np
+    eng = Engine(cfg, cache_cfg, rt, params)
+    ids = np.random.RandomState(1).randint(0, cfg.vocab_size, (batch, datalen))
+    _, cache = eng.prefill(ids)
     jax.block_until_ready(cache)
 
     b, kh, g, dh = batch, cfg.num_kv_heads, cfg.num_groups, cfg.head_dim

@@ -53,18 +53,11 @@ def main():
     layout = ShadowLayout.build(cache_cfg, datalen)
     print("layout:", layout, file=sys.stderr)
 
-    prefill = jax.jit(forward.prefill_shadow, static_argnums=(0, 1, 2))
-    caches = []
-    ids = jax.random.randint(
-        jax.random.PRNGKey(1), (1, datalen), 0, cfg.vocab_size
-    )
+    from shadowkv_tpu.models.engine import Engine
+    eng = Engine(cfg, cache_cfg, rt, params)
+    ids = np.random.RandomState(1).randint(0, cfg.vocab_size, (batch, datalen))
     t0 = time.perf_counter()
-    for b0 in range(batch):
-        _, c = prefill(cfg, rt, layout, params, ids, cos, sin)
-        caches.append(c)
-    from shadowkv_tpu.cache.shadow import concat_shadow_caches
-
-    cache = concat_shadow_caches(caches)
+    _, cache = eng.prefill(ids)
     jax.block_until_ready(cache)
     print(f"prefill x{batch}: {time.perf_counter() - t0:.1f}s")
 

@@ -5,43 +5,92 @@ The reference calls ``torch.svd`` on the fp32 pre-RoPE K flattened to
 ``SV = diag(s[:rank]) @ v[:rank]`` (models/kv_cache.py:278-317, 666-737)
 so that ``K ~= U @ SV`` with U *shared across KV heads*.
 
-TPU-first design: instead of a full SVD (O(seq * d^2) but poorly mapped
-to the MXU by general-purpose SVD algorithms), we compute the truncated
-SVD through the d x d Gram matrix:
+TPU-first design: general-purpose SVD/QR map terribly onto the MXU
+(XLA lowers them to sequential Householder/Jacobi iterations — measured
+~50 s per 32K-token layer stack on v5e). Pre-RoPE K is near-low-rank by
+ShadowKV's core observation, so a randomized subspace iteration
+(Halko-Martinsson-Tropp) with CholeskyQR2 orthogonalization gets the
+same factors to fp32 accuracy using only:
 
-    G = K^T K = V S^2 V^T           (one [d, seq] x [seq, d] matmul)
-    eigh(G) -> V, S^2               (d = 1024: trivial)
+    - three large dense matmuls over K per power iteration (MXU),
+    - [r+p, r+p] Cholesky / eigh (trivial at r+p = 192).
 
-followed by one subspace-refinement pass (the classic power-iteration
-step of randomized SVD, with the Gram eigvecs as the sketch):
-
-    Y = K V_r ; Q = qr(Y).Q         (tall-skinny QR, O(seq * r^2))
-    B = Q^T K ; svd(B) -> Ub, S, Vt (tiny [r, d] SVD)
-    U = Q Ub ; SV = diag(S) Vt
-
-The refinement removes the fp32 condition-squaring of the Gram matrix,
-so the result matches the optimal rank-r SVD to fp32 accuracy while
-every heavy step is a large dense matmul on the MXU.
+``method='gram'`` keeps the previous Gram-eigh + QR route as a
+cross-check; tests compare both against jnp.linalg.svd.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 
+def _orth(y: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormalize tall-skinny [B, S, p] by symmetric whitening.
+
+    Q = Y W diag(1/sqrt(lam)) from eigh(Y^T Y) — one Gram matmul plus a
+    tiny [p, p] eigh, all MXU/parallel-friendly (XLA's Householder QR is
+    a sequential loop, measured ~seconds for [32K, 192] on v5e).
+    Rank-deficient directions are clamped, not amplified: their columns
+    come out with near-zero norm and drop out of the downstream
+    projection. Two passes restore fp32 orthogonality.
+    """
+    g = jnp.einsum("bsp,bsq->bpq", y, y, preferred_element_type=jnp.float32)
+    lam, w = jnp.linalg.eigh(g)
+    # Directions below fp32 Gram noise are dropped (zeroed), NOT
+    # clamped: 1/sqrt(clamped) would blow numerical junk up into O(1)
+    # non-orthogonal columns.
+    good = lam > jnp.maximum(lam[:, -1:], 1e-30) * 1e-6
+    inv_s = jnp.where(good, jax.lax.rsqrt(jnp.maximum(lam, 1e-30)), 0.0)
+    return jnp.einsum(
+        "bsp,bpq->bsq", y, w * inv_s[:, None, :],
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _orth2(y: jnp.ndarray) -> jnp.ndarray:
+    return _orth(_orth(y))
+
+
+def _finish_from_basis(kf, q, rank):
+    """Given an orthonormal range basis Q [B, S, p], return the top-rank
+    factors U [B, S, r], SV [B, r, d] of K ~= U @ SV."""
+    b_small = jnp.einsum(
+        "bsp,bsd->bpd", q, kf, preferred_element_type=jnp.float32
+    )  # [B, p, d]
+    g = jnp.einsum(
+        "bpd,bqd->bpq", b_small, b_small, preferred_element_type=jnp.float32
+    )
+    eigval, eigvec = jnp.linalg.eigh(g)  # ascending, p x p (tiny)
+    top = eigvec[:, :, ::-1][:, :, :rank]  # [B, p, r]
+    u = jnp.einsum(
+        "bsp,bpr->bsr", q, top, preferred_element_type=jnp.float32
+    )
+    sv = jnp.einsum(
+        "bpr,bpd->brd", top, b_small, preferred_element_type=jnp.float32
+    )
+    return u, sv
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def lowrank_kv_factors(
     k_pre_rope: jnp.ndarray,
     rank: int,
     num_kv_heads: int,
     head_dim: int,
     dtype=jnp.bfloat16,
+    method: str = "randomized",
+    oversample: int = 32,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Factor pre-RoPE keys K ~= U @ SV.
 
     Args:
       k_pre_rope: [B, S, K * Dh] or [B, S, K, Dh] pre-RoPE keys.
       rank: number of singular directions kept (reference default 160).
+      method: 'randomized' (default; subspace iteration, MXU-only) or
+        'gram' (Gram eigvecs sketch + one refinement pass).
 
     Returns:
       U:  [B, S, rank] in ``dtype`` (shared across KV heads).
@@ -53,21 +102,39 @@ def lowrank_kv_factors(
     d = num_kv_heads * head_dim
     kf = k_pre_rope.reshape(b, s, d).astype(jnp.float32)
 
-    gram = jnp.einsum("bsd,bse->bde", kf, kf, preferred_element_type=jnp.float32)
-    _, eigvecs = jnp.linalg.eigh(gram)  # ascending eigenvalues
-    top_vecs = eigvecs[:, :, ::-1][:, :, :rank]  # [B, d, r]
+    if method == "randomized":
+        p = min(d, rank + oversample)
+        omega = jax.random.normal(jax.random.PRNGKey(7), (d, p), jnp.float32)
+        y = jnp.einsum(
+            "bsd,dp->bsp", kf, omega, preferred_element_type=jnp.float32
+        )
+        q = _orth(y)
+        # One power iteration, re-orthonormalizing after each half-step
+        # so the sketch's spectrum never gets squared/cubed in fp32.
+        # Pre-RoPE K's spectrum decays fast (the ShadowKV premise), so
+        # one pass reaches fp32 agreement with the exact truncated SVD.
+        z = jnp.einsum(
+            "bsd,bsp->bdp", kf, q, preferred_element_type=jnp.float32
+        )
+        z = _orth(z)
+        y = jnp.einsum(
+            "bsd,bdp->bsp", kf, z, preferred_element_type=jnp.float32
+        )
+        q = _orth2(y)
+    elif method == "gram":
+        gram = jnp.einsum(
+            "bsd,bse->bde", kf, kf, preferred_element_type=jnp.float32
+        )
+        _, eigvecs = jnp.linalg.eigh(gram)  # ascending
+        top_vecs = eigvecs[:, :, ::-1][:, :, : rank + 2]
+        y = jnp.einsum(
+            "bsd,bdr->bsr", kf, top_vecs, preferred_element_type=jnp.float32
+        )
+        q = _orth2(y)
+    else:
+        raise ValueError(f"unknown lowrank method '{method}'")
 
-    # Subspace refinement: orthonormalize K V_r, then an exact small SVD.
-    y = jnp.einsum(
-        "bsd,bdr->bsr", kf, top_vecs, preferred_element_type=jnp.float32
-    )
-    q, _ = jnp.linalg.qr(y)  # [B, S, r]
-    b_small = jnp.einsum(
-        "bsr,bsd->brd", q, kf, preferred_element_type=jnp.float32
-    )
-    ub, sing, vt = jnp.linalg.svd(b_small, full_matrices=False)
-    u = jnp.einsum("bsr,brt->bst", q, ub, preferred_element_type=jnp.float32)
-    sv = sing[:, :, None] * vt  # [B, r, d]
+    u, sv = _finish_from_basis(kf, q, rank)
     sv = sv.reshape(b, rank, num_kv_heads, head_dim).transpose(0, 2, 1, 3)
     return u.astype(dtype), sv.astype(dtype)
 
