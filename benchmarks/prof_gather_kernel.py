@@ -1,10 +1,13 @@
 """Microbenchmark: Pallas chunk-gather strategies vs XLA's native gather.
 
-The decode hot path gathers ~8192 chunk rows (2-2.5 KB each) per layer
-from U and from the V store. XLA's gather runs at ~130 GB/s effective;
-this measures what hand-pipelined DMA can do. Rows are flattened to a
-128-aligned minor dim (cs*r = 1280) — Mosaic requires minor-dim slice
-shapes to be multiples of 128.
+The decode hot path gathers ~16K chunk rows (2-4 KB each) per layer
+from U and from the V store. XLA's gather runs at ~106 GB/s effective;
+this measures what hand-pipelined DMA can do.
+
+Mosaic constraint: the DMA'd unit must have its (sublane, lane) dims
+aligned to the dtype tiling — so tables are laid out 4D
+[B, C, cs, lanes] with cs a multiple of 8 and lanes a multiple of 128,
+and the gather slices the UNTILED dim 1 (chunk id).
 """
 
 import sys
@@ -31,20 +34,20 @@ def timeit(fn, *args, n=30, warmup=5):
     return (time.perf_counter() - t0) / n * 1e3
 
 
-B, K, S = 4, 8, 256  # gather [B,K,S] chunks
-C = 504  # table chunks
-ROW = 1280  # cs * r = 8 * 160 bf16 = 2.5 KB, 10 lanes of 128
+B, K, S = 8, 8, 256  # gather [B,K,S] chunks
+C = 1016  # table chunks (8K ctx)
+CS, LANES = 8, 128  # chunk unit [8, 128] bf16 = 2 KB
 
 
 def make_inputs(key):
-    table = jax.random.normal(key, (B, C, ROW), jnp.bfloat16)
+    table = jax.random.normal(key, (B, C, CS, LANES), jnp.bfloat16)
     ids = jax.random.randint(key, (B, K, S), 0, C)
     return table, ids
 
 
 def xla_gather(table, ids):
     bi = jnp.arange(B)[:, None, None]
-    return table[bi, ids]  # [B,K,S,ROW]
+    return table[bi, ids]  # [B,K,S,CS,LANES]
 
 
 def _ring_kernel(ids_ref, table_ref, out_ref, sems):
@@ -56,8 +59,8 @@ def _ring_kernel(ids_ref, table_ref, out_ref, sems):
     def dma(j, slot):
         cid = ids_ref[b, k, j]
         return pltpu.make_async_copy(
-            table_ref.at[b, pl.ds(cid, 1)],
-            out_ref.at[bk, pl.ds(j, 1)],
+            table_ref.at[b, cid],
+            out_ref.at[bk, j],
             sems.at[slot],
         )
 
@@ -85,20 +88,20 @@ def pallas_ring(table, ids):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B * K,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[pltpu.SemaphoreType.DMA((16,))],
         ),
-        out_shape=jax.ShapeDtypeStruct((B * K, S, ROW), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((B * K, S, CS, LANES), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ids, table)
-    return out.reshape(B, K, S, ROW)
+    return out.reshape(B, K, S, CS, LANES)
 
 
 def main():
     key = jax.random.PRNGKey(0)
     table, ids = make_inputs(key)
-    bytes_moved = 2 * B * K * S * ROW * 2  # read + write
+    bytes_moved = 2 * B * K * S * CS * LANES * 2  # read + write
     t = timeit(jax.jit(xla_gather), table, ids)
     print(f"xla gather:      {t:.3f} ms  ({bytes_moved/t*1e3/1e9:.0f} GB/s r+w)")
     t = timeit(jax.jit(pallas_ring), table, ids)

@@ -288,19 +288,65 @@ def concat_shadow_caches(caches: list[ShadowCache]) -> ShadowCache:
     )
 
 
+class ShadowStatic(flax.struct.PyTreeNode):
+    """Read-only decode-time state: built at prefill, never mutated.
+
+    Kept OUT of the decode layer-scan carry on purpose: XLA copies every
+    while-loop carry buffer into the loop (even pass-through ones), so
+    carrying the V store + factors + landmarks cost a full
+    layout/defensive copy of ~GBs per decode step (measured 11 ms/step
+    at 8K/batch-8 on v5e). As jit-arg closure invariants they are read
+    in place by the in-loop gathers.
+    """
+
+    u: jnp.ndarray  # [L, B, C, cs, r]
+    sv: jnp.ndarray  # [L, B, K, r, Dh]
+    landmarks: jnp.ndarray  # [L, B, K, C_lm, Dh]
+    landmark_idx: jnp.ndarray  # [L, B, K, C_lm]
+    v_full: jnp.ndarray  # [L, B, K, C, cs * Dh]
+
+
+class ShadowMut(flax.struct.PyTreeNode):
+    """Per-step mutable state: the decode layer-scan carry."""
+
+    k_buf: jnp.ndarray  # [L, B, K, cap, Dh]
+    v_buf: jnp.ndarray  # [L, B, K, cap, Dh]
+    cached_ids: jnp.ndarray  # [L, B, K, S]
+
+
+def split_cache(cache: ShadowCache) -> tuple[ShadowStatic, ShadowMut]:
+    return (
+        ShadowStatic(
+            u=cache.u,
+            sv=cache.sv,
+            landmarks=cache.landmarks,
+            landmark_idx=cache.landmark_idx,
+            v_full=cache.v_full,
+        ),
+        ShadowMut(
+            k_buf=cache.k_buf,
+            v_buf=cache.v_buf,
+            cached_ids=cache.cached_ids,
+        ),
+    )
+
+
 def shadow_decode_layer(
     model: ModelConfig,
-    cache: ShadowCache,
+    layout: ShadowLayout,
+    static: ShadowStatic,
+    mut: ShadowMut,
+    gen_len: jnp.ndarray,
     layer: jnp.ndarray,  # traced int32 layer index
     q: jnp.ndarray,  # [B, Qn, H, Dh] roped queries
     k_new: jnp.ndarray,  # [B, Qn, K, Dh] roped new keys
     v_new: jnp.ndarray,  # [B, Qn, K, Dh]
     cos_table: jnp.ndarray,
     sin_table: jnp.ndarray,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, ShadowCache]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, ShadowMut]:
     """One layer's sparse-attention cache update at decode time.
 
-    Returns (k_view, v_view, kv_valid_len, cache) where k/v views are the
+    Returns (k_view, v_view, kv_valid_len, mut) where k/v views are the
     compact buffer [B, K, cap, Dh] for this layer (mask by valid length).
 
     The layer index is a traced scalar: all reads from the big stacked
@@ -308,17 +354,17 @@ def shadow_decode_layer(
     layer coordinate — no [B, S, r]-sized layer slice is ever
     materialized (this is the scan-carry design from SURVEY.md §7.0).
     """
-    lo = cache.layout
+    lo = layout
     b, qn, kh, dh = k_new.shape
     g = model.num_groups
     cs = lo.chunk_size
 
     # --- 1. selection from landmarks (kv_cache.py:983-1057) ---
     lms = jax.lax.dynamic_index_in_dim(
-        cache.landmarks, layer, axis=0, keepdims=False
+        static.landmarks, layer, axis=0, keepdims=False
     )
     lm_idx = jax.lax.dynamic_index_in_dim(
-        cache.landmark_idx, layer, axis=0, keepdims=False
+        static.landmark_idx, layer, axis=0, keepdims=False
     )
     q_grouped = q.transpose(0, 2, 1, 3).reshape(b, kh, g, qn, dh)
     new_ids = score_and_select(q_grouped, lms, lm_idx, lo.select_sets)
@@ -326,16 +372,16 @@ def shadow_decode_layer(
     # --- 2. slot-stable reuse assignment (TPU redesign of the
     #        reference's hash-map hits-first repack, map.cuh:754-796) ---
     prev_ids = jax.lax.dynamic_index_in_dim(
-        cache.cached_ids, layer, axis=0, keepdims=False
+        mut.cached_ids, layer, axis=0, keepdims=False
     )
     asg = assign_slots_stable(prev_ids, new_ids)
 
     # Old buffer contents for this layer (compact: a few MB).
     k_buf_l = jax.lax.dynamic_index_in_dim(
-        cache.k_buf, layer, axis=0, keepdims=False
+        mut.k_buf, layer, axis=0, keepdims=False
     )
     v_buf_l = jax.lax.dynamic_index_in_dim(
-        cache.v_buf, layer, axis=0, keepdims=False
+        mut.v_buf, layer, axis=0, keepdims=False
     )
 
     # --- 3. V: staying slots keep their rows untouched (dense select);
@@ -350,7 +396,7 @@ def shadow_decode_layer(
     ki = jnp.arange(kh)[None, :, None]
     # Single XLA gather including the layer coordinate — no layer-sized
     # temporary of the V store is materialized.
-    v_new_rows = cache.v_full[layer, bi, ki, asg.slot_ids]  # [B,K,S,cs*Dh]
+    v_new_rows = static.v_full[layer, bi, ki, asg.slot_ids]  # [B,K,S,cs*Dh]
     v_sparse = jnp.where(stay_e, v_sparse_old, v_new_rows).reshape(
         b, kh, ssets * cs, dh
     )
@@ -362,10 +408,10 @@ def shadow_decode_layer(
         b, kh, ssets, cs * dh
     )
     # Chunk-major U gather: one contiguous [cs, r] block per chunk.
-    u_rows = cache.u[layer, bi, asg.slot_ids]  # [B,K,S,cs,r]
+    u_rows = static.u[layer, bi, asg.slot_ids]  # [B,K,S,cs,r]
     u_rows = u_rows.reshape(b, kh, ssets * cs, lo.rank)
     sv_l = jax.lax.dynamic_index_in_dim(
-        cache.sv, layer, axis=0, keepdims=False
+        static.sv, layer, axis=0, keepdims=False
     )
     k_rec = jnp.einsum(
         "bknr,bkrd->bknd", u_rows, sv_l, preferred_element_type=jnp.float32
@@ -400,7 +446,7 @@ def shadow_decode_layer(
     v_buf_l = jax.lax.dynamic_update_slice(
         v_buf_l, v_sparse, (0, 0, lo.sparse_start, 0)
     )
-    gen_row = lo.sparse_end + cache.gen_len
+    gen_row = lo.sparse_end + gen_len
     k_buf_l = jax.lax.dynamic_update_slice(
         k_buf_l, k_new.transpose(0, 2, 1, 3), (0, 0, gen_row, 0)
     )
@@ -409,16 +455,16 @@ def shadow_decode_layer(
     )
 
     # --- 6. commit this layer's state ---
-    cache = cache.replace(
+    mut = mut.replace(
         k_buf=jax.lax.dynamic_update_slice(
-            cache.k_buf, k_buf_l[None], (layer, 0, 0, 0, 0)
+            mut.k_buf, k_buf_l[None], (layer, 0, 0, 0, 0)
         ),
         v_buf=jax.lax.dynamic_update_slice(
-            cache.v_buf, v_buf_l[None], (layer, 0, 0, 0, 0)
+            mut.v_buf, v_buf_l[None], (layer, 0, 0, 0, 0)
         ),
         cached_ids=jax.lax.dynamic_update_slice(
-            cache.cached_ids, asg.slot_ids[None], (layer, 0, 0, 0)
+            mut.cached_ids, asg.slot_ids[None], (layer, 0, 0, 0)
         ),
     )
-    valid_len = lo.sparse_end + cache.gen_len + qn
-    return k_buf_l, v_buf_l, valid_len, cache
+    valid_len = lo.sparse_end + gen_len + qn
+    return k_buf_l, v_buf_l, valid_len, mut

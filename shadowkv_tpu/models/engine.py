@@ -79,14 +79,18 @@ class Engine:
     def _build_jits(self):
         model, rt = self.model, self.rt
 
-        @partial(jax.jit, static_argnums=(2, 4), donate_argnums=(1,))
+        # batch_start is a TRACED arg: a static one would trigger one
+        # full XLA compile per sub-batch offset (~25 s each through the
+        # remote-compile tunnel). start_pos stays static (it sizes the
+        # attention history slice).
+        @partial(jax.jit, static_argnums=(2,), donate_argnums=(1,))
         def prefill_full_fn(params, cache, start_pos, input_ids, batch_start):
             return forward.prefill_full(
                 model, rt, params, cache, input_ids, start_pos,
                 self.cos_table, self.sin_table, batch_start,
             )
 
-        @partial(jax.jit, static_argnums=(3,), donate_argnums=(1,))
+        @partial(jax.jit, donate_argnums=(1,))
         def prefill_shadow_fn(params, cache, input_ids, batch_start):
             return forward.prefill_shadow_into(
                 model, rt, params, cache, input_ids,

@@ -91,7 +91,7 @@ def prefill_full(
     start_pos: int,  # static
     cos_table: jnp.ndarray,
     sin_table: jnp.ndarray,
-    batch_start: int = 0,  # static: sub-batch offset into the cache
+    batch_start=0,  # traced: sub-batch offset into the cache
 ):
     """Prefill with dense attention; supports chunked continuation via
     a static ``start_pos`` and sub-batch prefill via ``batch_start``
@@ -236,7 +236,7 @@ def prefill_shadow_into(
     input_ids: jnp.ndarray,  # [Bsub, S]
     cos_table: jnp.ndarray,
     sin_table: jnp.ndarray,
-    batch_start: int = 0,  # static
+    batch_start=0,  # traced: sub-batch offset into the cache
 ):
     """Sub-batch shadow prefill writing into a preallocated (donated)
     full-batch cache at ``batch_start`` — peak HBM stays at one cache
@@ -300,24 +300,40 @@ def decode_shadow(
     sin_table: jnp.ndarray,
 ):
     """One sparse decode step (reference models/base.py:315-341 decode
-    branch; see SURVEY.md §3.3 for the kernel-by-kernel mapping)."""
+    branch; see SURVEY.md §3.3 for the kernel-by-kernel mapping).
+
+    Only the mutable buffers (k_buf/v_buf/cached_ids) ride the layer-scan
+    carry; the read-only factor/landmark/V-store state stays outside the
+    loop so XLA doesn't copy it into while-carry buffers every step (see
+    ShadowStatic docstring)."""
+    from shadowkv_tpu.cache.shadow import split_cache
+
     b, qn = tokens.shape
     x = jnp.take(params.embed, tokens, axis=0).astype(model.dtype)
     positions = cache.kv_len + jnp.arange(qn)
     cos = jnp.take(cos_table, positions, axis=0)
     sin = jnp.take(sin_table, positions, axis=0)
+    static, mut = split_cache(cache)
+    layout, gen_len = cache.layout, cache.gen_len
 
     def body(carry, inputs):
-        x, cache = carry
+        x, mut = carry
         layer, lp = inputs
         q, k_r, _, v = _layer_qkv(model, lp, x, cos, sin)
-        k_view, v_view, valid_len, cache = shadow_decode_layer(
-            model, cache, layer, q, k_r, v, cos_table, sin_table
+        k_view, v_view, valid_len, mut = shadow_decode_layer(
+            model, layout, static, mut, gen_len, layer, q, k_r, v,
+            cos_table, sin_table,
         )
         ctx = decode_attention_hm(q, k_view, v_view, valid_len)
-        return (_layer_tail(lp, model, x, ctx), cache), None
+        return (_layer_tail(lp, model, x, ctx), mut), None
 
-    x, cache = _scan_layers(model, params, x, cache, body)
-    cache = cache.replace(gen_len=cache.gen_len + qn)
+    xs = (jnp.arange(model.num_layers), params.layers)
+    (x, mut), _ = jax.lax.scan(body, (x, mut), xs)
+    cache = cache.replace(
+        k_buf=mut.k_buf,
+        v_buf=mut.v_buf,
+        cached_ids=mut.cached_ids,
+        gen_len=gen_len + qn,
+    )
     logits = _finalize(model, params, x, last_only=True)
     return logits, cache
