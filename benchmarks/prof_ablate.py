@@ -63,7 +63,7 @@ def main():
     b, kh, g, dh = batch, cfg.num_kv_heads, cfg.num_groups, cfg.head_dim
     cs = lo.chunk_size
     ssets = lo.select_sets
-    rank = lo.rank
+    rank = lo.rank_pad
     q = jax.random.normal(jax.random.PRNGKey(2), (b, 1, cfg.num_heads, dh), cfg.dtype)
 
     lms0, idx0, prev0 = cache.landmarks[0], cache.landmark_idx[0], cache.cached_ids[0]
@@ -84,7 +84,7 @@ def main():
         ki = jnp.arange(kh)[None, :, None]
         v_old = vbuf[:, :, lo.sparse_start:lo.sparse_end].reshape(b, kh, ssets, cs*dh)
         v_hits = jnp.take_along_axis(v_old, ids_sel[..., None] % ssets, axis=2)
-        v_miss = v_full[0, bi, ki, ids_sel]
+        v_miss = v_full[0, bi, ki, ids_sel].reshape(b, kh, ssets, cs*dh)
         v_sp = jnp.where((ids_sel % 2 == 0)[..., None], v_hits, v_miss)
         return jax.lax.dynamic_update_slice(
             vbuf, v_sp.reshape(b, kh, ssets*cs, dh), (0, 0, lo.sparse_start, 0))

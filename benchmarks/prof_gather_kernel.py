@@ -35,19 +35,21 @@ def timeit(fn, *args, n=30, warmup=5):
 
 
 B, K, S = 8, 8, 256  # gather [B,K,S] chunks
-C = 1016  # table chunks (8K ctx)
+C = 4084  # table chunks (32K ctx)
 CS, LANES = 8, 128  # chunk unit [8, 128] bf16 = 2 KB
 
 
 def make_inputs(key):
-    table = jax.random.normal(key, (B, C, CS, LANES), jnp.bfloat16)
+    # [B*K, C, cs, lanes] ~534 MB at 32K ctx — matches one layer of the
+    # real per-(batch,head) V store and defeats any VMEM promotion.
+    table = jax.random.normal(key, (B * K, C, CS, LANES), jnp.bfloat16)
     ids = jax.random.randint(key, (B, K, S), 0, C)
     return table, ids
 
 
 def xla_gather(table, ids):
-    bi = jnp.arange(B)[:, None, None]
-    return table[bi, ids]  # [B,K,S,CS,LANES]
+    bki = jnp.arange(B * K).reshape(B, K)[..., None]
+    return table[bki, ids]  # [B,K,S,CS,LANES]
 
 
 def _ring_kernel(ids_ref, table_ref, out_ref, sems):
@@ -59,7 +61,7 @@ def _ring_kernel(ids_ref, table_ref, out_ref, sems):
     def dma(j, slot):
         cid = ids_ref[b, k, j]
         return pltpu.make_async_copy(
-            table_ref.at[b, cid],
+            table_ref.at[bk, cid],
             out_ref.at[bk, j],
             sems.at[slot],
         )
@@ -88,8 +90,8 @@ def pallas_ring(table, ids):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B * K,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[pltpu.SemaphoreType.DMA((16,))],
         ),
         out_shape=jax.ShapeDtypeStruct((B * K, S, CS, LANES), jnp.bfloat16),

@@ -63,10 +63,14 @@ class ShadowLayout:
     gen_capacity: int
     buffer_cap: int
     rank: int
+    rank_pad: int  # rank rounded up to a lane multiple (128); U/SV are
+    # stored zero-padded to it so the refresh kernel's DMA units are
+    # tiling-aligned — physically free, XLA pads the minor dim anyway.
 
     @classmethod
     def build(cls, cache: CacheConfig, prefill_len: int) -> "ShadowLayout":
         cs = cache.chunk_size
+        assert prefill_len % 8 == 0, "prefill length must be 8-aligned"
         chunks = prefill_len // cs - cache.local_chunks
         chunks -= chunks % 8
         prefill_local = prefill_len - chunks * cs
@@ -91,6 +95,7 @@ class ShadowLayout:
             gen_capacity=cache.gen_capacity,
             buffer_cap=sparse_end + cache.gen_capacity,
             rank=cache.rank,
+            rank_pad=((cache.rank + 127) // 128) * 128,
         )
 
 
@@ -105,13 +110,13 @@ class ShadowCache(flax.struct.PyTreeNode):
     local tail is never reconstructed.
     """
 
-    u: jnp.ndarray  # [L, B, C, cs, r] chunk-major pre-RoPE K factors
-    sv: jnp.ndarray  # [L, B, K, r, Dh]
+    u: jnp.ndarray  # [L, B, C, cs, r_pad] chunk-major pre-RoPE K factors
+    sv: jnp.ndarray  # [L, B, K, r_pad, Dh]
     landmarks: jnp.ndarray  # [L, B, K, C_lm, Dh]
     landmark_idx: jnp.ndarray  # [L, B, K, C_lm] int32
     k_buf: jnp.ndarray  # [L, B, K, cap, Dh] compact post-RoPE K buffer
     v_buf: jnp.ndarray  # [L, B, K, cap, Dh]
-    v_full: jnp.ndarray  # [L, B, K, C, chunk * Dh] chunk-major V store
+    v_full: jnp.ndarray  # [L, B, K, C, cs, Dh] chunk-major V store
     cached_ids: jnp.ndarray  # [L, B, K, S] chunk ids in sparse slots
     gen_len: jnp.ndarray  # int32 scalar, tokens in gen region
     layout: ShadowLayout = flax.struct.field(pytree_node=False)
@@ -138,15 +143,15 @@ class ShadowCache(flax.struct.PyTreeNode):
         lo = layout
         cs = lo.chunk_size
         return cls(
-            u=jnp.zeros((l, b, lo.chunks, cs, lo.rank), dt),
-            sv=jnp.zeros((l, b, kh, lo.rank, dh), dt),
+            u=jnp.zeros((l, b, lo.chunks, cs, lo.rank_pad), dt),
+            sv=jnp.zeros((l, b, kh, lo.rank_pad, dh), dt),
             landmarks=jnp.zeros((l, b, kh, lo.num_landmarks, dh), dt),
             landmark_idx=jnp.zeros(
                 (l, b, kh, lo.num_landmarks), jnp.int32
             ),
             k_buf=jnp.zeros((l, b, kh, lo.buffer_cap, dh), dt),
             v_buf=jnp.zeros((l, b, kh, lo.buffer_cap, dh), dt),
-            v_full=jnp.zeros((l, b, kh, lo.chunks, cs * dh), dt),
+            v_full=jnp.zeros((l, b, kh, lo.chunks, cs, dh), dt),
             cached_ids=jnp.zeros((l, b, kh, lo.select_sets), jnp.int32),
             gen_len=jnp.zeros((), jnp.int32),
             layout=layout,
@@ -179,10 +184,17 @@ def shadow_prefill_layer(
     u, sv = lowrank_kv_factors(
         k_pre_rope.reshape(b, s, kh * dh), lo.rank, kh, dh, dtype=dtype
     )
+    # Zero-pad rank to the lane multiple the refresh kernel's DMA units
+    # need (physically free: XLA pads the minor dim regardless).
+    if lo.rank_pad != lo.rank:
+        u = jnp.pad(u, ((0, 0), (0, 0), (0, lo.rank_pad - lo.rank)))
+        sv = jnp.pad(
+            sv, ((0, 0), (0, 0), (0, lo.rank_pad - lo.rank), (0, 0))
+        )
     # Chunk-major context slice of U (decode only ever gathers context
     # chunks, kv_cache.py:1108-1176). Kept [C, cs, r] so the gathered
     # result is already matmul-shaped (no post-gather retiling).
-    u = u[:, : lo.chunks * cs].reshape(b, lo.chunks, cs, lo.rank)
+    u = u[:, : lo.chunks * cs].reshape(b, lo.chunks, cs, lo.rank_pad)
 
     # [B, K, S, Dh] views
     k_roped_h = k_roped.transpose(0, 2, 1, 3)
@@ -215,7 +227,9 @@ def shadow_prefill_layer(
     )
 
     # --- chunk-major V store over the context region ---
-    v_full = v_ctx.reshape(b, kh, lo.chunks, cs * dh)
+    # [B, K, C, cs, Dh]: one chunk = one tiling-aligned (cs, Dh) DMA
+    # unit (already in this shape from the reshape above).
+    v_full = v_ctx
 
     # --- seed the sparse region from the last prefill query ---
     # (kv_cache.py:922-970: q_len=1 scoring, exact K/V gathered — the
@@ -343,6 +357,9 @@ def shadow_decode_layer(
     v_new: jnp.ndarray,  # [B, Qn, K, Dh]
     cos_table: jnp.ndarray,
     sin_table: jnp.ndarray,
+    use_kernel: bool = False,
+    inv_freq_full: Optional[jnp.ndarray] = None,
+    v_store=None,  # HostVStore when V is offloaded to host DRAM
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, ShadowMut]:
     """One layer's sparse-attention cache update at decode time.
 
@@ -376,6 +393,51 @@ def shadow_decode_layer(
     )
     asg = assign_slots_stable(prev_ids, new_ids)
 
+    if use_kernel:
+        # --- fused Pallas path: one kernel fetches miss V chunks
+        #     (HBM->HBM DMA) and reconstructs + RoPEs + writes miss K
+        #     chunks, skipping hits entirely (kernels/reconstruct.py;
+        #     replaces reference K2/K3 + K6-K10). ---
+        from shadowkv_tpu.kernels.reconstruct import (
+            compact_misses,
+            sparse_refresh,
+        )
+
+        mc, ms, cnt = compact_misses(asg.slot_ids, asg.stay_mask)
+        k_buf, v_buf = sparse_refresh(
+            layer, mc, ms, cnt, static.u, static.sv, static.v_full,
+            inv_freq_full, mut.k_buf, mut.v_buf,
+            chunk_size=cs, sparse_start=lo.sparse_start,
+            rope_dim=model.rope_dim,
+        )
+        # Append the new tokens to the gen region (narrow in-place
+        # write on the stacked buffer; reference update_kv_cache,
+        # kv_cache.py:1227-1271).
+        gen_row = lo.sparse_end + gen_len
+        k_buf = jax.lax.dynamic_update_slice(
+            k_buf, k_new.transpose(0, 2, 1, 3)[None].astype(k_buf.dtype),
+            (layer, 0, 0, gen_row, 0),
+        )
+        v_buf = jax.lax.dynamic_update_slice(
+            v_buf, v_new.transpose(0, 2, 1, 3)[None].astype(v_buf.dtype),
+            (layer, 0, 0, gen_row, 0),
+        )
+        mut = mut.replace(
+            k_buf=k_buf,
+            v_buf=v_buf,
+            cached_ids=jax.lax.dynamic_update_slice(
+                mut.cached_ids, asg.slot_ids[None], (layer, 0, 0, 0)
+            ),
+        )
+        k_buf_l = jax.lax.dynamic_index_in_dim(
+            mut.k_buf, layer, axis=0, keepdims=False
+        )
+        v_buf_l = jax.lax.dynamic_index_in_dim(
+            mut.v_buf, layer, axis=0, keepdims=False
+        )
+        valid_len = lo.sparse_end + gen_len + qn
+        return k_buf_l, v_buf_l, valid_len, mut
+
     # Old buffer contents for this layer (compact: a few MB).
     k_buf_l = jax.lax.dynamic_index_in_dim(
         mut.k_buf, layer, axis=0, keepdims=False
@@ -394,9 +456,18 @@ def shadow_decode_layer(
     )
     bi = jnp.arange(b)[:, None, None]
     ki = jnp.arange(kh)[None, :, None]
-    # Single XLA gather including the layer coordinate — no layer-sized
-    # temporary of the V store is materialized.
-    v_new_rows = static.v_full[layer, bi, ki, asg.slot_ids]  # [B,K,S,cs*Dh]
+    if v_store is not None:
+        # Host-DRAM fetch via io_callback + native gather
+        # (cache/offload.py; reference pinned-CPU DMA path K2/K3).
+        v_new_rows = v_store.fetch(
+            layer, asg.slot_ids, asg.stay_mask
+        ).reshape(b, kh, ssets, cs * dh)
+    else:
+        # Single XLA gather including the layer coordinate — no
+        # layer-sized temporary of the V store is materialized.
+        v_new_rows = static.v_full[layer, bi, ki, asg.slot_ids].reshape(
+            b, kh, ssets, cs * dh
+        )
     v_sparse = jnp.where(stay_e, v_sparse_old, v_new_rows).reshape(
         b, kh, ssets * cs, dh
     )
@@ -408,8 +479,8 @@ def shadow_decode_layer(
         b, kh, ssets, cs * dh
     )
     # Chunk-major U gather: one contiguous [cs, r] block per chunk.
-    u_rows = static.u[layer, bi, asg.slot_ids]  # [B,K,S,cs,r]
-    u_rows = u_rows.reshape(b, kh, ssets * cs, lo.rank)
+    u_rows = static.u[layer, bi, asg.slot_ids]  # [B,K,S,cs,r_pad]
+    u_rows = u_rows.reshape(b, kh, ssets * cs, lo.rank_pad)
     sv_l = jax.lax.dynamic_index_in_dim(
         static.sv, layer, axis=0, keepdims=False
     )

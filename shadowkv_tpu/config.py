@@ -132,3 +132,7 @@ class RuntimeConfig:
     # Mesh axis sizes; dp shards batch, tp shards heads / factors.
     dp: int = 1
     tp: int = 1
+    # Fused Pallas sparse-refresh kernel on the decode path. None = auto
+    # (on for TPU backends with neox full-head RoPE, off on CPU / for
+    # partial-RoPE models).
+    use_pallas: Optional[bool] = None

@@ -89,6 +89,15 @@ def compute_cos_sin(
     return jnp.cos(freqs).astype(dtype), jnp.sin(freqs).astype(dtype)
 
 
+def inv_freq_full_neox(cfg: ModelConfig) -> jnp.ndarray:
+    """[1, head_dim] neox-duplicated inverse frequencies
+    (concat(invf, invf)) for the fused refresh kernel's in-register RoPE
+    (kernels/reconstruct.py)."""
+    assert cfg.rope_style == "neox" and cfg.rope_dim == cfg.head_dim
+    invf = compute_inv_freq(cfg)
+    return jnp.concatenate([invf, invf])[None]
+
+
 def apply_rope(
     x: jnp.ndarray,
     cos: jnp.ndarray,

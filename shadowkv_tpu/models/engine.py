@@ -72,12 +72,22 @@ class Engine:
         )
         self.cos_table = cos
         self.sin_table = sin
+        self.v_store = None
         self._build_jits()
 
     # -- jit construction ---------------------------------------------------
 
     def _build_jits(self):
         model, rt = self.model, self.rt
+        if rt.use_pallas is None:
+            on_tpu = jax.devices()[0].platform != "cpu"
+            self.use_pallas = (
+                on_tpu
+                and model.rope_style == "neox"
+                and model.rope_dim == model.head_dim
+            )
+        else:
+            self.use_pallas = rt.use_pallas
 
         # batch_start is a TRACED arg: a static one would trigger one
         # full XLA compile per sub-batch offset (~25 s each through the
@@ -110,10 +120,19 @@ class Engine:
             )
             return _sample(logits, key, temperature, top_k, top_p), cache
 
+        # Offload mode fetches V through an io_callback (jnp path); the
+        # fused kernel currently serves the HBM-resident V store only.
+        if self.cache_cfg.mode == "shadow_offload":
+            self.use_pallas = False
+        use_pallas = self.use_pallas
+        engine = self
+
         @partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(1,))
         def decode_shadow_fn(params, cache, tokens, key, temperature, top_k, top_p):
             logits, cache = forward.decode_shadow(
-                model, params, cache, tokens, self.cos_table, self.sin_table
+                model, params, cache, tokens, self.cos_table,
+                self.sin_table, use_kernel=use_pallas,
+                v_store=engine.v_store,
             )
             return _sample(logits, key, temperature, top_k, top_p), cache
 
@@ -165,18 +184,24 @@ class Engine:
         return logits, cache
 
     def _offload_v(self, cache: ShadowCache) -> ShadowCache:
-        """Move the chunk-major V store to host memory (pinned_host).
+        """Move the chunk-major V store to host DRAM.
 
         TPU analogue of the reference's pinned-CPU V cache
-        (kv_cache.py:554-563); misses are fetched back per step by the
-        offload decode path.
+        (kv_cache.py:554-563); misses are fetched back per step through
+        an io_callback + the native host gather (cache/offload.py). The
+        device-side v_full leaf shrinks to a zero-chunk placeholder so
+        the pytree structure (and the decode jit) stays unchanged.
         """
-        dev = jax.devices()[0]
-        host_sharding = jax.sharding.SingleDeviceSharding(
-            dev, memory_kind="pinned_host"
+        from shadowkv_tpu.cache.offload import HostVStore
+
+        if self.v_store is None:
+            self.v_store = HostVStore(cache.v_full)
+        else:
+            self.v_store.update(cache.v_full)
+        l, b, kh, c, cs, dh = cache.v_full.shape
+        return cache.replace(
+            v_full=jnp.zeros((l, b, kh, 0, cs, dh), cache.v_full.dtype)
         )
-        v_host = jax.device_put(cache.v_full, host_sharding)
-        return cache.replace(v_full=v_host)
 
     # -- generation ---------------------------------------------------------
 

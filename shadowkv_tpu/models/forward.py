@@ -298,6 +298,8 @@ def decode_shadow(
     tokens: jnp.ndarray,  # [B, Qn]
     cos_table: jnp.ndarray,
     sin_table: jnp.ndarray,
+    use_kernel: bool = False,
+    v_store=None,
 ):
     """One sparse decode step (reference models/base.py:315-341 decode
     branch; see SURVEY.md §3.3 for the kernel-by-kernel mapping).
@@ -315,6 +317,9 @@ def decode_shadow(
     sin = jnp.take(sin_table, positions, axis=0)
     static, mut = split_cache(cache)
     layout, gen_len = cache.layout, cache.gen_len
+    inv_freq_full = (
+        rope_lib.inv_freq_full_neox(model) if use_kernel else None
+    )
 
     def body(carry, inputs):
         x, mut = carry
@@ -322,7 +327,8 @@ def decode_shadow(
         q, k_r, _, v = _layer_qkv(model, lp, x, cos, sin)
         k_view, v_view, valid_len, mut = shadow_decode_layer(
             model, layout, static, mut, gen_len, layer, q, k_r, v,
-            cos_table, sin_table,
+            cos_table, sin_table, use_kernel=use_kernel,
+            inv_freq_full=inv_freq_full, v_store=v_store,
         )
         ctx = decode_attention_hm(q, k_view, v_view, valid_len)
         return (_layer_tail(lp, model, x, ctx), mut), None

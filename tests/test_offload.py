@@ -1,0 +1,59 @@
+"""Offloaded V store: native host gather + io_callback decode path.
+
+The offload engine must produce exactly the tokens of the HBM-resident
+shadow engine — V rows are fetched from host DRAM bit-for-bit
+(reference parity contract for ShadowKVCache_CPU vs ShadowKVCache)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from shadowkv_tpu.config import CacheConfig, RuntimeConfig
+from shadowkv_tpu.models.engine import Engine
+from shadowkv_tpu.models.params import init_synthetic_params
+from shadowkv_tpu.models.registry import toy_config
+from shadowkv_tpu.native import gather_rows, have_native
+
+
+def test_native_gather_rows():
+    rng = np.random.RandomState(0)
+    src = np.ascontiguousarray(rng.randn(64, 8, 16).astype(np.float32))
+    idx = rng.randint(0, 64, 40).astype(np.int64)
+    out = gather_rows(src, idx)
+    np.testing.assert_array_equal(out, src[idx])
+
+
+def test_native_gather_rows_masked():
+    rng = np.random.RandomState(1)
+    src = np.ascontiguousarray(rng.randn(32, 4, 8).astype(np.float32))
+    idx = rng.randint(0, 32, 16).astype(np.int64)
+    skip = rng.rand(16) > 0.5
+    out = np.zeros((16, 4, 8), np.float32)
+    gather_rows(src, idx, skip=skip, out=out)
+    np.testing.assert_array_equal(out[~skip], src[idx[~skip]])
+    np.testing.assert_array_equal(out[skip], 0.0)
+
+
+def test_native_library_builds():
+    # The C++ library should compile in this environment (g++ present).
+    assert have_native(), "libhost_gather.so failed to build/load"
+
+
+def test_offload_engine_matches_hbm_engine():
+    cfg = toy_config(dtype=jnp.float32)
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0))
+    rt = RuntimeConfig(prefill_sub_batch=2, prefill_block_q=128)
+    ids = np.random.RandomState(0).randint(1, cfg.vocab_size, (2, 512))
+    outs = {}
+    for mode in ("shadow", "shadow_offload"):
+        cc = CacheConfig(
+            mode=mode, max_length=512, sparse_budget=64, rank=32,
+            outlier_chunks=4, gen_capacity=32,
+        )
+        eng = Engine(cfg, cc, rt, params)
+        toks, _ = eng.generate(ids, gen_len=12, temperature=0.0)
+        outs[mode] = toks
+    np.testing.assert_array_equal(outs["shadow"], outs["shadow_offload"])

@@ -1,0 +1,111 @@
+"""Interpret-mode tests for the fused sparse-refresh Pallas kernel
+against a pure-jnp reference (SURVEY.md §7.1 M4 test contract)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from shadowkv_tpu.kernels.reconstruct import compact_misses, sparse_refresh
+
+L, B, K, C, CS, R, DH = 3, 2, 4, 24, 8, 32, 128
+S = 8  # select_sets
+SPARSE_START = 16
+CAP = SPARSE_START + S * CS + 8
+
+
+def _mk(key):
+    ks = jax.random.split(key, 8)
+    u = jax.random.normal(ks[0], (L, B, C, CS, R), jnp.float32)
+    sv = jax.random.normal(ks[1], (L, B, K, R, DH), jnp.float32)
+    v_full = jax.random.normal(ks[2], (L, B, K, C, CS, DH), jnp.float32)
+    k_buf = jax.random.normal(ks[3], (L, B, K, CAP, DH), jnp.float32)
+    v_buf = jax.random.normal(ks[4], (L, B, K, CAP, DH), jnp.float32)
+    slot_ids = jax.random.randint(ks[5], (B, K, S), 0, C)
+    stay = jax.random.bernoulli(ks[6], 0.5, (B, K, S))
+    return u, sv, v_full, k_buf, v_buf, slot_ids, stay
+
+
+def _inv_freq_full(theta=10000.0):
+    half = DH // 2
+    invf = 1.0 / theta ** (np.arange(0, DH, 2, dtype=np.float64) / DH)
+    return jnp.asarray(
+        np.concatenate([invf, invf])[None], jnp.float32
+    )  # [1, DH]
+
+
+def _rope_ref(x, positions, inv_freq_full):
+    # x: [..., n, DH]; neox rotate-half with duplicated-table trig.
+    ang = positions[..., None] * inv_freq_full[0]
+    half = DH // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return x * jnp.cos(ang) + rot * jnp.sin(ang)
+
+
+def _reference(layer, u, sv, v_full, k_buf, v_buf, slot_ids, stay, invf):
+    k_buf, v_buf = np.array(k_buf), np.array(v_buf)
+    for b in range(B):
+        for k in range(K):
+            for s in range(S):
+                if stay[b, k, s]:
+                    continue
+                cid = int(slot_ids[b, k, s])
+                row = SPARSE_START + s * CS
+                v_buf[layer, b, k, row : row + CS] = v_full[
+                    layer, b, k, cid
+                ]
+                k_rec = u[layer, b, cid] @ sv[layer, b, k]  # [CS, DH]
+                pos = cid * CS + jnp.arange(CS, dtype=jnp.float32)
+                k_buf[layer, b, k, row : row + CS] = np.array(
+                    _rope_ref(k_rec, pos, invf)
+                )
+    return k_buf, v_buf
+
+
+@pytest.mark.parametrize("layer", [0, 2])
+def test_sparse_refresh_matches_reference(rng, layer):
+    u, sv, v_full, k_buf, v_buf, slot_ids, stay = _mk(rng)
+    invf = _inv_freq_full()
+    miss_chunk, miss_slot, miss_cnt = compact_misses(slot_ids, stay)
+
+    k_out, v_out = sparse_refresh(
+        jnp.asarray(layer, jnp.int32),
+        miss_chunk, miss_slot, miss_cnt,
+        u, sv, v_full, invf, k_buf, v_buf,
+        chunk_size=CS, sparse_start=SPARSE_START, rope_dim=DH,
+        interpret=True,
+    )
+    k_ref, v_ref = _reference(
+        layer, u, sv, v_full, k_buf, v_buf, slot_ids, stay, invf
+    )
+    np.testing.assert_allclose(np.array(v_out), v_ref, atol=1e-6)
+    np.testing.assert_allclose(np.array(k_out), k_ref, rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_compact_misses():
+    slot_ids = jnp.array([[[5, 9, 3, 7]]], jnp.int32)
+    stay = jnp.array([[[True, False, True, False]]])
+    mc, ms, cnt = compact_misses(slot_ids, stay)
+    assert int(cnt[0, 0]) == 2
+    assert list(np.array(ms[0, 0, :2])) == [1, 3]
+    assert list(np.array(mc[0, 0, :2])) == [9, 7]
+
+
+def test_sparse_refresh_all_hits_noop(rng):
+    u, sv, v_full, k_buf, v_buf, slot_ids, _ = _mk(rng)
+    stay = jnp.ones((B, K, S), bool)
+    invf = _inv_freq_full()
+    mc, ms, cnt = compact_misses(slot_ids, stay)
+    k_out, v_out = sparse_refresh(
+        jnp.asarray(0, jnp.int32), mc, ms, cnt,
+        u, sv, v_full, invf, k_buf, v_buf,
+        chunk_size=CS, sparse_start=SPARSE_START, rope_dim=DH,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.array(k_out), np.array(k_buf))
+    np.testing.assert_array_equal(np.array(v_out), np.array(v_buf))
