@@ -112,8 +112,8 @@ class ShadowCache(flax.struct.PyTreeNode):
 
     u: jnp.ndarray  # [L, B, C, cs, r_pad] chunk-major pre-RoPE K factors
     sv: jnp.ndarray  # [L, B, K, r_pad, Dh]
-    landmarks: jnp.ndarray  # [L, B, K, C_lm, Dh]
-    landmark_idx: jnp.ndarray  # [L, B, K, C_lm] int32
+    landmarks: jnp.ndarray  # [L, B, K, C, Dh] all-chunk means
+    landmark_mask: jnp.ndarray  # [L, B, K, C] bool, False at outliers
     k_buf: jnp.ndarray  # [L, B, K, cap, Dh] compact post-RoPE K buffer
     v_buf: jnp.ndarray  # [L, B, K, cap, Dh]
     v_full: jnp.ndarray  # [L, B, K, C, cs, Dh] chunk-major V store
@@ -145,10 +145,8 @@ class ShadowCache(flax.struct.PyTreeNode):
         return cls(
             u=jnp.zeros((l, b, lo.chunks, cs, lo.rank_pad), dt),
             sv=jnp.zeros((l, b, kh, lo.rank_pad, dh), dt),
-            landmarks=jnp.zeros((l, b, kh, lo.num_landmarks, dh), dt),
-            landmark_idx=jnp.zeros(
-                (l, b, kh, lo.num_landmarks), jnp.int32
-            ),
+            landmarks=jnp.zeros((l, b, kh, lo.chunks, dh), dt),
+            landmark_mask=jnp.zeros((l, b, kh, lo.chunks), jnp.bool_),
             k_buf=jnp.zeros((l, b, kh, lo.buffer_cap, dh), dt),
             v_buf=jnp.zeros((l, b, kh, lo.buffer_cap, dh), dt),
             v_full=jnp.zeros((l, b, kh, lo.chunks, cs, dh), dt),
@@ -237,7 +235,7 @@ def shadow_prefill_layer(
     g = model.num_groups
     q_grouped = q_last.transpose(0, 2, 1, 3).reshape(b, kh, g, 1, dh)
     seed_ids = score_and_select(
-        q_grouped, lm.landmarks, lm.landmark_idx, lo.select_sets
+        q_grouped, lm.landmarks, lm.landmark_mask, lo.select_sets
     )
     seed_pos = chunk_ids_to_positions(seed_ids, cs)  # [B, K, budget]
     k_seed = jnp.take_along_axis(
@@ -253,7 +251,7 @@ def shadow_prefill_layer(
         u=u,
         sv=sv,
         landmarks=lm.landmarks,
-        landmark_idx=lm.landmark_idx,
+        landmark_mask=lm.landmark_mask,
         k_buf=k_buf,
         v_buf=v_buf,
         v_full=v_full,
@@ -267,7 +265,7 @@ def assemble_cache(layer_slices: dict, layout: ShadowLayout) -> ShadowCache:
         u=layer_slices["u"],
         sv=layer_slices["sv"],
         landmarks=layer_slices["landmarks"],
-        landmark_idx=layer_slices["landmark_idx"],
+        landmark_mask=layer_slices["landmark_mask"],
         k_buf=layer_slices["k_buf"],
         v_buf=layer_slices["v_buf"],
         v_full=layer_slices["v_full"],
@@ -292,7 +290,7 @@ def concat_shadow_caches(caches: list[ShadowCache]) -> ShadowCache:
         u=cat(lambda c: c.u),
         sv=cat(lambda c: c.sv),
         landmarks=cat(lambda c: c.landmarks),
-        landmark_idx=cat(lambda c: c.landmark_idx),
+        landmark_mask=cat(lambda c: c.landmark_mask),
         k_buf=cat(lambda c: c.k_buf),
         v_buf=cat(lambda c: c.v_buf),
         v_full=cat(lambda c: c.v_full),
@@ -315,8 +313,8 @@ class ShadowStatic(flax.struct.PyTreeNode):
 
     u: jnp.ndarray  # [L, B, C, cs, r]
     sv: jnp.ndarray  # [L, B, K, r, Dh]
-    landmarks: jnp.ndarray  # [L, B, K, C_lm, Dh]
-    landmark_idx: jnp.ndarray  # [L, B, K, C_lm]
+    landmarks: jnp.ndarray  # [L, B, K, C, Dh]
+    landmark_mask: jnp.ndarray  # [L, B, K, C]
     v_full: jnp.ndarray  # [L, B, K, C, cs * Dh]
 
 
@@ -334,7 +332,7 @@ def split_cache(cache: ShadowCache) -> tuple[ShadowStatic, ShadowMut]:
             u=cache.u,
             sv=cache.sv,
             landmarks=cache.landmarks,
-            landmark_idx=cache.landmark_idx,
+            landmark_mask=cache.landmark_mask,
             v_full=cache.v_full,
         ),
         ShadowMut(
@@ -360,6 +358,7 @@ def shadow_decode_layer(
     use_kernel: bool = False,
     inv_freq_full: Optional[jnp.ndarray] = None,
     v_store=None,  # HostVStore when V is offloaded to host DRAM
+    approx_topk: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, ShadowMut]:
     """One layer's sparse-attention cache update at decode time.
 
@@ -380,11 +379,13 @@ def shadow_decode_layer(
     lms = jax.lax.dynamic_index_in_dim(
         static.landmarks, layer, axis=0, keepdims=False
     )
-    lm_idx = jax.lax.dynamic_index_in_dim(
-        static.landmark_idx, layer, axis=0, keepdims=False
+    lm_mask = jax.lax.dynamic_index_in_dim(
+        static.landmark_mask, layer, axis=0, keepdims=False
     )
     q_grouped = q.transpose(0, 2, 1, 3).reshape(b, kh, g, qn, dh)
-    new_ids = score_and_select(q_grouped, lms, lm_idx, lo.select_sets)
+    new_ids = score_and_select(
+        q_grouped, lms, lm_mask, lo.select_sets, approx=approx_topk
+    )
 
     # --- 2. slot-stable reuse assignment (TPU redesign of the
     #        reference's hash-map hits-first repack, map.cuh:754-796) ---
@@ -488,8 +489,10 @@ def shadow_decode_layer(
         "bknr,bkrd->bknd", u_rows, sv_l, preferred_element_type=jnp.float32
     ).astype(k_buf_l.dtype)
     # Decomposed RoPE: rotate(x, chunk*cs + off) =
-    # rotate(rotate(x, off), chunk*cs). The off table is cs rows (no
-    # gather); the chunk-base gather is cs x smaller than per-token.
+    # rotate(rotate(x, off), chunk*cs). The off table is cs static rows
+    # and the chunk-base gather is cs x fewer rows than per-token
+    # (XLA's gather of 128 B cos/sin rows is brutally latency-bound —
+    # a single-stage per-token-gather variant measured 2x slower).
     half = cos_table.shape[-1]
     k_rec = k_rec.reshape(b, kh, ssets, cs, dh)
     cos_off = cos_table[:cs][None, None, None]  # [1,1,1,cs,half]

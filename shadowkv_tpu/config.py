@@ -101,6 +101,10 @@ class CacheConfig:
     gen_capacity: int = 256
     # Memory kind for the full V store: 'device' (HBM) or 'pinned_host'.
     v_memory_kind: str = "device"
+    # Approximate top-k (jax.lax.approx_max_k, recall ~0.95) for the
+    # per-step landmark selection — ~2x faster than the full sort on
+    # TPU at 4K+ landmarks. Exact top-k when False.
+    approx_topk: bool = True
 
     def resolved_outlier_chunks(self) -> int:
         if self.outlier_chunks is not None:

@@ -43,8 +43,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-V_RING = 16  # outstanding HBM->HBM V copies
-U_RING = 4  # U-load / K-write pipeline depth
+GROUP = 16  # miss chunks processed per pipeline stage: the group's U
+# loads are issued back-to-back (latency amortized), reconstruction is
+# ONE [GROUP*cs, r] x [r, Dh] MXU matmul, and RoPE is vectorized over
+# the whole [GROUP*cs, Dh] tile. Double-buffered across groups.
+NBUF = 2
 
 
 def _refresh_kernel(
@@ -64,11 +67,12 @@ def _refresh_kernel(
     k_out_hbm,
     v_out_hbm,
     # scratch
-    u_tile,  # VMEM [U_RING, cs, r]
-    k_tile,  # VMEM [U_RING, cs, Dh]
-    v_sems,  # DMA sems [V_RING]
-    u_sems,  # DMA sems [U_RING]
-    w_sems,  # DMA sems [U_RING]
+    u_tile,  # VMEM [NBUF, GROUP * cs, r]
+    k_tile,  # VMEM [NBUF, GROUP * cs, Dh]
+    pos_tile,  # VMEM [GROUP * cs, Dh] f32
+    v_sems,  # DMA sems [NBUF, GROUP]
+    u_sems,  # DMA sems [NBUF, GROUP]
+    w_sems,  # DMA sems [NBUF, GROUP]
     *,
     num_kv_heads: int,
     chunk_size: int,
@@ -82,110 +86,148 @@ def _refresh_kernel(
     layer = layer_ref[0]
     n = miss_cnt_ref[bk]
     cs, dh = chunk_size, head_dim
+    n_groups = (n + GROUP - 1) // GROUP
 
-    def v_dma(j):
+    def v_dma(j, buf, i):
         cid = miss_chunk_ref[bk, j]
         row = sparse_start + miss_slot_ref[bk, j] * cs
         return pltpu.make_async_copy(
             v_full_hbm.at[layer, b, k, cid],
             v_out_hbm.at[layer, b, k, pl.ds(row, cs), :],
-            v_sems.at[j % V_RING],
+            v_sems.at[buf, i],
         )
 
-    def u_dma(j, slot):
+    def u_dma(j, buf, i):
         cid = miss_chunk_ref[bk, j]
         return pltpu.make_async_copy(
-            u_hbm.at[layer, b, cid], u_tile.at[slot], u_sems.at[slot]
+            u_hbm.at[layer, b, cid],
+            u_tile.at[buf, pl.ds(i * cs, cs), :],
+            u_sems.at[buf, i],
         )
 
-    def k_write_dma(j, slot):
+    def k_write_dma(j, buf, i):
         row = sparse_start + miss_slot_ref[bk, j] * cs
         return pltpu.make_async_copy(
-            k_tile.at[slot],
+            k_tile.at[buf, pl.ds(i * cs, cs), :],
             k_out_hbm.at[layer, b, k, pl.ds(row, cs), :],
-            w_sems.at[slot],
+            w_sems.at[buf, i],
         )
 
-    # Warm up the U pipeline.
-    for j in range(U_RING):
-        @pl.when(j < n)
-        def _(j=j):
-            u_dma(j, j).start()
-            v_dma(j).start()
+    def start_group(g):
+        """Issue the group's GROUP U loads + V copies back-to-back."""
+        buf = g % NBUF
+
+        def issue(i, _):
+            j = g * GROUP + i
+
+            @pl.when(j < n)
+            def _():
+                u_dma(j, buf, i).start()
+                v_dma(j, buf, i).start()
+
+            return 0
+
+        jax.lax.fori_loop(0, GROUP, issue, 0)
+
+    @pl.when(n > 0)
+    def _():
+        start_group(0)
 
     row_pos = jax.lax.broadcasted_iota(jnp.int32, (cs, dh), 0).astype(
         jnp.float32
     )
-    lane = jax.lax.broadcasted_iota(jnp.int32, (cs, dh), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (GROUP * cs, dh), 1)
     rot_sign = jnp.where(lane < rope_dim // 2, -1.0, 1.0)
     rope_lane = lane < rope_dim
     inv_freq = inv_freq_vmem[0][None, :]  # [1, Dh]
     sv = sv_vmem[0, 0, 0]  # [r, Dh]
 
-    def body(j, _):
-        slot = j % U_RING
-        # Retire the K-write that used this staging slot.
-        @pl.when(j >= U_RING)
+    def group_body(g, _):
+        buf = g % NBUF
+        j0 = g * GROUP
+
+        # Wait the group's U loads; retire this buffer's previous
+        # K-writes and V copies before any reuse (exact semaphore
+        # accounting: every started DMA is waited exactly once).
+        def wait_in(i, _):
+            j = j0 + i
+
+            @pl.when(j < n)
+            def _():
+                u_dma(j, buf, i).wait()
+
+            jp = (g - NBUF) * GROUP + i
+
+            @pl.when((jp >= 0) & (jp < n))
+            def _():
+                k_write_dma(jp, buf, i).wait()
+                v_dma(jp, buf, i).wait()
+
+            # Absolute RoPE positions for this group's rows.
+            @pl.when(j < n)
+            def _():
+                cid = miss_chunk_ref[bk, j]
+                pos_tile[pl.ds(i * cs, cs), :] = (
+                    cid.astype(jnp.float32) * cs + row_pos
+                )
+
+            return 0
+
+        jax.lax.fori_loop(0, GROUP, wait_in, 0)
+
+        # Prefetch the NEXT group while this one computes.
+        @pl.when(g + 1 < n_groups)
         def _():
-            k_write_dma(j - U_RING, slot).wait()
+            start_group(g + 1)
 
-        u_dma(j, slot).wait()
+        # One MXU matmul + vectorized RoPE for the whole group.
         k_rec = jnp.dot(
-            u_tile[slot], sv, preferred_element_type=jnp.float32
-        )  # [cs, Dh]
-
-        # RoPE at absolute positions chunk*cs + [0, cs): trig computed
-        # in-register (cheaper than DMAing gathered cos/sin rows).
-        cid = miss_chunk_ref[bk, j]
-        pos = cid.astype(jnp.float32) * cs + row_pos
-        ang = pos * inv_freq
+            u_tile[buf], sv, preferred_element_type=jnp.float32
+        )  # [GROUP*cs, Dh]
+        ang = pos_tile[:, :] * inv_freq
         rotated = pltpu.roll(k_rec, rope_dim // 2, 1) * rot_sign
         roped = k_rec * jnp.cos(ang) + rotated * jnp.sin(ang)
-        k_tile[slot] = jnp.where(
-            rope_lane, roped, k_rec
-        ).astype(k_tile.dtype)
-        k_write_dma(j, slot).start()
+        k_tile[buf] = jnp.where(rope_lane, roped, k_rec).astype(
+            k_tile.dtype
+        )
 
-        # Keep the prefetch rings full. The V ring retires the previous
-        # user of a semaphore slot before reusing it (an unwaited slot
-        # would accumulate completion counts and let the final drain
-        # pass while copies are still in flight).
-        nxt = j + U_RING
+        def write_out(i, _):
+            j = j0 + i
 
-        @pl.when(nxt < n)
+            @pl.when(j < n)
+            def _():
+                k_write_dma(j, buf, i).start()
+
+            return 0
+
+        jax.lax.fori_loop(0, GROUP, write_out, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, group_body, 0)
+
+    # Drain the last NBUF groups' K writes and V copies.
+    def drain(t, _):
+        g = n_groups - NBUF + t
+
+        @pl.when(g >= 0)
         def _():
-            u_dma(nxt, nxt % U_RING).start()
+            buf = g % NBUF
 
-        @pl.when((nxt < n) & (nxt >= V_RING))
-        def _():
-            v_dma(nxt - V_RING).wait()
+            def w(i, _):
+                j = g * GROUP + i
 
-        @pl.when(nxt < n)
-        def _():
-            v_dma(nxt).start()
+                @pl.when(j < n)
+                def _():
+                    k_write_dma(j, buf, i).wait()
+                    v_dma(j, buf, i).wait()
+
+                return 0
+
+            jax.lax.fori_loop(0, GROUP, w, 0)
 
         return 0
 
-    jax.lax.fori_loop(0, n, body, 0)
-
-    # Drain outstanding K writes and V copies.
-    def drain_w(i, _):
-        j = n - U_RING + i
-        @pl.when(j >= 0)
-        def _():
-            k_write_dma(j, j % U_RING).wait()
-        return 0
-
-    jax.lax.fori_loop(0, U_RING, drain_w, 0)
-
-    def drain_v(i, _):
-        j = n - V_RING + i
-        @pl.when(j >= 0)
-        def _():
-            v_dma(j).wait()
-        return 0
-
-    jax.lax.fori_loop(0, V_RING, drain_v, 0)
+    jax.lax.fori_loop(0, NBUF, drain, 0)
 
 
 @functools.partial(
@@ -249,11 +291,12 @@ def sparse_refresh(
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((U_RING, cs, r), u.dtype),
-            pltpu.VMEM((U_RING, cs, dh), k_buf.dtype),
-            pltpu.SemaphoreType.DMA((V_RING,)),
-            pltpu.SemaphoreType.DMA((U_RING,)),
-            pltpu.SemaphoreType.DMA((U_RING,)),
+            pltpu.VMEM((NBUF, GROUP * cs, r), u.dtype),
+            pltpu.VMEM((NBUF, GROUP * cs, dh), k_buf.dtype),
+            pltpu.VMEM((GROUP * cs, dh), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF, GROUP)),
+            pltpu.SemaphoreType.DMA((NBUF, GROUP)),
+            pltpu.SemaphoreType.DMA((NBUF, GROUP)),
         ],
     )
     k_out, v_out = pl.pallas_call(
@@ -266,7 +309,13 @@ def sparse_refresh(
         # flat input indices INCLUDE the 4 scalar-prefetch args:
         # 0-3 scalars, 4 u, 5 v_full, 6 sv, 7 inv_freq, 8 k_buf, 9 v_buf
         input_output_aliases={8: 0, 9: 1},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # (b, k) cells touch disjoint buffer rows; letting Mosaic
+            # treat the grid as parallel keeps the sv block pipeline
+            # ahead of the (often nearly empty) cell bodies.
+            dimension_semantics=("parallel",),
+        ),
         interpret=interpret,
     )(
         layer.reshape(1).astype(jnp.int32),

@@ -80,14 +80,21 @@ class Engine:
     def _build_jits(self):
         model, rt = self.model, self.rt
         if rt.use_pallas is None:
+            # The fused kernel wins when selection is temporally stable
+            # (real-model decoding: hits dominate, refresh ~0.5 ms/step
+            # vs the XLA path's fixed all-slot gathers). The XLA path
+            # wins in miss-heavy regimes (its vectorized gather beats
+            # scalar-issued per-chunk DMAs below ~75 % hit rate).
+            # Default to the XLA path; opt in via RuntimeConfig.
+            self.use_pallas = False
+        else:
             on_tpu = jax.devices()[0].platform != "cpu"
             self.use_pallas = (
-                on_tpu
+                rt.use_pallas
+                and on_tpu
                 and model.rope_style == "neox"
                 and model.rope_dim == model.head_dim
             )
-        else:
-            self.use_pallas = rt.use_pallas
 
         # batch_start is a TRACED arg: a static one would trigger one
         # full XLA compile per sub-batch offset (~25 s each through the
@@ -126,13 +133,17 @@ class Engine:
             self.use_pallas = False
         use_pallas = self.use_pallas
         engine = self
+        approx_topk = (
+            self.cache_cfg.approx_topk
+            and jax.devices()[0].platform != "cpu"
+        )
 
         @partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(1,))
         def decode_shadow_fn(params, cache, tokens, key, temperature, top_k, top_p):
             logits, cache = forward.decode_shadow(
                 model, params, cache, tokens, self.cos_table,
                 self.sin_table, use_kernel=use_pallas,
-                v_store=engine.v_store,
+                v_store=engine.v_store, approx_topk=approx_topk,
             )
             return _sample(logits, key, temperature, top_k, top_p), cache
 

@@ -274,7 +274,7 @@ def prefill_shadow_into(
             u=put(cache.u, slices["u"]),
             sv=put(cache.sv, slices["sv"]),
             landmarks=put(cache.landmarks, slices["landmarks"]),
-            landmark_idx=put(cache.landmark_idx, slices["landmark_idx"]),
+            landmark_mask=put(cache.landmark_mask, slices["landmark_mask"]),
             k_buf=put(cache.k_buf, slices["k_buf"]),
             v_buf=put(cache.v_buf, slices["v_buf"]),
             v_full=put(cache.v_full, slices["v_full"]),
@@ -300,6 +300,7 @@ def decode_shadow(
     sin_table: jnp.ndarray,
     use_kernel: bool = False,
     v_store=None,
+    approx_topk: bool = False,
 ):
     """One sparse decode step (reference models/base.py:315-341 decode
     branch; see SURVEY.md §3.3 for the kernel-by-kernel mapping).
@@ -329,6 +330,7 @@ def decode_shadow(
             model, layout, static, mut, gen_len, layer, q, k_r, v,
             cos_table, sin_table, use_kernel=use_kernel,
             inv_freq_full=inv_freq_full, v_store=v_store,
+            approx_topk=approx_topk,
         )
         ctx = decode_attention_hm(q, k_view, v_view, valid_len)
         return (_layer_tail(lp, model, x, ctx), mut), None

@@ -71,7 +71,7 @@ def shadow_cache_pspecs(cache: ShadowCache) -> ShadowCache:
         u=P(None, "dp", None, None),  # shared across heads -> tp-replicated
         sv=P(None, "dp", "tp", None, None),
         landmarks=P(None, "dp", "tp", None, None),
-        landmark_idx=P(None, "dp", "tp", None),
+        landmark_mask=P(None, "dp", "tp", None),
         k_buf=P(None, "dp", "tp", None, None),
         v_buf=P(None, "dp", "tp", None, None),
         v_full=P(None, "dp", "tp", None, None),

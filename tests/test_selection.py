@@ -16,21 +16,18 @@ def test_landmarks_are_chunk_means(rng):
     b, kh, c, cs, dh = 1, 2, 16, 8, 32
     k = jax.random.normal(rng, (b, kh, c, cs, dh), jnp.float32)
     lm = compute_landmarks_outliers(k, outlier_chunks=4)
-    assert lm.landmarks.shape == (b, kh, 12, dh)
-    assert lm.landmark_idx.shape == (b, kh, 12)
+    assert lm.landmarks.shape == (b, kh, c, dh)
+    assert lm.landmark_mask.shape == (b, kh, c)
     means = np.asarray(k.mean(axis=-2))
-    idx = np.asarray(lm.landmark_idx)
-    got = np.asarray(lm.landmarks)
-    for h in range(kh):
-        for j, cid in enumerate(idx[0, h]):
-            np.testing.assert_allclose(
-                got[0, h, j], means[0, h, cid], rtol=1e-5
-            )
-    # landmark ids and outlier ids partition all chunks
-    all_ids = np.sort(
-        np.concatenate([idx[0, 0], np.asarray(lm.outlier_idx)[0, 0]])
+    np.testing.assert_allclose(
+        np.asarray(lm.landmarks), means, rtol=1e-5
     )
-    np.testing.assert_array_equal(all_ids, np.arange(c))
+    # mask is False exactly at the outlier chunks
+    mask = np.asarray(lm.landmark_mask)
+    for h in range(kh):
+        assert mask[0, h].sum() == c - 4
+        for cid in np.asarray(lm.outlier_idx)[0, h]:
+            assert not mask[0, h, cid]
 
 
 def test_outliers_have_lowest_min_cosine(rng):
@@ -49,16 +46,25 @@ def test_score_and_select_prefers_matching_landmark(rng):
     b, kh, g, dh = 1, 2, 2, 32
     c = 8
     landmarks = jax.random.normal(rng, (b, kh, c, dh), jnp.float32)
-    landmark_idx = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32) * 3,
-                                    (b, kh, c))
+    mask = jnp.ones((b, kh, c), bool)
     # Query aligned with landmark 6 for every head.
     q = jnp.broadcast_to(landmarks[:, :, 6], (b, kh, dh))
     q = q[:, :, None, None] * 5.0  # [B,K,G=1,Q=1,Dh] -> broadcast G
     q = jnp.broadcast_to(q, (b, kh, g, 1, dh))
-    sel = score_and_select(q, landmarks, landmark_idx, select_sets=2)
+    sel = score_and_select(q, landmarks, mask, select_sets=2)
     assert sel.shape == (b, kh, 2)
-    # Top selection must be landmark 6's original chunk id (6*3).
-    assert np.all(np.asarray(sel)[..., 0] == 18)
+    assert np.all(np.asarray(sel)[..., 0] == 6)
+
+
+def test_score_and_select_never_picks_masked(rng):
+    b, kh, g, dh, c = 1, 1, 1, 16, 10
+    landmarks = jax.random.normal(rng, (b, kh, c, dh), jnp.float32)
+    mask = jnp.ones((b, kh, c), bool).at[0, 0, 3].set(False)
+    q = jnp.broadcast_to(
+        landmarks[:, :, 3][:, :, None, None], (b, kh, g, 1, dh)
+    ) * 10.0  # strongly aligned with the MASKED chunk
+    sel = score_and_select(q, landmarks, mask, select_sets=4)
+    assert 3 not in np.asarray(sel)
 
 
 def test_reorder_hits_first_properties(rng):
