@@ -11,7 +11,14 @@ has 16 GB, so the bench model is scaled to keep the same regime:
 KV-cache-bandwidth-bound full attention vs compact-buffer ShadowKV).
 
 Env overrides: BENCH_DATALEN, BENCH_FULL_BATCH, BENCH_SHADOW_BATCH,
-BENCH_DECODE_STEPS, BENCH_MODE (full|shadow|both).
+BENCH_DECODE_STEPS, BENCH_MODE (full|shadow|both), BENCH_QUANT
+(none|int8), BENCH_USE_PALLAS (0|1).
+
+Default configuration matches the BASELINE.json north star: 122K
+context on one chip, full attention at its max feasible batch (1 on a
+16 GB v5e) vs ShadowKV at its max feasible batch (3 with the int8
+V/U/landmark stores) — the reference's batch-enlargement story
+(index.html:147) on TPU terms.
 """
 
 from __future__ import annotations
@@ -56,11 +63,13 @@ def main():
     from shadowkv_tpu.models.params import init_synthetic_params
     from shadowkv_tpu.models.registry import toy_config
 
-    datalen = int(os.environ.get("BENCH_DATALEN", 32768))
-    full_batch = int(os.environ.get("BENCH_FULL_BATCH", 4))
-    shadow_batch = int(os.environ.get("BENCH_SHADOW_BATCH", 8))
-    steps = int(os.environ.get("BENCH_DECODE_STEPS", 32))
+    datalen = int(os.environ.get("BENCH_DATALEN", 122880))
+    full_batch = int(os.environ.get("BENCH_FULL_BATCH", 1))
+    shadow_batch = int(os.environ.get("BENCH_SHADOW_BATCH", 3))
+    steps = int(os.environ.get("BENCH_DECODE_STEPS", 48))
     bench_mode = os.environ.get("BENCH_MODE", "both")
+    quant = os.environ.get("BENCH_QUANT", "int8")
+    use_pallas = os.environ.get("BENCH_USE_PALLAS", "") == "1"
 
     cfg = toy_config(
         name="sbench-1.4b",
@@ -74,7 +83,10 @@ def main():
         rope_theta=500000.0,
         dtype=jnp.bfloat16,
     )
-    rt = RuntimeConfig(prefill_sub_batch=1, prefill_block_q=256)
+    rt = RuntimeConfig(
+        prefill_sub_batch=1, prefill_block_q=256,
+        use_pallas=True if use_pallas else None,
+    )
     log(f"devices: {jax.devices()}")
     params = init_synthetic_params(cfg, jax.random.PRNGKey(0))
     jax.block_until_ready(params)
@@ -95,6 +107,7 @@ def main():
             sparse_budget=2048,
             rank=160,
             chunk_size=8,
+            kv_quant=quant,
         )
         shadow_tps = run_engine(
             "shadowkv", cfg, shadow_cfg, rt, params, datalen, shadow_batch,

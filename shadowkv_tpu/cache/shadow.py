@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from shadowkv_tpu.config import CacheConfig, ModelConfig
 from shadowkv_tpu.core import rope as rope_lib
 from shadowkv_tpu.core.lowrank import lowrank_kv_factors, reconstruct_keys
+from shadowkv_tpu.core.quant import quantize_rows
 from shadowkv_tpu.core.selection import (
     chunk_ids_to_positions,
     compute_landmarks_outliers,
@@ -66,6 +67,10 @@ class ShadowLayout:
     rank_pad: int  # rank rounded up to a lane multiple (128); U/SV are
     # stored zero-padded to it so the refresh kernel's DMA units are
     # tiling-aligned — physically free, XLA pads the minor dim anyway.
+    quant: str = "none"  # 'none' | 'int8': V store / U factors /
+    # landmarks quantized per row, ~2x feasible batch at 122K (the
+    # memory-for-batch trade standing in for the reference's host
+    # offload on bandwidth-limited hosts).
 
     @classmethod
     def build(cls, cache: CacheConfig, prefill_len: int) -> "ShadowLayout":
@@ -96,6 +101,7 @@ class ShadowLayout:
             buffer_cap=sparse_end + cache.gen_capacity,
             rank=cache.rank,
             rank_pad=((cache.rank + 127) // 128) * 128,
+            quant=cache.kv_quant,
         )
 
 
@@ -119,7 +125,13 @@ class ShadowCache(flax.struct.PyTreeNode):
     v_full: jnp.ndarray  # [L, B, K, C, cs, Dh] chunk-major V store
     cached_ids: jnp.ndarray  # [L, B, K, S] chunk ids in sparse slots
     gen_len: jnp.ndarray  # int32 scalar, tokens in gen region
-    layout: ShadowLayout = flax.struct.field(pytree_node=False)
+    # int8-mode per-row scales (None when layout.quant == 'none').
+    u_scale: Optional[jnp.ndarray] = None  # [L, B, C, cs] f32
+    v_scale: Optional[jnp.ndarray] = None  # [L, B, K, C, cs] f32
+    lm_scale: Optional[jnp.ndarray] = None  # [L, B, K, C] f32
+    layout: ShadowLayout = flax.struct.field(
+        pytree_node=False, default=None
+    )
 
     @property
     def kv_len(self) -> jnp.ndarray:
@@ -142,16 +154,28 @@ class ShadowCache(flax.struct.PyTreeNode):
         kh, dh, dt = model.num_kv_heads, model.head_dim, model.dtype
         lo = layout
         cs = lo.chunk_size
+        q8 = lo.quant == "int8"
+        store_dt = jnp.int8 if q8 else dt
         return cls(
-            u=jnp.zeros((l, b, lo.chunks, cs, lo.rank_pad), dt),
+            u=jnp.zeros((l, b, lo.chunks, cs, lo.rank_pad), store_dt),
             sv=jnp.zeros((l, b, kh, lo.rank_pad, dh), dt),
-            landmarks=jnp.zeros((l, b, kh, lo.chunks, dh), dt),
+            landmarks=jnp.zeros((l, b, kh, lo.chunks, dh), store_dt),
             landmark_mask=jnp.zeros((l, b, kh, lo.chunks), jnp.bool_),
             k_buf=jnp.zeros((l, b, kh, lo.buffer_cap, dh), dt),
             v_buf=jnp.zeros((l, b, kh, lo.buffer_cap, dh), dt),
-            v_full=jnp.zeros((l, b, kh, lo.chunks, cs, dh), dt),
+            v_full=jnp.zeros((l, b, kh, lo.chunks, cs, dh), store_dt),
             cached_ids=jnp.zeros((l, b, kh, lo.select_sets), jnp.int32),
             gen_len=jnp.zeros((), jnp.int32),
+            u_scale=(
+                jnp.zeros((l, b, lo.chunks, cs), jnp.float32) if q8 else None
+            ),
+            v_scale=(
+                jnp.zeros((l, b, kh, lo.chunks, cs), jnp.float32)
+                if q8 else None
+            ),
+            lm_scale=(
+                jnp.zeros((l, b, kh, lo.chunks), jnp.float32) if q8 else None
+            ),
             layout=layout,
         )
 
@@ -228,6 +252,12 @@ def shadow_prefill_layer(
     # [B, K, C, cs, Dh]: one chunk = one tiling-aligned (cs, Dh) DMA
     # unit (already in this shape from the reshape above).
     v_full = v_ctx
+    u_scale = v_scale = lm_scale = None
+    landmarks_store = lm.landmarks
+    if lo.quant == "int8":
+        u, u_scale = quantize_rows(u)
+        v_full, v_scale = quantize_rows(v_full)
+        landmarks_store, lm_scale = quantize_rows(lm.landmarks)
 
     # --- seed the sparse region from the last prefill query ---
     # (kv_cache.py:922-970: q_len=1 scoring, exact K/V gathered — the
@@ -247,16 +277,19 @@ def shadow_prefill_layer(
     k_buf = k_buf.at[:, :, lo.sparse_start : lo.sparse_end].set(k_seed)
     v_buf = v_buf.at[:, :, lo.sparse_start : lo.sparse_end].set(v_seed)
 
-    return dict(
+    out = dict(
         u=u,
         sv=sv,
-        landmarks=lm.landmarks,
+        landmarks=landmarks_store,
         landmark_mask=lm.landmark_mask,
         k_buf=k_buf,
         v_buf=v_buf,
         v_full=v_full,
         cached_ids=seed_ids,
     )
+    if lo.quant == "int8":
+        out.update(u_scale=u_scale, v_scale=v_scale, lm_scale=lm_scale)
+    return out
 
 
 def assemble_cache(layer_slices: dict, layout: ShadowLayout) -> ShadowCache:
@@ -271,6 +304,9 @@ def assemble_cache(layer_slices: dict, layout: ShadowLayout) -> ShadowCache:
         v_full=layer_slices["v_full"],
         cached_ids=layer_slices["cached_ids"],
         gen_len=jnp.zeros((), jnp.int32),
+        u_scale=layer_slices.get("u_scale"),
+        v_scale=layer_slices.get("v_scale"),
+        lm_scale=layer_slices.get("lm_scale"),
         layout=layout,
     )
 
@@ -315,7 +351,10 @@ class ShadowStatic(flax.struct.PyTreeNode):
     sv: jnp.ndarray  # [L, B, K, r, Dh]
     landmarks: jnp.ndarray  # [L, B, K, C, Dh]
     landmark_mask: jnp.ndarray  # [L, B, K, C]
-    v_full: jnp.ndarray  # [L, B, K, C, cs * Dh]
+    v_full: jnp.ndarray  # [L, B, K, C, cs, Dh]
+    u_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
+    lm_scale: Optional[jnp.ndarray] = None
 
 
 class ShadowMut(flax.struct.PyTreeNode):
@@ -334,6 +373,9 @@ def split_cache(cache: ShadowCache) -> tuple[ShadowStatic, ShadowMut]:
             landmarks=cache.landmarks,
             landmark_mask=cache.landmark_mask,
             v_full=cache.v_full,
+            u_scale=cache.u_scale,
+            v_scale=cache.v_scale,
+            lm_scale=cache.lm_scale,
         ),
         ShadowMut(
             k_buf=cache.k_buf,
@@ -383,8 +425,14 @@ def shadow_decode_layer(
         static.landmark_mask, layer, axis=0, keepdims=False
     )
     q_grouped = q.transpose(0, 2, 1, 3).reshape(b, kh, g, qn, dh)
+    lm_sc = None
+    if lo.quant == "int8":
+        lm_sc = jax.lax.dynamic_index_in_dim(
+            static.lm_scale, layer, axis=0, keepdims=False
+        )
     new_ids = score_and_select(
-        q_grouped, lms, lm_mask, lo.select_sets, approx=approx_topk
+        q_grouped, lms, lm_mask, lo.select_sets, approx=approx_topk,
+        landmark_scale=lm_sc,
     )
 
     # --- 2. slot-stable reuse assignment (TPU redesign of the
@@ -466,9 +514,13 @@ def shadow_decode_layer(
     else:
         # Single XLA gather including the layer coordinate — no
         # layer-sized temporary of the V store is materialized.
-        v_new_rows = static.v_full[layer, bi, ki, asg.slot_ids].reshape(
-            b, kh, ssets, cs * dh
-        )
+        v_new_rows = static.v_full[layer, bi, ki, asg.slot_ids]
+        if lo.quant == "int8":
+            v_sc = static.v_scale[layer, bi, ki, asg.slot_ids]
+            v_new_rows = (
+                v_new_rows.astype(jnp.float32) * v_sc[..., None]
+            ).astype(v_buf_l.dtype)
+        v_new_rows = v_new_rows.reshape(b, kh, ssets, cs * dh)
     v_sparse = jnp.where(stay_e, v_sparse_old, v_new_rows).reshape(
         b, kh, ssets * cs, dh
     )
@@ -481,6 +533,11 @@ def shadow_decode_layer(
     )
     # Chunk-major U gather: one contiguous [cs, r] block per chunk.
     u_rows = static.u[layer, bi, asg.slot_ids]  # [B,K,S,cs,r_pad]
+    if lo.quant == "int8":
+        u_sc = static.u_scale[layer, bi, asg.slot_ids]  # [B,K,S,cs]
+        u_rows = (
+            u_rows.astype(jnp.float32) * u_sc[..., None]
+        ).astype(k_buf_l.dtype)
     u_rows = u_rows.reshape(b, kh, ssets * cs, lo.rank_pad)
     sv_l = jax.lax.dynamic_index_in_dim(
         static.sv, layer, axis=0, keepdims=False

@@ -101,6 +101,9 @@ class CacheConfig:
     gen_capacity: int = 256
     # Memory kind for the full V store: 'device' (HBM) or 'pinned_host'.
     v_memory_kind: str = "device"
+    # 'int8' quantizes the V store, U factors and landmark table with
+    # per-row scales (~2x feasible batch at 122K); 'none' keeps bf16.
+    kv_quant: str = "none"
     # Approximate top-k (jax.lax.approx_max_k, recall ~0.95) for the
     # per-step landmark selection — ~2x faster than the full sort on
     # TPU at 4K+ landmarks. Exact top-k when False.

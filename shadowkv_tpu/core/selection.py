@@ -90,6 +90,7 @@ def score_and_select(
     landmark_mask: jnp.ndarray,
     select_sets: int,
     approx: bool = False,
+    landmark_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Score landmarks against queries and pick top chunks.
 
@@ -113,6 +114,8 @@ def score_and_select(
         landmarks.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     ) / jnp.sqrt(128.0).astype(jnp.float32)
+    if landmark_scale is not None:  # int8 landmark table: q.(lm*s) =
+        scores = scores * landmark_scale[:, :, None, None, :]  # (q.lm)*s
     scores = jnp.where(
         landmark_mask[:, :, None, None], scores, -jnp.inf
     )

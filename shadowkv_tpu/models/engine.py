@@ -128,9 +128,17 @@ class Engine:
             return _sample(logits, key, temperature, top_k, top_p), cache
 
         # Offload mode fetches V through an io_callback (jnp path); the
-        # fused kernel currently serves the HBM-resident V store only.
-        if self.cache_cfg.mode == "shadow_offload":
+        # fused kernel currently serves the HBM-resident bf16 V store
+        # only (int8 chunks need a dequant hop the kernel doesn't do yet).
+        if (
+            self.cache_cfg.mode == "shadow_offload"
+            or self.cache_cfg.kv_quant != "none"
+        ):
             self.use_pallas = False
+        assert not (
+            self.cache_cfg.mode == "shadow_offload"
+            and self.cache_cfg.kv_quant != "none"
+        ), "offload + quantized V store not supported together yet"
         use_pallas = self.use_pallas
         engine = self
         approx_topk = (

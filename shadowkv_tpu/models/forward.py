@@ -270,7 +270,7 @@ def prefill_shadow_into(
                 dst, src[None].astype(dst.dtype), idx
             )
 
-        cache = cache.replace(
+        updates = dict(
             u=put(cache.u, slices["u"]),
             sv=put(cache.sv, slices["sv"]),
             landmarks=put(cache.landmarks, slices["landmarks"]),
@@ -280,6 +280,13 @@ def prefill_shadow_into(
             v_full=put(cache.v_full, slices["v_full"]),
             cached_ids=put(cache.cached_ids, slices["cached_ids"]),
         )
+        if layout.quant == "int8":
+            updates.update(
+                u_scale=put(cache.u_scale, slices["u_scale"]),
+                v_scale=put(cache.v_scale, slices["v_scale"]),
+                lm_scale=put(cache.lm_scale, slices["lm_scale"]),
+            )
+        cache = cache.replace(**updates)
         ctx = causal_prefill_attention(
             q, k_r, v, block_q=min(rt.prefill_block_q, s)
         )
