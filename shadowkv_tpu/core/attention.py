@@ -98,6 +98,57 @@ def causal_prefill_attention(
     return out[:, :s]
 
 
+def causal_prefill_flash(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    head_major: bool = False,
+) -> jnp.ndarray:
+    """Causal prefill via the Pallas TPU flash-attention kernel.
+
+    The blockwise-jnp fallback attends every q-block to ALL keys and
+    masks — O(S^2) wasted work that makes a 122K prefill one >100 s XLA
+    program (long enough to trip the device watchdog). The flash kernel
+    skips fully-masked key blocks (true causal O(S^2/2) with tile
+    skipping) and runs the softmax online in VMEM.
+
+    Args:
+      q: [B, S, H, Dh]. k/v: [B, T, K, Dh] (or [B, K, T, Dh] when
+        head_major). GQA heads are expanded to H for the kernel.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    b, s, h, dh = q.shape
+    scale = scale if scale is not None else dh**-0.5
+    qh = q.transpose(0, 2, 1, 3)  # [B, H, S, Dh]
+    if head_major:
+        kh_, t = k.shape[1], k.shape[2]
+        k_bh, v_bh = k, v
+    else:
+        kh_, t = k.shape[2], k.shape[1]
+        k_bh = k.transpose(0, 2, 1, 3)
+        v_bh = v.transpose(0, 2, 1, 3)
+    g = h // kh_
+    if g > 1:
+        k_bh = jnp.repeat(k_bh, g, axis=1)
+        v_bh = jnp.repeat(v_bh, g, axis=1)
+    blk = min(512, s, t)
+    sizes = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk,
+        block_k_dkv=blk, block_q_dkv=blk,
+        block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+    )
+    out = flash_attention(
+        qh, k_bh, v_bh, causal=True, sm_scale=scale, block_sizes=sizes
+    )  # [B, H, S, Dh]
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
 def causal_prefill_attention_hm(
     q: jnp.ndarray,
     k_hm: jnp.ndarray,

@@ -96,6 +96,11 @@ class Engine:
                 and model.rope_dim == model.head_dim
             )
 
+        # Flash prefill on TPU: the jnp blockwise fallback attends every
+        # q-block to all keys; at 122K that is one >100 s XLA program,
+        # long enough to trip the device watchdog.
+        use_flash = jax.devices()[0].platform != "cpu"
+
         # batch_start is a TRACED arg: a static one would trigger one
         # full XLA compile per sub-batch offset (~25 s each through the
         # remote-compile tunnel). start_pos stays static (it sizes the
@@ -105,6 +110,7 @@ class Engine:
             return forward.prefill_full(
                 model, rt, params, cache, input_ids, start_pos,
                 self.cos_table, self.sin_table, batch_start,
+                use_flash=use_flash,
             )
 
         @partial(jax.jit, donate_argnums=(1,))
@@ -112,6 +118,7 @@ class Engine:
             return forward.prefill_shadow_into(
                 model, rt, params, cache, input_ids,
                 self.cos_table, self.sin_table, batch_start,
+                use_flash=use_flash,
             )
 
         def _sample(logits, key, temperature, top_k, top_p):

@@ -34,6 +34,7 @@ from shadowkv_tpu.core import rope as rope_lib
 from shadowkv_tpu.core.attention import (
     causal_prefill_attention,
     causal_prefill_attention_hm,
+    causal_prefill_flash,
     decode_attention_hm,
 )
 from shadowkv_tpu.core.layers import (
@@ -92,6 +93,7 @@ def prefill_full(
     cos_table: jnp.ndarray,
     sin_table: jnp.ndarray,
     batch_start=0,  # traced: sub-batch offset into the cache
+    use_flash: bool = False,
 ):
     """Prefill with dense attention; supports chunked continuation via
     a static ``start_pos`` and sub-batch prefill via ``batch_start``
@@ -125,9 +127,12 @@ def prefill_full(
             cache.v, (layer, batch_start, 0, 0, 0),
             (1, b, cache.v.shape[2], end, cache.v.shape[4]),
         )[0]
-        ctx = causal_prefill_attention_hm(
-            q, k_hist, v_hist, end, block_q=min(rt.prefill_block_q, s)
-        )
+        if use_flash and start_pos == 0:
+            ctx = causal_prefill_flash(q, k_hist, v_hist, head_major=True)
+        else:
+            ctx = causal_prefill_attention_hm(
+                q, k_hist, v_hist, end, block_q=min(rt.prefill_block_q, s)
+            )
         return (_layer_tail(lp, model, x, ctx), cache), None
 
     x, cache = _scan_layers(model, params, x, cache, body)
@@ -237,6 +242,7 @@ def prefill_shadow_into(
     cos_table: jnp.ndarray,
     sin_table: jnp.ndarray,
     batch_start=0,  # traced: sub-batch offset into the cache
+    use_flash: bool = False,
 ):
     """Sub-batch shadow prefill writing into a preallocated (donated)
     full-batch cache at ``batch_start`` — peak HBM stays at one cache
@@ -287,9 +293,12 @@ def prefill_shadow_into(
                 lm_scale=put(cache.lm_scale, slices["lm_scale"]),
             )
         cache = cache.replace(**updates)
-        ctx = causal_prefill_attention(
-            q, k_r, v, block_q=min(rt.prefill_block_q, s)
-        )
+        if use_flash:
+            ctx = causal_prefill_flash(q, k_r, v)
+        else:
+            ctx = causal_prefill_attention(
+                q, k_r, v, block_q=min(rt.prefill_block_q, s)
+            )
         return (_layer_tail(lp, model, x, ctx), cache), None
 
     xs = (jnp.arange(model.num_layers), params.layers)
