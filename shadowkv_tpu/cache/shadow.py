@@ -156,14 +156,25 @@ class ShadowCache(flax.struct.PyTreeNode):
         cs = lo.chunk_size
         q8 = lo.quant == "int8"
         store_dt = jnp.int8 if q8 else dt
+        # int8 chunk stores are kept FLAT ([..., C, cs*row]): the int8
+        # sublane tile is 32, so a [..., cs=8, row] int8 array would be
+        # physically padded 4x.
+        u_shape = (
+            (l, b, lo.chunks, cs * lo.rank_pad)
+            if q8 else (l, b, lo.chunks, cs, lo.rank_pad)
+        )
+        v_shape = (
+            (l, b, kh, lo.chunks, cs * dh)
+            if q8 else (l, b, kh, lo.chunks, cs, dh)
+        )
         return cls(
-            u=jnp.zeros((l, b, lo.chunks, cs, lo.rank_pad), store_dt),
+            u=jnp.zeros(u_shape, store_dt),
             sv=jnp.zeros((l, b, kh, lo.rank_pad, dh), dt),
             landmarks=jnp.zeros((l, b, kh, lo.chunks, dh), store_dt),
             landmark_mask=jnp.zeros((l, b, kh, lo.chunks), jnp.bool_),
             k_buf=jnp.zeros((l, b, kh, lo.buffer_cap, dh), dt),
             v_buf=jnp.zeros((l, b, kh, lo.buffer_cap, dh), dt),
-            v_full=jnp.zeros((l, b, kh, lo.chunks, cs, dh), store_dt),
+            v_full=jnp.zeros(v_shape, store_dt),
             cached_ids=jnp.zeros((l, b, kh, lo.select_sets), jnp.int32),
             gen_len=jnp.zeros((), jnp.int32),
             u_scale=(
@@ -255,8 +266,11 @@ def shadow_prefill_layer(
     u_scale = v_scale = lm_scale = None
     landmarks_store = lm.landmarks
     if lo.quant == "int8":
-        u, u_scale = quantize_rows(u)
-        v_full, v_scale = quantize_rows(v_full)
+        u, u_scale = quantize_rows(u)  # scale [B, C, cs]
+        u = u.reshape(b, lo.chunks, cs * lo.rank_pad)  # flat: int8
+        # sublane tile is 32, a 3D [C, 8, r] layout would pad 4x
+        v_full, v_scale = quantize_rows(v_full)  # scale [B, K, C, cs]
+        v_full = v_full.reshape(b, kh, lo.chunks, cs * dh)
         landmarks_store, lm_scale = quantize_rows(lm.landmarks)
 
     # --- seed the sparse region from the last prefill query ---
@@ -457,7 +471,7 @@ def shadow_decode_layer(
             layer, mc, ms, cnt, static.u, static.sv, static.v_full,
             inv_freq_full, mut.k_buf, mut.v_buf,
             chunk_size=cs, sparse_start=lo.sparse_start,
-            rope_dim=model.rope_dim,
+            rope_dim=model.rope_dim, rope_style=model.rope_style,
         )
         # Append the new tokens to the gen region (narrow in-place
         # write on the stacked buffer; reference update_kv_cache,
@@ -516,9 +530,12 @@ def shadow_decode_layer(
         # layer-sized temporary of the V store is materialized.
         v_new_rows = static.v_full[layer, bi, ki, asg.slot_ids]
         if lo.quant == "int8":
+            # [B,K,S,cs*Dh] int8 -> dequant per (chunk, token) row
             v_sc = static.v_scale[layer, bi, ki, asg.slot_ids]
             v_new_rows = (
-                v_new_rows.astype(jnp.float32) * v_sc[..., None]
+                v_new_rows.reshape(b, kh, ssets, cs, dh).astype(
+                    jnp.float32
+                ) * v_sc[..., None]
             ).astype(v_buf_l.dtype)
         v_new_rows = v_new_rows.reshape(b, kh, ssets, cs * dh)
     v_sparse = jnp.where(stay_e, v_sparse_old, v_new_rows).reshape(
@@ -532,11 +549,13 @@ def shadow_decode_layer(
         b, kh, ssets, cs * dh
     )
     # Chunk-major U gather: one contiguous [cs, r] block per chunk.
-    u_rows = static.u[layer, bi, asg.slot_ids]  # [B,K,S,cs,r_pad]
+    u_rows = static.u[layer, bi, asg.slot_ids]  # [B,K,S,cs(,r)|cs*r]
     if lo.quant == "int8":
         u_sc = static.u_scale[layer, bi, asg.slot_ids]  # [B,K,S,cs]
         u_rows = (
-            u_rows.astype(jnp.float32) * u_sc[..., None]
+            u_rows.reshape(b, kh, ssets, cs, lo.rank_pad).astype(
+                jnp.float32
+            ) * u_sc[..., None]
         ).astype(k_buf_l.dtype)
     u_rows = u_rows.reshape(b, kh, ssets * cs, lo.rank_pad)
     sv_l = jax.lax.dynamic_index_in_dim(

@@ -90,12 +90,20 @@ def compute_cos_sin(
 
 
 def inv_freq_full_neox(cfg: ModelConfig) -> jnp.ndarray:
-    """[1, head_dim] neox-duplicated inverse frequencies
-    (concat(invf, invf)) for the fused refresh kernel's in-register RoPE
-    (kernels/reconstruct.py)."""
-    assert cfg.rope_style == "neox" and cfg.rope_dim == cfg.head_dim
-    invf = compute_inv_freq(cfg)
-    return jnp.concatenate([invf, invf])[None]
+    """[1, head_dim] per-lane inverse frequencies for the fused refresh
+    kernel's in-register RoPE (kernels/reconstruct.py):
+
+    - 'neox': the half-table duplicated (lane l pairs with l +- Dh/2);
+    - 'glm' (interleaved partial): lane l < rope_dim uses invf[l // 2],
+      lanes past rope_dim get 0 (cos=1/sin=0 -> pass-through).
+    """
+    invf = compute_inv_freq(cfg)  # [rope_dim // 2]
+    if cfg.rope_style == "neox":
+        assert cfg.rope_dim == cfg.head_dim
+        return jnp.concatenate([invf, invf])[None]
+    full = jnp.zeros((cfg.head_dim,), jnp.float32)
+    full = full.at[: cfg.rope_dim].set(jnp.repeat(invf, 2))
+    return full[None]
 
 
 def apply_rope(

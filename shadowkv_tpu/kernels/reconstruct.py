@@ -79,6 +79,7 @@ def _refresh_kernel(
     head_dim: int,
     sparse_start: int,
     rope_dim: int,
+    rope_style: str,
 ):
     bk = pl.program_id(0)
     b = bk // num_kv_heads
@@ -137,7 +138,19 @@ def _refresh_kernel(
         jnp.float32
     )
     lane = jax.lax.broadcasted_iota(jnp.int32, (GROUP * cs, dh), 1)
-    rot_sign = jnp.where(lane < rope_dim // 2, -1.0, 1.0)
+    if rope_style == "neox":
+        # rotate-half: partner(x)[l] = x[(l + Dh/2) % Dh], sign -1 on
+        # the first half. inv_freq_full zeroes lanes >= rope_dim so
+        # pass-through lanes get cos=1/sin=0 automatically.
+        rot_shift = rope_dim // 2
+        rot_sign = jnp.where(lane < rope_dim // 2, -1.0, 1.0)
+        even_partner = False
+    else:  # 'glm': interleaved (even, odd) pairs on the first rope_dim
+        # lanes (reference rope_new.cu:429-534): partner of an even
+        # lane is the next odd lane and vice versa, sign -1 on even.
+        rot_shift = 1
+        rot_sign = jnp.where(lane % 2 == 0, -1.0, 1.0)
+        even_partner = True
     rope_lane = lane < rope_dim
     inv_freq = inv_freq_vmem[0][None, :]  # [1, Dh]
     sv = sv_vmem[0, 0, 0]  # [r, Dh]
@@ -185,8 +198,15 @@ def _refresh_kernel(
             u_tile[buf], sv, preferred_element_type=jnp.float32
         )  # [GROUP*cs, Dh]
         ang = pos_tile[:, :] * inv_freq
-        rotated = pltpu.roll(k_rec, rope_dim // 2, 1) * rot_sign
-        roped = k_rec * jnp.cos(ang) + rotated * jnp.sin(ang)
+        if even_partner:
+            partner = jnp.where(
+                lane % 2 == 0,
+                pltpu.roll(k_rec, dh - 1, 1),  # even <- next odd lane
+                pltpu.roll(k_rec, 1, 1),  # odd <- previous even lane
+            )
+        else:
+            partner = pltpu.roll(k_rec, rot_shift, 1)
+        roped = k_rec * jnp.cos(ang) + partner * rot_sign * jnp.sin(ang)
         k_tile[buf] = jnp.where(rope_lane, roped, k_rec).astype(
             k_tile.dtype
         )
@@ -233,7 +253,8 @@ def _refresh_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "chunk_size", "sparse_start", "rope_dim", "interpret"
+        "chunk_size", "sparse_start", "rope_dim", "rope_style",
+        "interpret",
     ),
 )
 def sparse_refresh(
@@ -251,6 +272,7 @@ def sparse_refresh(
     chunk_size: int,
     sparse_start: int,
     rope_dim: int,
+    rope_style: str = "neox",
     interpret: bool = False,
 ):
     """Refresh the sparse region of k_buf/v_buf for one layer in place.
@@ -270,6 +292,7 @@ def sparse_refresh(
         head_dim=dh,
         sparse_start=sparse_start,
         rope_dim=rope_dim,
+        rope_style=rope_style,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

@@ -89,12 +89,7 @@ class Engine:
             self.use_pallas = False
         else:
             on_tpu = jax.devices()[0].platform != "cpu"
-            self.use_pallas = (
-                rt.use_pallas
-                and on_tpu
-                and model.rope_style == "neox"
-                and model.rope_dim == model.head_dim
-            )
+            self.use_pallas = bool(rt.use_pallas) and on_tpu
 
         # Flash prefill on TPU: the jnp blockwise fallback attends every
         # q-block to all keys; at 122K that is one >100 s XLA program,

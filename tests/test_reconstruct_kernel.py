@@ -96,6 +96,53 @@ def test_compact_misses():
     assert list(np.array(mc[0, 0, :2])) == [9, 7]
 
 
+def test_sparse_refresh_glm_partial_rope(rng):
+    """GLM variant: interleaved (even, odd) pairs on the first half of
+    the head dim, rest passed through (reference rope_new.cu:429-534)."""
+    from shadowkv_tpu.core.rope import rotate_with_tables
+
+    rope_dim = DH // 2
+    u, sv, v_full, k_buf, v_buf, slot_ids, stay = _mk(rng)
+    half = rope_dim // 2
+    invf_half = 1.0 / 1e4 ** (np.arange(0, rope_dim, 2) / rope_dim)
+    invf_full = np.zeros(DH)
+    invf_full[:rope_dim] = np.repeat(invf_half, 2)
+    invf = jnp.asarray(invf_full[None], jnp.float32)
+    mc, ms, cnt = compact_misses(slot_ids, stay)
+
+    k_out, _ = sparse_refresh(
+        jnp.asarray(1, jnp.int32), mc, ms, cnt,
+        u, sv, v_full, invf, k_buf, v_buf,
+        chunk_size=CS, sparse_start=SPARSE_START, rope_dim=rope_dim,
+        rope_style="glm", interpret=True,
+    )
+    # jnp reference: rotate_with_tables(style='glm') at the positions.
+    cos_t = jnp.cos(
+        jnp.arange(4096)[:, None] * jnp.asarray(invf_half)[None]
+    )
+    sin_t = jnp.sin(
+        jnp.arange(4096)[:, None] * jnp.asarray(invf_half)[None]
+    )
+    k_ref = np.array(k_buf)
+    for b in range(B):
+        for k in range(K):
+            for s in range(S):
+                if stay[b, k, s]:
+                    continue
+                cid = int(slot_ids[b, k, s])
+                row = SPARSE_START + s * CS
+                k_rec = u[1, b, cid] @ sv[1, b, k]
+                pos = cid * CS + np.arange(CS)
+                k_ref[1, b, k, row : row + CS] = np.array(
+                    rotate_with_tables(
+                        k_rec, cos_t[pos], sin_t[pos], style="glm"
+                    )
+                )
+    np.testing.assert_allclose(
+        np.array(k_out), k_ref, rtol=2e-4, atol=2e-4
+    )
+
+
 def test_sparse_refresh_all_hits_noop(rng):
     u, sv, v_full, k_buf, v_buf, slot_ids, _ = _mk(rng)
     stay = jnp.ones((B, K, S), bool)
