@@ -163,3 +163,26 @@ def test_evaluator_roundtrip(tmp_path):
     assert len(rows) == 3
     table = ev.summarize()
     assert table and "1.0000" in table
+
+
+# -- longbench / infinibench templates ----------------------------------------
+
+
+def test_infini_bench_prompt_assembly():
+    from shadowkv_tpu.data.longbench import infini_bench_prompt
+
+    p = infini_bench_prompt(
+        dict(input='Find the key "abc123" here', context="{...json...}"),
+        "kv_retrieval",
+    )
+    assert "abc123" in p and "{...json...}" in p
+    p = infini_bench_prompt(
+        dict(input="compute func_3(7) now", context="def func_3(x): ..."),
+        "code_run",
+    )
+    assert "func_3(7)" in p
+    p = infini_bench_prompt(
+        dict(input="Q?", context="book", options=["a", "b", "c", "d"]),
+        "longbook_choice_eng",
+    )
+    assert "A. a" in p and "D. d" in p
