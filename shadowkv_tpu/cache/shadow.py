@@ -33,7 +33,12 @@ import jax.numpy as jnp
 from shadowkv_tpu.config import CacheConfig, ModelConfig
 from shadowkv_tpu.core import rope as rope_lib
 from shadowkv_tpu.core.lowrank import lowrank_kv_factors, reconstruct_keys
-from shadowkv_tpu.core.quant import quantize_rows
+from shadowkv_tpu.core.quant import (
+    SCALE_TRAILER,
+    pack_chunk_int8,
+    quantize_rows,
+    unpack_chunk_int8,
+)
 from shadowkv_tpu.core.selection import (
     chunk_ids_to_positions,
     compute_landmarks_outliers,
@@ -125,9 +130,8 @@ class ShadowCache(flax.struct.PyTreeNode):
     v_full: jnp.ndarray  # [L, B, K, C, cs, Dh] chunk-major V store
     cached_ids: jnp.ndarray  # [L, B, K, S] chunk ids in sparse slots
     gen_len: jnp.ndarray  # int32 scalar, tokens in gen region
-    # int8-mode per-row scales (None when layout.quant == 'none').
-    u_scale: Optional[jnp.ndarray] = None  # [L, B, C, cs] f32
-    v_scale: Optional[jnp.ndarray] = None  # [L, B, K, C, cs] f32
+    # int8-mode landmark scale (None when layout.quant == 'none');
+    # U/V scales are packed into the quantized rows themselves.
     lm_scale: Optional[jnp.ndarray] = None  # [L, B, K, C] f32
     layout: ShadowLayout = flax.struct.field(
         pytree_node=False, default=None
@@ -156,15 +160,16 @@ class ShadowCache(flax.struct.PyTreeNode):
         cs = lo.chunk_size
         q8 = lo.quant == "int8"
         store_dt = jnp.int8 if q8 else dt
-        # int8 chunk stores are kept FLAT ([..., C, cs*row]): the int8
-        # sublane tile is 32, so a [..., cs=8, row] int8 array would be
-        # physically padded 4x.
+        # int8 chunk stores are kept FLAT ([..., C, cs*row + trailer]):
+        # the int8 sublane tile is 32, so a [..., cs=8, row] int8 array
+        # would be physically padded 4x; the 128-lane trailer carries
+        # the packed per-token scales (core/quant.py).
         u_shape = (
-            (l, b, lo.chunks, cs * lo.rank_pad)
+            (l, b, lo.chunks, cs * lo.rank_pad + SCALE_TRAILER)
             if q8 else (l, b, lo.chunks, cs, lo.rank_pad)
         )
         v_shape = (
-            (l, b, kh, lo.chunks, cs * dh)
+            (l, b, kh, lo.chunks, cs * dh + SCALE_TRAILER)
             if q8 else (l, b, kh, lo.chunks, cs, dh)
         )
         return cls(
@@ -177,13 +182,6 @@ class ShadowCache(flax.struct.PyTreeNode):
             v_full=jnp.zeros(v_shape, store_dt),
             cached_ids=jnp.zeros((l, b, kh, lo.select_sets), jnp.int32),
             gen_len=jnp.zeros((), jnp.int32),
-            u_scale=(
-                jnp.zeros((l, b, lo.chunks, cs), jnp.float32) if q8 else None
-            ),
-            v_scale=(
-                jnp.zeros((l, b, kh, lo.chunks, cs), jnp.float32)
-                if q8 else None
-            ),
             lm_scale=(
                 jnp.zeros((l, b, kh, lo.chunks), jnp.float32) if q8 else None
             ),
@@ -263,14 +261,11 @@ def shadow_prefill_layer(
     # [B, K, C, cs, Dh]: one chunk = one tiling-aligned (cs, Dh) DMA
     # unit (already in this shape from the reshape above).
     v_full = v_ctx
-    u_scale = v_scale = lm_scale = None
+    lm_scale = None
     landmarks_store = lm.landmarks
     if lo.quant == "int8":
-        u, u_scale = quantize_rows(u)  # scale [B, C, cs]
-        u = u.reshape(b, lo.chunks, cs * lo.rank_pad)  # flat: int8
-        # sublane tile is 32, a 3D [C, 8, r] layout would pad 4x
-        v_full, v_scale = quantize_rows(v_full)  # scale [B, K, C, cs]
-        v_full = v_full.reshape(b, kh, lo.chunks, cs * dh)
+        u = pack_chunk_int8(u)  # [B, C, cs*r_pad + trailer]
+        v_full = pack_chunk_int8(v_full)  # [B, K, C, cs*Dh + trailer]
         landmarks_store, lm_scale = quantize_rows(lm.landmarks)
 
     # --- seed the sparse region from the last prefill query ---
@@ -302,7 +297,7 @@ def shadow_prefill_layer(
         cached_ids=seed_ids,
     )
     if lo.quant == "int8":
-        out.update(u_scale=u_scale, v_scale=v_scale, lm_scale=lm_scale)
+        out.update(lm_scale=lm_scale)
     return out
 
 
@@ -318,8 +313,6 @@ def assemble_cache(layer_slices: dict, layout: ShadowLayout) -> ShadowCache:
         v_full=layer_slices["v_full"],
         cached_ids=layer_slices["cached_ids"],
         gen_len=jnp.zeros((), jnp.int32),
-        u_scale=layer_slices.get("u_scale"),
-        v_scale=layer_slices.get("v_scale"),
         lm_scale=layer_slices.get("lm_scale"),
         layout=layout,
     )
@@ -366,8 +359,6 @@ class ShadowStatic(flax.struct.PyTreeNode):
     landmarks: jnp.ndarray  # [L, B, K, C, Dh]
     landmark_mask: jnp.ndarray  # [L, B, K, C]
     v_full: jnp.ndarray  # [L, B, K, C, cs, Dh]
-    u_scale: Optional[jnp.ndarray] = None
-    v_scale: Optional[jnp.ndarray] = None
     lm_scale: Optional[jnp.ndarray] = None
 
 
@@ -387,8 +378,6 @@ def split_cache(cache: ShadowCache) -> tuple[ShadowStatic, ShadowMut]:
             landmarks=cache.landmarks,
             landmark_mask=cache.landmark_mask,
             v_full=cache.v_full,
-            u_scale=cache.u_scale,
-            v_scale=cache.v_scale,
             lm_scale=cache.lm_scale,
         ),
         ShadowMut(
@@ -530,13 +519,11 @@ def shadow_decode_layer(
         # layer-sized temporary of the V store is materialized.
         v_new_rows = static.v_full[layer, bi, ki, asg.slot_ids]
         if lo.quant == "int8":
-            # [B,K,S,cs*Dh] int8 -> dequant per (chunk, token) row
-            v_sc = static.v_scale[layer, bi, ki, asg.slot_ids]
-            v_new_rows = (
-                v_new_rows.reshape(b, kh, ssets, cs, dh).astype(
-                    jnp.float32
-                ) * v_sc[..., None]
-            ).astype(v_buf_l.dtype)
+            # one gather fetched data + packed scales; dequant in the
+            # buffer dtype (no f32 intermediates)
+            v_new_rows = unpack_chunk_int8(
+                v_new_rows, cs, dh, v_buf_l.dtype
+            )
         v_new_rows = v_new_rows.reshape(b, kh, ssets, cs * dh)
     v_sparse = jnp.where(stay_e, v_sparse_old, v_new_rows).reshape(
         b, kh, ssets * cs, dh
@@ -549,14 +536,11 @@ def shadow_decode_layer(
         b, kh, ssets, cs * dh
     )
     # Chunk-major U gather: one contiguous [cs, r] block per chunk.
-    u_rows = static.u[layer, bi, asg.slot_ids]  # [B,K,S,cs(,r)|cs*r]
+    u_rows = static.u[layer, bi, asg.slot_ids]  # [B,K,S,cs,r] | packed
     if lo.quant == "int8":
-        u_sc = static.u_scale[layer, bi, asg.slot_ids]  # [B,K,S,cs]
-        u_rows = (
-            u_rows.reshape(b, kh, ssets, cs, lo.rank_pad).astype(
-                jnp.float32
-            ) * u_sc[..., None]
-        ).astype(k_buf_l.dtype)
+        u_rows = unpack_chunk_int8(
+            u_rows, cs, lo.rank_pad, k_buf_l.dtype
+        )
     u_rows = u_rows.reshape(b, kh, ssets * cs, lo.rank_pad)
     sv_l = jax.lax.dynamic_index_in_dim(
         static.sv, layer, axis=0, keepdims=False

@@ -288,8 +288,6 @@ def prefill_shadow_into(
         )
         if layout.quant == "int8":
             updates.update(
-                u_scale=put(cache.u_scale, slices["u_scale"]),
-                v_scale=put(cache.v_scale, slices["v_scale"]),
                 lm_scale=put(cache.lm_scale, slices["lm_scale"]),
             )
         cache = cache.replace(**updates)

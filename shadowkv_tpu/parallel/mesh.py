@@ -77,10 +77,6 @@ def shadow_cache_pspecs(cache: ShadowCache) -> ShadowCache:
         v_full=P(None, "dp", "tp", None, None),
         cached_ids=P(None, "dp", "tp", None),
         gen_len=P(),
-        u_scale=None if cache.u_scale is None else P(None, "dp", None, None),
-        v_scale=(
-            None if cache.v_scale is None else P(None, "dp", "tp", None, None)
-        ),
         lm_scale=(
             None if cache.lm_scale is None else P(None, "dp", "tp", None)
         ),
