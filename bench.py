@@ -66,7 +66,7 @@ def main():
     datalen = int(os.environ.get("BENCH_DATALEN", 122880))
     full_batch = int(os.environ.get("BENCH_FULL_BATCH", 1))
     shadow_batch = int(os.environ.get("BENCH_SHADOW_BATCH", 3))
-    steps = int(os.environ.get("BENCH_DECODE_STEPS", 48))
+    steps = int(os.environ.get("BENCH_DECODE_STEPS", 100))
     bench_mode = os.environ.get("BENCH_MODE", "both")
     quant = os.environ.get("BENCH_QUANT", "int8")
     use_pallas = os.environ.get("BENCH_USE_PALLAS", "") == "1"

@@ -73,6 +73,7 @@ class Engine:
         self.cos_table = cos
         self.sin_table = sin
         self.v_store = None
+        self._cache = None  # persisted across generate() for cont=True
         self._build_jits()
 
     # -- jit construction ---------------------------------------------------
@@ -236,27 +237,52 @@ class Engine:
         seed: int = 0,
         stop_ids: tuple[int, ...] = (),
         benchmark: bool = False,
+        cont: bool = False,
     ) -> tuple[np.ndarray, GenerationStats]:
         """Autoregressive generation for a batch of equal-length prompts.
 
         Returns ([B, <=gen_len] generated ids, stats). Stop-token
         handling truncates per sequence post-hoc (decode continues for
         the full batch, as the reference's batch loop does).
+
+        ``cont=True`` continues over the cache left by the previous
+        generate() call (reference generate(cont=True) for chat turns
+        against a prefilled context, models/base.py:162-204,386-497):
+        the new prompt is teacher-forced token-by-token through the
+        decode step — no new prefill compile per turn length.
         """
         stats = GenerationStats()
         b, s = np.asarray(input_ids).shape
+        decode = self._decode_shadow if self.is_shadow else self._decode_full
+        key = jax.random.PRNGKey(seed)
+        sample_args = (temperature, top_k, top_p)
 
         t0 = time.perf_counter()
-        logits, cache = self.prefill(input_ids)
-        key = jax.random.PRNGKey(seed)
-        key, sub = jax.random.split(key)
-        sample_args = (temperature, top_k, top_p)
-        tokens = self._sample(logits, sub, *sample_args)
+        if cont:
+            assert self._cache is not None, "cont=True needs a prior call"
+            cache = self._cache
+            if self.is_shadow:
+                used = int(cache.gen_len) + s + gen_len
+                assert used <= self.cache_cfg.gen_capacity, (
+                    f"gen region overflow: {used} > "
+                    f"{self.cache_cfg.gen_capacity} (raise gen_capacity)"
+                )
+            prompt = jnp.asarray(input_ids, jnp.int32)
+            tokens = None
+            for t in range(s):
+                key, sub = jax.random.split(key)
+                tokens, cache = decode(
+                    self.params, cache, prompt[:, t : t + 1], sub,
+                    *sample_args,
+                )
+        else:
+            logits, cache = self.prefill(input_ids)
+            key, sub = jax.random.split(key)
+            tokens = self._sample(logits, sub, *sample_args)
         tokens.block_until_ready()
         stats.prefill_seconds = time.perf_counter() - t0
         stats.prefill_tokens = b * s
 
-        decode = self._decode_shadow if self.is_shadow else self._decode_full
         out = [np.asarray(tokens)]
         t0 = time.perf_counter()
         for _ in range(gen_len - 1):
@@ -270,6 +296,7 @@ class Engine:
         jax.block_until_ready(tokens)
         stats.decode_seconds = time.perf_counter() - t0
         stats.decode_tokens = b * len(out)
+        self._cache = cache  # kept for generate(cont=True) chat turns
         result = np.stack(out, axis=1)  # [B, T]
         if stop_ids:
             result = _truncate_at_stop(result, stop_ids)

@@ -165,9 +165,11 @@ class LLM:
         top_p: float = 0.9,
         verbose: bool = False,
         seed: int = 0,
+        cont: bool = False,
     ) -> list[str]:
         """Generate and decode text for a [B, S] batch of token ids
-        (reference models/base.py:385-497)."""
+        (reference models/base.py:385-497). ``cont=True`` continues the
+        previous call's cache (chat turns against a prefilled context)."""
         input_ids = np.atleast_2d(np.asarray(input_ids))
         tokens, stats = self.engine.generate(
             input_ids,
@@ -177,6 +179,7 @@ class LLM:
             top_p=top_p,
             seed=seed,
             stop_ids=self.stop_ids,
+            cont=cont,
         )
         if verbose:
             print(

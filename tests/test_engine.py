@@ -86,3 +86,33 @@ def test_sampled_generation_reproducible(toy_params):
     out1, _ = eng.generate(ids, gen_len=6, temperature=0.8, seed=42)
     out2, _ = eng.generate(ids, gen_len=6, temperature=0.8, seed=42)
     np.testing.assert_array_equal(out1, out2)
+
+
+def test_generate_cont_matches_joint_prefill():
+    """generate(cont=True) over [ctx][query] must equal one generate
+    over the concatenation (full-attention oracle; reference
+    generate(cont=True) path, models/base.py:162-204)."""
+    import jax.numpy as jnp
+
+    from shadowkv_tpu.config import CacheConfig, RuntimeConfig
+    from shadowkv_tpu.models.engine import Engine
+    from shadowkv_tpu.models.params import init_synthetic_params
+    from shadowkv_tpu.models.registry import toy_config
+
+    cfg = toy_config(dtype=jnp.float32)
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0))
+    rt = RuntimeConfig(prefill_block_q=128)
+    cc = CacheConfig(mode="full", max_length=640)
+    rng = np.random.RandomState(0)
+    ctx = rng.randint(1, cfg.vocab_size, (1, 256))
+    query = rng.randint(1, cfg.vocab_size, (1, 16))
+
+    eng = Engine(cfg, cc, rt, params)
+    eng.generate(ctx, gen_len=1, temperature=0.0)
+    cont_out, _ = eng.generate(query, gen_len=8, temperature=0.0,
+                               cont=True)
+
+    eng2 = Engine(cfg, cc, rt, params)
+    joint = np.concatenate([ctx, query], axis=1)
+    joint_out, _ = eng2.generate(joint, gen_len=8, temperature=0.0)
+    np.testing.assert_array_equal(cont_out, joint_out)
