@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from shadowkv_tpu.config import CacheConfig, ModelConfig
 from shadowkv_tpu.core import rope as rope_lib
-from shadowkv_tpu.core.lowrank import lowrank_kv_factors, reconstruct_keys
+from shadowkv_tpu.core.lowrank import lowrank_kv_factors
 from shadowkv_tpu.core.quant import (
     SCALE_TRAILER,
     pack_chunk_int8,

@@ -16,9 +16,6 @@ layer-sized temporary of U or the V store is ever materialized
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable
-
 import jax
 import jax.numpy as jnp
 
