@@ -87,15 +87,37 @@ def o_proj(attn_out: jnp.ndarray, layer: LayerParams) -> jnp.ndarray:
     return jnp.dot(flat, layer.wo, preferred_element_type=flat.dtype)
 
 
-def swiglu_mlp(x: jnp.ndarray, layer: LayerParams) -> jnp.ndarray:
-    """SwiGLU MLP with fused gate/up projection.
+MLP_CHUNK_TOKENS = 16384  # token-block size for the chunked long-prefill MLP
 
-    Matches reference post_attention_compute (models/llama.py:397-427);
-    the reference chunks this above 64K tokens to bound memory
-    (models/base.py:351-364) — on TPU, XLA's fusion keeps the
-    intermediate blocked, and prefill is sub-batched upstream instead.
-    """
+
+def _swiglu(x: jnp.ndarray, layer: LayerParams) -> jnp.ndarray:
     gate_up = jnp.dot(x, layer.w_gate_up, preferred_element_type=x.dtype)
     gate, up = jnp.split(gate_up, 2, axis=-1)
     hidden = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     return jnp.dot(hidden, layer.w_down, preferred_element_type=x.dtype)
+
+
+def swiglu_mlp(x: jnp.ndarray, layer: LayerParams) -> jnp.ndarray:
+    """SwiGLU MLP with fused gate/up projection.
+
+    Matches reference post_attention_compute (models/llama.py:397-427).
+    Above ~64K tokens the gate/up intermediate is chunked over token
+    blocks exactly like the reference (models/base.py:351-364): XLA
+    materializes the [S, 2I] intermediate otherwise (2.8 GB per layer
+    at 122K — measured as the prefill-OOM margin on a 16 GB chip).
+    """
+    b, s, d = x.shape
+    if b * s <= 4 * MLP_CHUNK_TOKENS:
+        return _swiglu(x, layer)
+    blk = MLP_CHUNK_TOKENS
+    s_pad = ((s + blk - 1) // blk) * blk
+    xp = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0))) if s_pad != s else x
+    nb = s_pad // blk
+    xb = xp.reshape(b, nb, blk, d).transpose(1, 0, 2, 3)
+
+    def body(_, xi):
+        return None, _swiglu(xi, layer)
+
+    _, yb = jax.lax.scan(body, None, xb)
+    y = yb.transpose(1, 0, 2, 3).reshape(b, s_pad, d)
+    return y[:, :s]
