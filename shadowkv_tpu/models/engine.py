@@ -252,6 +252,11 @@ class Engine:
         """
         stats = GenerationStats()
         b, s = np.asarray(input_ids).shape
+        if self.is_shadow and not cont:
+            assert gen_len <= self.cache_cfg.gen_capacity, (
+                f"gen_len {gen_len} > gen_capacity "
+                f"{self.cache_cfg.gen_capacity}"
+            )
         decode = self._decode_shadow if self.is_shadow else self._decode_full
         key = jax.random.PRNGKey(seed)
         sample_args = (temperature, top_k, top_p)
@@ -314,6 +319,8 @@ class Engine:
         """Throughput-oriented generation (reference batch_generate,
         models/base.py:572-657): timed decode loop without host syncs
         in the middle."""
+        if self.is_shadow:
+            assert gen_len + warmup_steps <= self.cache_cfg.gen_capacity
         stats = GenerationStats()
         b, s = np.asarray(input_ids).shape
 

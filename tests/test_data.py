@@ -186,3 +186,37 @@ def test_infini_bench_prompt_assembly():
         "longbook_choice_eng",
     )
     assert "A. a" in p and "D. d" in p
+
+
+# -- niah grid + viz -----------------------------------------------------------
+
+
+def test_niah_grid_and_viz(tmp_path):
+    from shadowkv_tpu.data.niah import build_niah_grid
+    from shadowkv_tpu.data.viz import load_grid, render
+
+    tok = FakeTokenizer()
+    samples = build_niah_grid(
+        tok, max_context=2048, min_context=512,
+        n_context_intervals=3, n_depth_intervals=3, seed=0,
+    )
+    assert len(samples) == 9
+    for s in samples:
+        assert s["outputs"] in s["input"]  # needle embedded
+        assert "special magic" in s["input"]
+
+    ds = Dataset.__new__(Dataset)  # assemble an evaluator record directly
+    import json as _json
+
+    arch = tmp_path / "niah.jsonl"
+    with open(arch, "w") as f:
+        f.write(_json.dumps({
+            "context_length": [s["context_length"] for s in samples],
+            "depth_percent": [s["depth_percent"] for s in samples],
+            "correct": [1.0] * len(samples),
+        }) + "\n")
+    grid = load_grid(str(arch))
+    assert len(grid) == 9 and all(v == 1.0 for v in grid.values())
+    out = tmp_path / "h.png"
+    render(str(arch), str(out))
+    assert out.exists() and out.stat().st_size > 0
