@@ -339,6 +339,9 @@ def concat_shadow_caches(caches: list[ShadowCache]) -> ShadowCache:
         v_full=cat(lambda c: c.v_full),
         cached_ids=cat(lambda c: c.cached_ids),
         gen_len=first.gen_len,
+        lm_scale=(
+            None if first.lm_scale is None else cat(lambda c: c.lm_scale)
+        ),
         layout=first.layout,
     )
 

@@ -139,7 +139,8 @@ class RuntimeConfig:
     # Mesh axis sizes; dp shards batch, tp shards heads / factors.
     dp: int = 1
     tp: int = 1
-    # Fused Pallas sparse-refresh kernel on the decode path. None = auto
-    # (on for TPU backends with neox full-head RoPE, off on CPU / for
-    # partial-RoPE models).
+    # Fused Pallas sparse-refresh kernel on the decode path. None/False
+    # = the vectorized-XLA gather path (wins below ~75 % hit rate);
+    # True = the fused kernel (wins when selection is temporally
+    # stable), honored on TPU backends only.
     use_pallas: Optional[bool] = None

@@ -89,7 +89,7 @@ METRICS_FN = {
 # Tokens the model is asked to generate per task family (reference
 # data/dataset.py:38-44,91-105).
 GEN_LEN = {
-    "niah": 64,
+    "niah": 128,  # ruler/niah_* tasks (the bare 'niah' sweep uses 10)
     "vt": 30,
     "cwe": 120,
     "fwe": 50,

@@ -24,7 +24,7 @@ from typing import Optional
 
 import numpy as np
 
-from shadowkv_tpu.data.dataset import Dataset
+from shadowkv_tpu.data.dataset import Dataset, middle_truncate
 
 
 @dataclasses.dataclass
@@ -106,8 +106,12 @@ class Evaluator:
         steps = dataset.num_samples // bsz
         for i in range(steps):
             rows = [dataset.tokenized_prompts[i * bsz + j] for j in range(bsz)]
+            # Equal-length batching via the reference's middle-truncation
+            # manner (keeps the template head AND the question tail;
+            # right-alignment would chop the chat-template header off
+            # longer rows).
             min_len = min(len(r) for r in rows)
-            batch = np.stack([r[-min_len:] for r in rows])  # right-align
+            batch = np.stack([middle_truncate(r, min_len) for r in rows])
             preds = llm.generate(
                 batch,
                 gen_len=dataset.gen_len,

@@ -178,6 +178,11 @@ class Engine:
         models/base.py:533-543); returns (last-token logits, cache)."""
         input_ids = jnp.asarray(input_ids, jnp.int32)
         b, s = input_ids.shape
+        assert s <= self.cache_cfg.max_length, (
+            f"prompt length {s} exceeds max_length "
+            f"{self.cache_cfg.max_length} (RoPE tables / cache would be "
+            "silently clamped)"
+        )
         t = max(1, min(self.rt.prefill_sub_batch, b))
         logits_parts = []
         if self.is_shadow:
@@ -257,6 +262,13 @@ class Engine:
                 f"gen_len {gen_len} > gen_capacity "
                 f"{self.cache_cfg.gen_capacity}"
             )
+        if not self.is_shadow and not cont:
+            # FullCache is allocated at exactly max_length; appends past
+            # it would be silently clamped by dynamic_update_slice.
+            assert s + gen_len <= self.cache_cfg.max_length, (
+                f"prompt {s} + gen_len {gen_len} exceeds full-cache "
+                f"max_length {self.cache_cfg.max_length}"
+            )
         decode = self._decode_shadow if self.is_shadow else self._decode_full
         key = jax.random.PRNGKey(seed)
         sample_args = (temperature, top_k, top_p)
@@ -299,7 +311,9 @@ class Engine:
                 break
         jax.block_until_ready(tokens)
         stats.decode_seconds = time.perf_counter() - t0
-        stats.decode_tokens = b * len(out)
+        # Only the timed decode steps count (the first token came from
+        # the prefill logits, outside the timed region).
+        stats.decode_tokens = b * (len(out) - 1)
         self._cache = cache  # kept for generate(cont=True) chat turns
         result = np.stack(out, axis=1)  # [B, T]
         if stop_ids:
@@ -319,8 +333,11 @@ class Engine:
         """Throughput-oriented generation (reference batch_generate,
         models/base.py:572-657): timed decode loop without host syncs
         in the middle."""
+        b0, s0 = np.asarray(input_ids).shape
         if self.is_shadow:
             assert gen_len + warmup_steps <= self.cache_cfg.gen_capacity
+        else:
+            assert s0 + gen_len + warmup_steps <= self.cache_cfg.max_length
         stats = GenerationStats()
         b, s = np.asarray(input_ids).shape
 

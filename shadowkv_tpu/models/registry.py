@@ -59,8 +59,11 @@ def llama31_8b(name: str, **kw) -> ModelConfig:
 @register_model("llama-3")
 def llama3_8b(name: str, **kw) -> ModelConfig:
     # Covers Llama-3-8B-Instruct-(Gradient)-1M variants: theta retuned
-    # for 1M context, no llama3.1 scaling dict.
-    theta = 3580165449.0 if "1m" in name.lower() else 500000.0
+    # for 1M context, no llama3.1 scaling dict. The Gradient checkpoint
+    # is named '...-1048k', not '1m'.
+    lower = name.lower()
+    is_1m = "1m" in lower or "1048k" in lower
+    theta = 3580165449.0 if is_1m else 500000.0
     return ModelConfig(
         name=name,
         num_layers=32,
@@ -71,7 +74,7 @@ def llama3_8b(name: str, **kw) -> ModelConfig:
         intermediate_size=14336,
         vocab_size=128256,
         rope_theta=theta,
-        max_position_embeddings=1048576,
+        max_position_embeddings=1048576 if is_1m else 8192,
         **kw,
     )
 

@@ -28,7 +28,8 @@ def test_generate_full_mode(toy_params):
     ids = np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 40))
     out, stats = eng.generate(ids, gen_len=8)
     assert out.shape == (2, 8)
-    assert stats.decode_tokens == 16
+    # 8 output tokens = 1 from prefill logits + 7 timed decode steps.
+    assert stats.decode_tokens == 14
     # Greedy is deterministic: same call -> same tokens.
     out2, _ = eng.generate(ids, gen_len=8)
     np.testing.assert_array_equal(out, out2)
