@@ -139,6 +139,13 @@ class RuntimeConfig:
     # Mesh axis sizes; dp shards batch, tp shards heads / factors.
     dp: int = 1
     tp: int = 1
+    # Prefill attention pattern: 'dense' (flash causal) or 'stream'
+    # (attention-sink + sliding window via splash attention — the TPU
+    # counterpart of the reference's MInference sparse prefill,
+    # models/tensor_op.py:68-117).
+    prefill_pattern: str = "dense"
+    stream_window: int = 8192
+    stream_sink: int = 1024
     # Fused Pallas sparse-refresh kernel on the decode path. None/False
     # = the vectorized-XLA gather path (wins below ~75 % hit rate);
     # True = the fused kernel (wins when selection is temporally

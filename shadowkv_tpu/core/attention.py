@@ -149,6 +149,93 @@ def causal_prefill_flash(
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
 
+def sparse_prefill_splash(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    window: int,
+    sink: int,
+    scale: float | None = None,
+    head_major: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sparse prefill attention: attention-sink + sliding-window causal.
+
+    TPU counterpart of the reference's MInference sparse-prefill option
+    (reference models/tensor_op.py:68-117, --minference flag): where the
+    reference dispatches per-head calibrated CUDA patterns
+    {stream_llm, vertical_and_slash, block_sparse}, this applies the
+    streamLLM-style sink+local pattern uniformly through the Pallas
+    splash-attention kernel, which SKIPS fully-masked tiles — prefill
+    cost drops from O(S^2) to O(S * (window + sink)).
+
+    Args:
+      q: [B, S, H, Dh]; k/v: [B, S, K, Dh] (or [B, K, S, Dh] when
+        head_major). S must equal the KV length (square causal prefill).
+    """
+    import numpy as np
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+        splash_attention_mask as sm,
+    )
+
+    class SinkLocalMask(sm._ComputableMask):
+        """causal AND (kv < sink OR q - kv < window)."""
+
+        def __init__(self, shape, window_size, sink_size):
+            def fn(q_ids, kv_ids):
+                # Called with numpy ids at mask-build time AND with
+                # traced arrays inside the kernel (partial tiles): use
+                # operators that work on both.
+                return (kv_ids <= q_ids) & (
+                    (kv_ids < sink_size)
+                    | (q_ids - kv_ids < window_size)
+                )
+
+            super().__init__(shape=shape, mask_function=fn)
+            self._window = window_size
+            self._sink = sink_size
+
+        def __eq__(self, other):
+            return (
+                isinstance(other, SinkLocalMask)
+                and self.shape == other.shape
+                and self._window == other._window
+                and self._sink == other._sink
+            )
+
+        def __hash__(self):
+            return hash(
+                (type(self), self.shape, self._window, self._sink)
+            )
+
+    b, s, h, dh = q.shape
+    scale = scale if scale is not None else dh**-0.5
+    if head_major:
+        kh_ = k.shape[1]
+        k_bh, v_bh = k, v
+    else:
+        kh_ = k.shape[2]
+        k_bh = k.transpose(0, 2, 1, 3)
+        v_bh = v.transpose(0, 2, 1, 3)
+    g = h // kh_
+    qh = q.transpose(0, 2, 1, 3) * scale  # splash has no sm_scale arg
+    qg = qh.reshape(b, kh_, g, s, dh)
+
+    mask = sm.MultiHeadMask(
+        [SinkLocalMask((s, s), window, sink) for _ in range(g)]
+    )
+    kernel = sk.make_splash_mqa_single_device(
+        mask=mask, interpret=interpret
+    )
+    # vmap over batch, then over KV heads (MQA kernel: q [G, S, Dh],
+    # k/v [S, Dh] shared across the group).
+    out = jax.vmap(jax.vmap(kernel))(qg, k_bh, v_bh)  # [B, K, G, S, Dh]
+    return (
+        out.reshape(b, h, s, dh).transpose(0, 2, 1, 3).astype(q.dtype)
+    )
+
+
 def causal_prefill_attention_hm(
     q: jnp.ndarray,
     k_hm: jnp.ndarray,

@@ -33,6 +33,7 @@ from shadowkv_tpu.core.attention import (
     causal_prefill_attention_hm,
     causal_prefill_flash,
     decode_attention_hm,
+    sparse_prefill_splash,
 )
 from shadowkv_tpu.core.layers import (
     LayerParams,
@@ -124,7 +125,12 @@ def prefill_full(
             cache.v, (layer, batch_start, 0, 0, 0),
             (1, b, cache.v.shape[2], end, cache.v.shape[4]),
         )[0]
-        if use_flash and start_pos == 0:
+        if use_flash and start_pos == 0 and rt.prefill_pattern == "stream":
+            ctx = sparse_prefill_splash(
+                q, k_hist, v_hist, rt.stream_window, rt.stream_sink,
+                head_major=True,
+            )
+        elif use_flash and start_pos == 0:
             ctx = causal_prefill_flash(q, k_hist, v_hist, head_major=True)
         else:
             ctx = causal_prefill_attention_hm(
@@ -288,7 +294,11 @@ def prefill_shadow_into(
                 lm_scale=put(cache.lm_scale, slices["lm_scale"]),
             )
         cache = cache.replace(**updates)
-        if use_flash:
+        if use_flash and rt.prefill_pattern == "stream":
+            ctx = sparse_prefill_splash(
+                q, k_r, v, rt.stream_window, rt.stream_sink
+            )
+        elif use_flash:
             ctx = causal_prefill_flash(q, k_r, v)
         else:
             ctx = causal_prefill_attention(

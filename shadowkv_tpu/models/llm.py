@@ -54,8 +54,8 @@ class LLM:
         chunk_size: int = 8,
         model_dir: Optional[str] = None,
         dtype=None,
-        minference: bool = False,  # accepted for CLI parity; prefill is
-        # always dense-causal here (no MInference patterns on TPU yet)
+        minference: bool = False,  # sink+window sparse prefill via
+        # splash attention (reference --minference equivalent)
         prefill_sub_batch: int = 4,
         gen_capacity: int = 256,
     ):
@@ -82,7 +82,8 @@ class LLM:
             gen_capacity=gen_capacity,
         )
         rt = RuntimeConfig(
-            batch_size=batch_size, prefill_sub_batch=prefill_sub_batch
+            batch_size=batch_size, prefill_sub_batch=prefill_sub_batch,
+            prefill_pattern="stream" if minference else "dense",
         )
         self.engine = Engine(self.config, self.cache_cfg, rt, params)
         self.stop_ids = self._resolve_stop_ids()
