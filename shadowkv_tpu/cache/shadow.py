@@ -540,17 +540,35 @@ def shadow_decode_layer(
     )
     # Chunk-major U gather: one contiguous [cs, r] block per chunk.
     u_rows = static.u[layer, bi, asg.slot_ids]  # [B,K,S,cs,r] | packed
-    if lo.quant == "int8":
-        u_rows = unpack_chunk_int8(
-            u_rows, cs, lo.rank_pad, k_buf_l.dtype
-        )
-    u_rows = u_rows.reshape(b, kh, ssets * cs, lo.rank_pad)
     sv_l = jax.lax.dynamic_index_in_dim(
         static.sv, layer, axis=0, keepdims=False
     )
-    k_rec = jnp.einsum(
-        "bknr,bkrd->bknd", u_rows, sv_l, preferred_element_type=jnp.float32
-    ).astype(k_buf_l.dtype)
+    if lo.quant == "int8":
+        # Row scales factor out of the matmul: (q*s) @ SV = (q @ SV)*s.
+        # Converting int8 -> bf16 fuses into the dot's operand read;
+        # scaling the [*, Dh] OUTPUT avoids materializing a dequantized
+        # [*, r_pad] U (2x wider than Dh).
+        rr = cs * lo.rank_pad
+        u_q = u_rows[..., :rr].reshape(b, kh, ssets * cs, lo.rank_pad)
+        sc = jax.lax.bitcast_convert_type(
+            u_rows[..., rr : rr + cs * 2].reshape(b, kh, ssets, cs, 2),
+            jnp.bfloat16,
+        ).reshape(b, kh, ssets * cs)
+        k_rec = jnp.einsum(
+            "bknr,bkrd->bknd",
+            u_q.astype(k_buf_l.dtype),
+            sv_l,
+            preferred_element_type=jnp.float32,
+        )
+        k_rec = (k_rec * sc[..., None].astype(jnp.float32)).astype(
+            k_buf_l.dtype
+        )
+    else:
+        u_rows = u_rows.reshape(b, kh, ssets * cs, lo.rank_pad)
+        k_rec = jnp.einsum(
+            "bknr,bkrd->bknd", u_rows, sv_l,
+            preferred_element_type=jnp.float32,
+        ).astype(k_buf_l.dtype)
     # Decomposed RoPE: rotate(x, chunk*cs + off) =
     # rotate(rotate(x, off), chunk*cs). The off table is cs static rows
     # and the chunk-base gather is cs x fewer rows than per-token
