@@ -39,6 +39,22 @@ def log(*args):
 
 
 def run_engine(mode, cfg, cache_cfg, rt, params, datalen, batch, steps):
+    # The axon tunnel occasionally aborts a request transiently
+    # (ABORTED/UNAVAILABLE at trace-time transfers); one retry keeps a
+    # one-shot scoring run alive without masking real failures.
+    try:
+        return _run_engine(mode, cfg, cache_cfg, rt, params, datalen,
+                           batch, steps)
+    except Exception as e:  # pragma: no cover - infra flake path
+        log(f"[{mode}] attempt 1 failed ({type(e).__name__}: {e}); "
+            "retrying once")
+        gc.collect()
+        time.sleep(10)
+        return _run_engine(mode, cfg, cache_cfg, rt, params, datalen,
+                           batch, steps)
+
+
+def _run_engine(mode, cfg, cache_cfg, rt, params, datalen, batch, steps):
     from shadowkv_tpu.models.engine import Engine
 
     eng = Engine(cfg, cache_cfg, rt, params)
