@@ -34,10 +34,11 @@ from shadowkv_tpu.config import CacheConfig, ModelConfig
 from shadowkv_tpu.core import rope as rope_lib
 from shadowkv_tpu.core.lowrank import lowrank_kv_factors
 from shadowkv_tpu.core.quant import (
-    SCALE_TRAILER,
-    pack_chunk_int8,
+    SCALE_LANES,
+    pack_shadow_int8,
     quantize_rows,
-    unpack_chunk_int8,
+    u_scales_from_rows,
+    v_scales_from_rows,
 )
 from shadowkv_tpu.core.selection import (
     chunk_ids_to_positions,
@@ -72,6 +73,8 @@ class ShadowLayout:
     rank_pad: int  # rank rounded up to a lane multiple (128); U/SV are
     # stored zero-padded to it so the refresh kernel's DMA units are
     # tiling-aligned — physically free, XLA pads the minor dim anyway.
+    # int8 mode additionally reserves SCALE_LANES tail lanes of every U
+    # token row for the embedded per-token scales (core/quant.py).
     quant: str = "none"  # 'none' | 'int8': V store / U factors /
     # landmarks quantized per row, ~2x feasible batch at 122K (the
     # memory-for-batch trade standing in for the reference's host
@@ -92,6 +95,9 @@ class ShadowLayout:
         )
         sparse_start = prefill_local + outl * cs
         sparse_end = sparse_start + cache.sparse_budget
+        rank_eff = cache.rank + (
+            SCALE_LANES if cache.kv_quant == "int8" else 0
+        )
         return cls(
             prefill_len=prefill_len,
             chunk_size=cs,
@@ -105,7 +111,7 @@ class ShadowLayout:
             gen_capacity=cache.gen_capacity,
             buffer_cap=sparse_end + cache.gen_capacity,
             rank=cache.rank,
-            rank_pad=((cache.rank + 127) // 128) * 128,
+            rank_pad=((rank_eff + 127) // 128) * 128,
             quant=cache.kv_quant,
         )
 
@@ -121,13 +127,15 @@ class ShadowCache(flax.struct.PyTreeNode):
     local tail is never reconstructed.
     """
 
-    u: jnp.ndarray  # [L, B, C, cs, r_pad] chunk-major pre-RoPE K factors
+    u: jnp.ndarray  # [L, B, C, cs, r_pad] chunk-major pre-RoPE K
+    # factors | int8 tiled [L, B, C/pt, 32, r_pad] (core/quant.py)
     sv: jnp.ndarray  # [L, B, K, r_pad, Dh]
     landmarks: jnp.ndarray  # [L, B, K, C, Dh] all-chunk means
     landmark_mask: jnp.ndarray  # [L, B, K, C] bool, False at outliers
     k_buf: jnp.ndarray  # [L, B, K, cap, Dh] compact post-RoPE K buffer
     v_buf: jnp.ndarray  # [L, B, K, cap, Dh]
     v_full: jnp.ndarray  # [L, B, K, C, cs, Dh] chunk-major V store
+    # | int8 tiled [L, B, K, C/pt, 32, Dh]
     cached_ids: jnp.ndarray  # [L, B, K, S] chunk ids in sparse slots
     gen_len: jnp.ndarray  # int32 scalar, tokens in gen region
     # int8-mode landmark scale (None when layout.quant == 'none');
@@ -160,16 +168,20 @@ class ShadowCache(flax.struct.PyTreeNode):
         cs = lo.chunk_size
         q8 = lo.quant == "int8"
         store_dt = jnp.int8 if q8 else dt
-        # int8 chunk stores are kept FLAT ([..., C, cs*row + trailer]):
-        # the int8 sublane tile is 32, so a [..., cs=8, row] int8 array
-        # would be physically padded 4x; the 128-lane trailer carries
-        # the packed per-token scales (core/quant.py).
+        # int8 chunk stores are TILED ([..., C/pt, 32, row], pt chunks
+        # merged per 32-sublane tile): the int8 TPU tile is (32, 128),
+        # so this stores with zero padding (a [..., cs=8, row] int8
+        # array pads 4x) while staying Mosaic-DMA-sliceable per chunk
+        # (8-aligned sublane ranges; a flat one-row-per-chunk layout is
+        # not sliceable at all). Scales ride in U's tail lanes
+        # (core/quant.py).
+        pt = 32 // cs
         u_shape = (
-            (l, b, lo.chunks, cs * lo.rank_pad + SCALE_TRAILER)
+            (l, b, lo.chunks // pt, 32, lo.rank_pad)
             if q8 else (l, b, lo.chunks, cs, lo.rank_pad)
         )
         v_shape = (
-            (l, b, kh, lo.chunks, cs * dh + SCALE_TRAILER)
+            (l, b, kh, lo.chunks // pt, 32, dh)
             if q8 else (l, b, kh, lo.chunks, cs, dh)
         )
         return cls(
@@ -264,8 +276,8 @@ def shadow_prefill_layer(
     lm_scale = None
     landmarks_store = lm.landmarks
     if lo.quant == "int8":
-        u = pack_chunk_int8(u)  # [B, C, cs*r_pad + trailer]
-        v_full = pack_chunk_int8(v_full)  # [B, K, C, cs*Dh + trailer]
+        # tiled int8 stores with scales embedded in U's tail lanes
+        u, v_full = pack_shadow_int8(u, v_ctx)
         landmarks_store, lm_scale = quantize_rows(lm.landmarks)
 
     # --- seed the sparse region from the last prefill query ---
@@ -357,11 +369,11 @@ class ShadowStatic(flax.struct.PyTreeNode):
     in place by the in-loop gathers.
     """
 
-    u: jnp.ndarray  # [L, B, C, cs, r]
+    u: jnp.ndarray  # [L, B, C, cs, r] | int8 tiled [L, B, C/pt, 32, r]
     sv: jnp.ndarray  # [L, B, K, r, Dh]
     landmarks: jnp.ndarray  # [L, B, K, C, Dh]
     landmark_mask: jnp.ndarray  # [L, B, K, C]
-    v_full: jnp.ndarray  # [L, B, K, C, cs, Dh]
+    v_full: jnp.ndarray  # [L, B, K, C, cs, Dh] | int8 [L, B, K, C/pt, 32, Dh]
     lm_scale: Optional[jnp.ndarray] = None
 
 
@@ -511,7 +523,50 @@ def shadow_decode_layer(
     )
     bi = jnp.arange(b)[:, None, None]
     ki = jnp.arange(kh)[None, :, None]
-    if v_store is not None:
+    sv_l = jax.lax.dynamic_index_in_dim(
+        static.sv, layer, axis=0, keepdims=False
+    )
+    if lo.quant == "int8":
+        # Tiled int8 stores (core/quant.py): chunk cid = sublane rows
+        # (cid % pt)*cs .. +cs of tile cid // pt. Each fetch is one
+        # [cs, row] window — the vmapped dynamic_slice lowers to a
+        # single XLA gather whose start indices include the traced
+        # layer coordinate. U comes first: its token rows carry their
+        # own scale AND this head's V scale in the tail lanes, so no
+        # separate (latency-bound) scale gather exists.
+        pt = 32 // cs
+        tiles = (asg.slot_ids // pt).ravel()
+        rows0 = ((asg.slot_ids % pt) * cs).ravel()
+        bi_f = jnp.broadcast_to(bi, asg.slot_ids.shape).ravel()
+        ki_f = jnp.broadcast_to(ki, asg.slot_ids.shape).ravel()
+
+        def slc_u(bb, t, r):
+            return jax.lax.dynamic_slice(
+                static.u, (layer, bb, t, r, 0),
+                (1, 1, 1, cs, lo.rank_pad),
+            )[0, 0, 0]
+
+        def slc_v(bb, kk, t, r):
+            return jax.lax.dynamic_slice(
+                static.v_full, (layer, bb, kk, t, r, 0),
+                (1, 1, 1, 1, cs, dh),
+            )[0, 0, 0, 0]
+
+        u_rows = jax.vmap(slc_u)(bi_f, tiles, rows0).reshape(
+            b, kh, ssets, cs, lo.rank_pad
+        )
+        u_sc = u_scales_from_rows(u_rows, lo.rank_pad)  # [B,K,S,cs] bf16
+        v_sc = v_scales_from_rows(
+            u_rows, lo.rank_pad, kh, ki.reshape(1, kh, 1, 1, 1)
+        )
+        v_q = jax.vmap(slc_v)(bi_f, ki_f, tiles, rows0).reshape(
+            b, kh, ssets, cs, dh
+        )
+        v_new_rows = (
+            v_q.astype(v_buf_l.dtype)
+            * v_sc[..., None].astype(v_buf_l.dtype)
+        ).reshape(b, kh, ssets, cs * dh)
+    elif v_store is not None:
         # Host-DRAM fetch via io_callback + native gather
         # (cache/offload.py; reference pinned-CPU DMA path K2/K3).
         v_new_rows = v_store.fetch(
@@ -521,12 +576,6 @@ def shadow_decode_layer(
         # Single XLA gather including the layer coordinate — no
         # layer-sized temporary of the V store is materialized.
         v_new_rows = static.v_full[layer, bi, ki, asg.slot_ids]
-        if lo.quant == "int8":
-            # one gather fetched data + packed scales; dequant in the
-            # buffer dtype (no f32 intermediates)
-            v_new_rows = unpack_chunk_int8(
-                v_new_rows, cs, dh, v_buf_l.dtype
-            )
         v_new_rows = v_new_rows.reshape(b, kh, ssets, cs * dh)
     v_sparse = jnp.where(stay_e, v_sparse_old, v_new_rows).reshape(
         b, kh, ssets * cs, dh
@@ -538,22 +587,14 @@ def shadow_decode_layer(
     k_sparse_old = k_buf_l[:, :, lo.sparse_start : lo.sparse_end].reshape(
         b, kh, ssets, cs * dh
     )
-    # Chunk-major U gather: one contiguous [cs, r] block per chunk.
-    u_rows = static.u[layer, bi, asg.slot_ids]  # [B,K,S,cs,r] | packed
-    sv_l = jax.lax.dynamic_index_in_dim(
-        static.sv, layer, axis=0, keepdims=False
-    )
     if lo.quant == "int8":
         # Row scales factor out of the matmul: (q*s) @ SV = (q @ SV)*s.
         # Converting int8 -> bf16 fuses into the dot's operand read;
         # scaling the [*, Dh] OUTPUT avoids materializing a dequantized
-        # [*, r_pad] U (2x wider than Dh).
-        rr = cs * lo.rank_pad
-        u_q = u_rows[..., :rr].reshape(b, kh, ssets * cs, lo.rank_pad)
-        sc = jax.lax.bitcast_convert_type(
-            u_rows[..., rr : rr + cs * 2].reshape(b, kh, ssets, cs, 2),
-            jnp.bfloat16,
-        ).reshape(b, kh, ssets * cs)
+        # [*, r_pad] U (2x wider than Dh). The scale-byte lanes multiply
+        # only the zero rows of the rank-padded SV, so no masking.
+        u_q = u_rows.reshape(b, kh, ssets * cs, lo.rank_pad)
+        sc = u_sc.reshape(b, kh, ssets * cs)
         k_rec = jnp.einsum(
             "bknr,bkrd->bknd",
             u_q.astype(k_buf_l.dtype),
@@ -564,6 +605,8 @@ def shadow_decode_layer(
             k_buf_l.dtype
         )
     else:
+        # Chunk-major U gather: one contiguous [cs, r] block per chunk.
+        u_rows = static.u[layer, bi, asg.slot_ids]  # [B,K,S,cs,r]
         u_rows = u_rows.reshape(b, kh, ssets * cs, lo.rank_pad)
         k_rec = jnp.einsum(
             "bknr,bkrd->bknd", u_rows, sv_l,

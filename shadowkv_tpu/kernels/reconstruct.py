@@ -24,10 +24,22 @@ and the miss compaction cuts bytes by the hit rate (~60 % steady-state,
 index.html:326).
 
 Layout contracts (asserted in the wrapper):
-- v_full [L, B, K, C, cs, Dh]: one chunk = one (cs, Dh) tile, cs % 8 == 0
-  and Dh % 128 == 0 so every DMA unit is tiling-aligned.
-- u [L, B, C, cs, r]: chunk-major low-rank rows (r is lane-padded by XLA
-  to 128 multiples either way).
+- bf16 stores: v_full [L, B, K, C, cs, Dh] (one chunk = one (cs, Dh)
+  tile), u [L, B, C, cs, r]; cs % 8 == 0 and Dh % 128 == 0 so every DMA
+  unit is tiling-aligned.
+- int8 stores (CacheConfig.kv_quant == 'int8'): the tiled format of
+  core/quant.py — u [L, B, C/pt, 32, r_pad], v_full
+  [L, B, K, C/pt, 32, Dh] with pt = 32 // cs chunks merged per
+  32-sublane int8 tile (zero physical padding; Mosaic can DMA
+  8-aligned sublane slices of a 32-tile, but NOT one flat row of a
+  sublane-tiled chunk axis). Per-token bf16 scales live in the tail
+  SCALE_LANES of each U token row; the kernel extracts them with
+  mask-reduce lane picks (Mosaic supports neither sub-128-lane
+  reshapes nor strided lane slices). The U scale folds into the
+  reconstruction matmul OUTPUT; the scale-byte lanes multiply only the
+  zero rows of the rank-padded SV, so the matmul needs no masking.
+  V misses become load->dequant->store instead of a direct HBM->HBM
+  copy, scaled by this head's V scale column from the same U tile.
 - k_buf / v_buf [L, B, K, cap, Dh] with sparse_start % 8 == 0: row
   ranges written per-chunk stay sublane-aligned.
 - inv_freq_full [1, Dh]: neox-duplicated inverse frequencies
@@ -43,11 +55,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from shadowkv_tpu.core.quant import SCALE_LANES
+
 GROUP = 16  # miss chunks processed per pipeline stage: the group's U
 # loads are issued back-to-back (latency amortized), reconstruction is
 # ONE [GROUP*cs, r] x [r, Dh] MXU matmul, and RoPE is vectorized over
 # the whole [GROUP*cs, Dh] tile. Double-buffered across groups.
 NBUF = 2
+
+
+def _scale_col(u8, lane_lo, lane_hi):
+    """bf16 [rows, 1] scale column from the (lo, hi) scale-byte lanes of
+    an int8 U tile [rows, r_pad]. Lane indices may be TRACED (the V
+    scale lane depends on this program's kv head). Mask-reduce is the
+    only lane extraction Mosaic supports here (no sub-128-lane reshape,
+    no strided/dynamic lane slicing)."""
+    t32 = u8.astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, u8.shape, 1)
+
+    def pick(l):
+        return jnp.sum(jnp.where(lane == l, t32, 0), axis=1, keepdims=True)
+
+    bits = ((pick(lane_hi) << 8) | (pick(lane_lo) & 0xFF)).astype(
+        jnp.int16
+    )
+    return pltpu.bitcast(bits, jnp.bfloat16)
 
 
 def _refresh_kernel(
@@ -57,8 +89,8 @@ def _refresh_kernel(
     miss_slot_ref,  # [BK, S]
     miss_cnt_ref,  # [BK]
     # tensors
-    u_hbm,  # [L, B, C, cs, r] ANY
-    v_full_hbm,  # [L, B, K, C, cs, Dh] ANY
+    u_hbm,  # [L, B, C, cs, r] | tiled int8 [L, B, C/pt, 32, r], ANY
+    v_full_hbm,  # [L, B, K, C, cs, Dh] | tiled int8 [L, B, K, C/pt, 32, Dh], ANY
     sv_vmem,  # [1, 1, 1, r, Dh] VMEM block for this (layer, b, k)
     inv_freq_vmem,  # [1, Dh] VMEM
     k_buf_hbm,  # [L, B, K, cap, Dh] ANY (aliased out 0)
@@ -66,31 +98,46 @@ def _refresh_kernel(
     # outputs (aliases of the two above)
     k_out_hbm,
     v_out_hbm,
-    # scratch
-    u_tile,  # VMEM [NBUF, GROUP * cs, r]
-    k_tile,  # VMEM [NBUF, GROUP * cs, Dh]
-    pos_tile,  # VMEM [GROUP * cs, Dh] f32
-    v_sems,  # DMA sems [NBUF, GROUP]
-    u_sems,  # DMA sems [NBUF, GROUP]
-    w_sems,  # DMA sems [NBUF, GROUP]
-    *,
+    # scratch (quant=False):
+    #   u_tile, k_tile, pos_tile, v_sems, u_sems, w_sems
+    # scratch (quant=True):
+    #   u8_tile, v8_tile, k_tile, v_tile, pos_tile,
+    #   v_sems, u_sems, w_sems, vw_sems
+    *scratch,
     num_kv_heads: int,
     chunk_size: int,
     head_dim: int,
     sparse_start: int,
     rope_dim: int,
     rope_style: str,
+    quant: bool,
 ):
+    if quant:
+        (u8_tile, v8_tile, k_tile, v_tile, pos_tile,
+         v_sems, u_sems, w_sems, vw_sems) = scratch
+    else:
+        u_tile, k_tile, pos_tile, v_sems, u_sems, w_sems = scratch
+
     bk = pl.program_id(0)
     b = bk // num_kv_heads
     k = bk % num_kv_heads
     layer = layer_ref[0]
     n = miss_cnt_ref[bk]
     cs, dh = chunk_size, head_dim
+    pt = 32 // cs  # chunks per 32-sublane int8 tile
     n_groups = (n + GROUP - 1) // GROUP
 
     def v_dma(j, buf, i):
         cid = miss_chunk_ref[bk, j]
+        if quant:
+            # tiled int8 chunk -> VMEM (dequantized + written out later)
+            return pltpu.make_async_copy(
+                v_full_hbm.at[
+                    layer, b, k, cid // pt, pl.ds((cid % pt) * cs, cs), :
+                ],
+                v8_tile.at[buf, pl.ds(i * cs, cs), :],
+                v_sems.at[buf, i],
+            )
         row = sparse_start + miss_slot_ref[bk, j] * cs
         return pltpu.make_async_copy(
             v_full_hbm.at[layer, b, k, cid],
@@ -100,6 +147,14 @@ def _refresh_kernel(
 
     def u_dma(j, buf, i):
         cid = miss_chunk_ref[bk, j]
+        if quant:
+            return pltpu.make_async_copy(
+                u_hbm.at[
+                    layer, b, cid // pt, pl.ds((cid % pt) * cs, cs), :
+                ],
+                u8_tile.at[buf, pl.ds(i * cs, cs), :],
+                u_sems.at[buf, i],
+            )
         return pltpu.make_async_copy(
             u_hbm.at[layer, b, cid],
             u_tile.at[buf, pl.ds(i * cs, cs), :],
@@ -112,6 +167,14 @@ def _refresh_kernel(
             k_tile.at[buf, pl.ds(i * cs, cs), :],
             k_out_hbm.at[layer, b, k, pl.ds(row, cs), :],
             w_sems.at[buf, i],
+        )
+
+    def v_write_dma(j, buf, i):  # quant only
+        row = sparse_start + miss_slot_ref[bk, j] * cs
+        return pltpu.make_async_copy(
+            v_tile.at[buf, pl.ds(i * cs, cs), :],
+            v_out_hbm.at[layer, b, k, pl.ds(row, cs), :],
+            vw_sems.at[buf, i],
         )
 
     def start_group(g):
@@ -159,22 +222,28 @@ def _refresh_kernel(
         buf = g % NBUF
         j0 = g * GROUP
 
-        # Wait the group's U loads; retire this buffer's previous
-        # K-writes and V copies before any reuse (exact semaphore
-        # accounting: every started DMA is waited exactly once).
+        # Wait the group's input loads; retire this buffer's previous
+        # writes (and, bf16 mode, its direct V copies) before any reuse
+        # (exact semaphore accounting: every started DMA is waited
+        # exactly once).
         def wait_in(i, _):
             j = j0 + i
 
             @pl.when(j < n)
             def _():
                 u_dma(j, buf, i).wait()
+                if quant:
+                    v_dma(j, buf, i).wait()
 
             jp = (g - NBUF) * GROUP + i
 
             @pl.when((jp >= 0) & (jp < n))
             def _():
                 k_write_dma(jp, buf, i).wait()
-                v_dma(jp, buf, i).wait()
+                if quant:
+                    v_write_dma(jp, buf, i).wait()
+                else:
+                    v_dma(jp, buf, i).wait()
 
             # Absolute RoPE positions for this group's rows.
             @pl.when(j < n)
@@ -194,9 +263,24 @@ def _refresh_kernel(
             start_group(g + 1)
 
         # One MXU matmul + vectorized RoPE for the whole group.
+        if quant:
+            u8 = u8_tile[buf]  # [GROUP*cs, r_pad] int8
+            base = sv.shape[0] - SCALE_LANES
+            u_sc = _scale_col(u8, base, base + 1)  # [GROUP*cs, 1]
+            v_sc = _scale_col(
+                u8, base + 2 + k, base + 2 + num_kv_heads + k
+            )
+            # int8 -> bf16 feeds the MXU directly; the row scale folds
+            # into the f32 OUTPUT ((q*s) @ SV == (q @ SV)*s). Scale-byte
+            # lanes hit only zero rows of the rank-padded SV.
+            u_mat = u8.astype(jnp.bfloat16)
+        else:
+            u_mat = u_tile[buf]
         k_rec = jnp.dot(
-            u_tile[buf], sv, preferred_element_type=jnp.float32
+            u_mat, sv, preferred_element_type=jnp.float32
         )  # [GROUP*cs, Dh]
+        if quant:
+            k_rec = k_rec * u_sc.astype(jnp.float32)
         ang = pos_tile[:, :] * inv_freq
         if even_partner:
             partner = jnp.where(
@@ -210,6 +294,10 @@ def _refresh_kernel(
         k_tile[buf] = jnp.where(rope_lane, roped, k_rec).astype(
             k_tile.dtype
         )
+        if quant:
+            v_tile[buf] = (
+                v8_tile[buf].astype(jnp.bfloat16) * v_sc
+            ).astype(v_tile.dtype)
 
         def write_out(i, _):
             j = j0 + i
@@ -217,6 +305,8 @@ def _refresh_kernel(
             @pl.when(j < n)
             def _():
                 k_write_dma(j, buf, i).start()
+                if quant:
+                    v_write_dma(j, buf, i).start()
 
             return 0
 
@@ -239,7 +329,10 @@ def _refresh_kernel(
                 @pl.when(j < n)
                 def _():
                     k_write_dma(j, buf, i).wait()
-                    v_dma(j, buf, i).wait()
+                    if quant:
+                        v_write_dma(j, buf, i).wait()
+                    else:
+                        v_dma(j, buf, i).wait()
 
                 return 0
 
@@ -262,9 +355,9 @@ def sparse_refresh(
     miss_chunk: jnp.ndarray,  # [B, K, S] int32 (compacted miss chunk ids)
     miss_slot: jnp.ndarray,  # [B, K, S] int32 (slot index per miss)
     miss_cnt: jnp.ndarray,  # [B, K] int32
-    u: jnp.ndarray,  # [L, B, C, cs, r]
+    u: jnp.ndarray,  # [L, B, C, cs, r] | tiled int8 [L, B, C/pt, 32, r]
     sv: jnp.ndarray,  # [L, B, K, r, Dh]
-    v_full: jnp.ndarray,  # [L, B, K, C, cs, Dh]
+    v_full: jnp.ndarray,  # [L, B, K, C, cs, Dh] | tiled int8 [..., C/pt, 32, Dh]
     inv_freq_full: jnp.ndarray,  # [1, Dh] f32, neox-duplicated
     k_buf: jnp.ndarray,  # [L, B, K, cap, Dh] (donated, aliased)
     v_buf: jnp.ndarray,  # [L, B, K, cap, Dh] (donated, aliased)
@@ -277,23 +370,59 @@ def sparse_refresh(
 ):
     """Refresh the sparse region of k_buf/v_buf for one layer in place.
 
-    Returns (k_buf, v_buf) aliased onto the inputs.
+    Returns (k_buf, v_buf) aliased onto the inputs. Accepts either bf16
+    chunk stores or the tiled int8 stores of core/quant.py (detected
+    from u.dtype); int8 chunks are dequantized in VMEM with the scales
+    embedded in U's tail lanes.
     """
-    l, bsz, c, cs, r = u.shape
-    kh, dh = sv.shape[2], sv.shape[4]
+    quant = u.dtype == jnp.int8
+    cs = chunk_size
+    l, bsz = u.shape[0], u.shape[1]
+    kh, r = sv.shape[2], sv.shape[3]
+    dh = sv.shape[4]
     s = miss_chunk.shape[-1]
     assert cs % 8 == 0 and dh % 128 == 0 and sparse_start % 8 == 0
+    if quant:
+        assert v_full.dtype == jnp.int8
+        assert 32 % cs == 0
+        assert u.shape[-2:] == (32, r), (u.shape, r)
+        assert v_full.shape[-2:] == (32, dh), v_full.shape
+        # rank padding must hold the scale lanes clear of real SV rows
+        assert r >= SCALE_LANES, (r, SCALE_LANES)
+        assert 2 + 2 * kh <= SCALE_LANES, kh
     bk = bsz * kh
 
     kernel = functools.partial(
         _refresh_kernel,
         num_kv_heads=kh,
-        chunk_size=chunk_size,
+        chunk_size=cs,
         head_dim=dh,
         sparse_start=sparse_start,
         rope_dim=rope_dim,
         rope_style=rope_style,
+        quant=quant,
     )
+    if quant:
+        scratch_shapes = [
+            pltpu.VMEM((NBUF, GROUP * cs, r), jnp.int8),
+            pltpu.VMEM((NBUF, GROUP * cs, dh), jnp.int8),
+            pltpu.VMEM((NBUF, GROUP * cs, dh), k_buf.dtype),
+            pltpu.VMEM((NBUF, GROUP * cs, dh), v_buf.dtype),
+            pltpu.VMEM((GROUP * cs, dh), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF, GROUP)),
+            pltpu.SemaphoreType.DMA((NBUF, GROUP)),
+            pltpu.SemaphoreType.DMA((NBUF, GROUP)),
+            pltpu.SemaphoreType.DMA((NBUF, GROUP)),
+        ]
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((NBUF, GROUP * cs, r), u.dtype),
+            pltpu.VMEM((NBUF, GROUP * cs, dh), k_buf.dtype),
+            pltpu.VMEM((GROUP * cs, dh), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF, GROUP)),
+            pltpu.SemaphoreType.DMA((NBUF, GROUP)),
+            pltpu.SemaphoreType.DMA((NBUF, GROUP)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(bk,),
@@ -313,14 +442,7 @@ def sparse_refresh(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((NBUF, GROUP * cs, r), u.dtype),
-            pltpu.VMEM((NBUF, GROUP * cs, dh), k_buf.dtype),
-            pltpu.VMEM((GROUP * cs, dh), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF, GROUP)),
-            pltpu.SemaphoreType.DMA((NBUF, GROUP)),
-            pltpu.SemaphoreType.DMA((NBUF, GROUP)),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     k_out, v_out = pl.pallas_call(
         kernel,

@@ -130,12 +130,9 @@ class Engine:
             return _sample(logits, key, temperature, top_k, top_p), cache
 
         # Offload mode fetches V through an io_callback (jnp path); the
-        # fused kernel currently serves the HBM-resident bf16 V store
-        # only (int8 chunks need a dequant hop the kernel doesn't do yet).
-        if (
-            self.cache_cfg.mode == "shadow_offload"
-            or self.cache_cfg.kv_quant != "none"
-        ):
+        # fused kernel serves the HBM-resident stores, bf16 or packed
+        # int8 (it dequantizes rows in VMEM, kernels/reconstruct.py).
+        if self.cache_cfg.mode == "shadow_offload":
             self.use_pallas = False
         assert not (
             self.cache_cfg.mode == "shadow_offload"

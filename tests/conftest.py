@@ -8,12 +8,15 @@ lazy, so overriding JAX_PLATFORMS here still wins.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_ON_TPU = os.environ.get("SHADOWKV_TPU_TESTS", "") == "1"
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -22,8 +25,11 @@ import jax  # noqa: E402
 # The axon TPU sitecustomize (if present) overrides jax_platforms to
 # "axon,cpu" at interpreter start, which would silently run tests on the
 # real TPU chip (slow remote compiles, TPU matmul precision). Force the
-# CPU platform *after* jax import so our setting wins.
-jax.config.update("jax_platforms", "cpu")
+# CPU platform *after* jax import so our setting wins. Set
+# SHADOWKV_TPU_TESTS=1 to keep the real TPU backend (used by
+# tests/test_kernel_tpu.py, which skips itself on CPU).
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
 import pytest  # noqa: E402

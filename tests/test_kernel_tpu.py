@@ -27,7 +27,9 @@ SPARSE_START = 16
 CAP = SPARSE_START + S * CS + 16
 
 
-def test_sparse_refresh_compiled_matches_interpret():
+def _mk_inputs(quant: bool):
+    from shadowkv_tpu.core.quant import SCALE_LANES, pack_shadow_int8
+
     ks = jax.random.split(jax.random.PRNGKey(0), 8)
     u = jax.random.normal(ks[0], (L, B, C, CS, R), jnp.bfloat16)
     sv = jax.random.normal(ks[1], (L, B, K, R, DH), jnp.bfloat16)
@@ -40,12 +42,58 @@ def test_sparse_refresh_compiled_matches_interpret():
         np.concatenate([1.0 / 1e4 ** (np.arange(0, DH, 2) / DH)] * 2)[None],
         jnp.float32,
     )
+    if quant:
+        # tiled int8 stores need SCALE_LANES free tail lanes in the rank
+        # padding (core/quant.py)
+        rp = ((R + SCALE_LANES + 127) // 128) * 128
+        u = jnp.pad(u, ((0, 0),) * 3 + ((0, 0), (0, rp - R)))
+        sv = jnp.pad(sv, ((0, 0),) * 3 + ((0, rp - R), (0, 0)))
+        u, v_full = pack_shadow_int8(u, v_full)
     mc, ms, cnt = compact_misses(slot_ids, stay)
-    args = (jnp.asarray(0, jnp.int32), mc, ms, cnt, u, sv, v_full, invf)
+    return (jnp.asarray(0, jnp.int32), mc, ms, cnt, u, sv, v_full, invf,
+            k_buf, v_buf)
+
+
+def test_engine_kernel_path_matches_xla_path_int8():
+    """End-to-end integration: the fused-kernel decode (use_pallas) and
+    the XLA gather decode must produce the same greedy tokens from the
+    same tiled int8 cache (they differ only in RoPE trig evaluation —
+    table lookup vs in-kernel f32 trig — and matmul scheduling)."""
+    from shadowkv_tpu.config import CacheConfig, RuntimeConfig
+    from shadowkv_tpu.models.engine import Engine
+    from shadowkv_tpu.models.params import init_synthetic_params
+    from shadowkv_tpu.models.registry import toy_config
+
+    cfg = toy_config(dtype=jnp.bfloat16)
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
+    cc = CacheConfig(
+        mode="shadow", max_length=2048, sparse_budget=256, rank=64,
+        outlier_chunks=4, kv_quant="int8",
+    )
+    ids = np.random.RandomState(0).randint(1, cfg.vocab_size, (2, 1536))
+    outs = {}
+    for up in (False, True):
+        eng = Engine(cfg, cc, RuntimeConfig(use_pallas=up), params)
+        assert eng.use_pallas == up
+        out, _ = eng.generate(ids, gen_len=8, temperature=0.0)
+        outs[up] = out
+    np.testing.assert_array_equal(outs[False], outs[True])
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_sparse_refresh_compiled_matches_interpret(quant):
+    args = _mk_inputs(quant)
     kw = dict(chunk_size=CS, sparse_start=SPARSE_START, rope_dim=DH)
-    k_c, v_c = sparse_refresh(*args, k_buf, v_buf, **kw)
-    k_i, v_i = sparse_refresh(*args, k_buf, v_buf, interpret=True, **kw)
-    np.testing.assert_array_equal(np.asarray(v_c), np.asarray(v_i))
+    k_c, v_c = sparse_refresh(*args, **kw)
+    k_i, v_i = sparse_refresh(*args, interpret=True, **kw)
+    if quant:
+        # compiled + interpret dequant in different op orders
+        np.testing.assert_allclose(
+            np.asarray(v_c, np.float32), np.asarray(v_i, np.float32),
+            rtol=0.05, atol=0.05,
+        )
+    else:
+        np.testing.assert_array_equal(np.asarray(v_c), np.asarray(v_i))
     np.testing.assert_allclose(
         np.asarray(k_c, np.float32), np.asarray(k_i, np.float32),
         rtol=0.05, atol=0.05,  # bf16 accumulate differences

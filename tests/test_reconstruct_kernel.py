@@ -143,6 +143,50 @@ def test_sparse_refresh_glm_partial_rope(rng):
     )
 
 
+def test_sparse_refresh_int8_matches_dequant_reference(rng):
+    """Tiled int8 stores: the kernel's in-VMEM dequant (mask-reduce
+    scale-lane picks + fold into the matmul output / V column multiply)
+    must reproduce the jnp unpack path within bf16 scale rounding."""
+    from shadowkv_tpu.core.quant import (
+        SCALE_LANES,
+        pack_shadow_int8,
+        unpack_u_int8,
+        unpack_v_int8,
+    )
+
+    u, sv, v_full, k_buf, v_buf, slot_ids, stay = _mk(rng)
+    invf = _inv_freq_full()
+    # int8 mode reserves SCALE_LANES tail lanes: pad rank 32 -> 128.
+    rp = ((R + SCALE_LANES + 127) // 128) * 128
+    u_pad = jnp.pad(u, ((0, 0),) * 3 + ((0, 0), (0, rp - R)))
+    sv_pad = jnp.pad(sv, ((0, 0),) * 3 + ((0, rp - R), (0, 0)))
+    u_p, v_p = pack_shadow_int8(u_pad, v_full)
+    assert u_p.shape == (L, B, C // 4, 32, rp)
+    assert v_p.shape == (L, B, K, C // 4, 32, DH)
+    mc, ms, cnt = compact_misses(slot_ids, stay)
+    layer = 1
+
+    k_out, v_out = sparse_refresh(
+        jnp.asarray(layer, jnp.int32), mc, ms, cnt,
+        u_p, sv_pad, v_p, invf, k_buf, v_buf,
+        chunk_size=CS, sparse_start=SPARSE_START, rope_dim=DH,
+        interpret=True,
+    )
+    # Reference: dequantize with the jnp path, then the refresh
+    # reference on the dequantized stores.
+    u_dq = unpack_u_int8(u_p, CS, jnp.float32)
+    v_dq = unpack_v_int8(v_p, u_p, CS, jnp.float32)
+    k_ref, v_ref = _reference(
+        layer, u_dq, sv_pad, v_dq, k_buf, v_buf, slot_ids, stay, invf
+    )
+    # kernel dequantizes U operands in bf16 (the jnp path folds the
+    # scale into the f32 output) -> ~2^-9 relative operand rounding.
+    np.testing.assert_allclose(np.array(v_out), v_ref, rtol=1e-2,
+                               atol=1e-2)
+    np.testing.assert_allclose(np.array(k_out), k_ref, rtol=2e-2,
+                               atol=2e-1)
+
+
 def test_sparse_refresh_all_hits_noop(rng):
     u, sv, v_full, k_buf, v_buf, slot_ids, _ = _mk(rng)
     stay = jnp.ones((B, K, S), bool)
