@@ -175,7 +175,11 @@ class ShadowCache(flax.struct.PyTreeNode):
         # (8-aligned sublane ranges; a flat one-row-per-chunk layout is
         # not sliceable at all). Scales ride in U's tail lanes
         # (core/quant.py).
-        pt = 32 // cs
+        if q8:
+            assert 32 % cs == 0, (
+                f"kv_quant='int8' needs chunk_size dividing 32, got {cs}"
+            )
+        pt = 32 // cs if q8 else 1
         u_shape = (
             (l, b, lo.chunks // pt, 32, lo.rank_pad)
             if q8 else (l, b, lo.chunks, cs, lo.rank_pad)
@@ -277,7 +281,7 @@ def shadow_prefill_layer(
     landmarks_store = lm.landmarks
     if lo.quant == "int8":
         # tiled int8 stores with scales embedded in U's tail lanes
-        u, v_full = pack_shadow_int8(u, v_ctx)
+        u, v_full = pack_shadow_int8(u, v_ctx, rank=lo.rank)
         landmarks_store, lm_scale = quantize_rows(lm.landmarks)
 
     # --- seed the sparse region from the last prefill query ---

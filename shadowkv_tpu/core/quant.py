@@ -84,7 +84,7 @@ def scales_from_bytes(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_shadow_int8(
-    u: jnp.ndarray, v: jnp.ndarray
+    u: jnp.ndarray, v: jnp.ndarray, rank: int | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Quantize one layer's chunk stores into the tiled int8 format.
 
@@ -92,7 +92,9 @@ def pack_shadow_int8(
     v [..., K, C, cs, head_dim]
     -> (u8 [..., C/pt, 32, rank_pad], v8 [..., K, C/pt, 32, head_dim])
     with all per-token scales embedded in u8's tail lanes (module
-    docstring).
+    docstring). The trailer OVERWRITES u's last SCALE_LANES lanes —
+    pass ``rank`` so the fit is checked (rank <= rank_pad -
+    SCALE_LANES), or guarantee those lanes are zero padding yourself.
     """
     c, cs, rp = u.shape[-3:]
     kh, dh = v.shape[-4], v.shape[-1]
@@ -100,6 +102,11 @@ def pack_shadow_int8(
     pt = 32 // cs
     assert c % pt == 0, (c, pt)
     assert 2 + 2 * kh <= SCALE_LANES, f"{kh} kv heads > {SCALE_LANES//2 - 1}"
+    assert rank is None or rank <= rp - SCALE_LANES, (
+        f"rank {rank} overlaps the scale trailer (rank_pad {rp} reserves "
+        f"the last {SCALE_LANES} lanes; pad rank to rank_pad - "
+        f"{SCALE_LANES} or less)"
+    )
     uq, us = quantize_rows(u)  # us [..., C, cs]
     vq, vs = quantize_rows(v)  # vs [..., K, C, cs]
     u_lo, u_hi = _scale_bytes(us.astype(jnp.bfloat16))

@@ -476,9 +476,8 @@ def sparse_refresh(
         input_output_aliases={8: 0, 9: 1},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            # (b, k) cells touch disjoint buffer rows; letting Mosaic
-            # treat the grid as parallel keeps the sv block pipeline
-            # ahead of the (often nearly empty) cell bodies.
+            # (b, k) cells touch disjoint buffer rows — no ordering
+            # between grid programs is required.
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
