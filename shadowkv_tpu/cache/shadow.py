@@ -34,7 +34,10 @@ from shadowkv_tpu.config import CacheConfig, ModelConfig
 from shadowkv_tpu.core import rope as rope_lib
 from shadowkv_tpu.core.lowrank import lowrank_kv_factors
 from shadowkv_tpu.core.quant import (
+    FLAT_TRAILER,
     SCALE_LANES,
+    flat_u_scales,
+    flat_v_scales,
     pack_shadow_int8,
     quantize_rows,
     u_scales_from_rows,
@@ -79,9 +82,19 @@ class ShadowLayout:
     # landmarks quantized per row, ~2x feasible batch at 122K (the
     # memory-for-batch trade standing in for the reference's host
     # offload on bandwidth-limited hosts).
+    kernel_store: bool = False  # int8 store layout: False = flat rows
+    # (the XLA decode path's gather shape), True = (32, row) tiles (the
+    # Pallas refresh kernel's DMA shape). Same bytes per chunk, but not
+    # bitcastable under TPU tiling — chosen at init for the decode path
+    # that will read the store (core/quant.py module docstring).
 
     @classmethod
-    def build(cls, cache: CacheConfig, prefill_len: int) -> "ShadowLayout":
+    def build(
+        cls,
+        cache: CacheConfig,
+        prefill_len: int,
+        kernel_store: bool = False,
+    ) -> "ShadowLayout":
         cs = cache.chunk_size
         assert prefill_len % 8 == 0, "prefill length must be 8-aligned"
         chunks = prefill_len // cs - cache.local_chunks
@@ -113,6 +126,7 @@ class ShadowLayout:
             rank=cache.rank,
             rank_pad=((rank_eff + 127) // 128) * 128,
             quant=cache.kv_quant,
+            kernel_store=kernel_store and cache.kv_quant == "int8",
         )
 
 
@@ -168,26 +182,25 @@ class ShadowCache(flax.struct.PyTreeNode):
         cs = lo.chunk_size
         q8 = lo.quant == "int8"
         store_dt = jnp.int8 if q8 else dt
-        # int8 chunk stores are TILED ([..., C/pt, 32, row], pt chunks
-        # merged per 32-sublane tile): the int8 TPU tile is (32, 128),
-        # so this stores with zero padding (a [..., cs=8, row] int8
-        # array pads 4x) while staying Mosaic-DMA-sliceable per chunk
-        # (8-aligned sublane ranges; a flat one-row-per-chunk layout is
-        # not sliceable at all). Scales ride in U's tail lanes
-        # (core/quant.py).
+        # int8 chunk stores are flat rows ([..., C, cs*row], the XLA
+        # gather shape) or (32, row) tiles ([..., C/pt, 32, row], the
+        # Pallas DMA shape) depending on which decode path this cache
+        # serves; per-token scales ride in each U segment's tail lanes
+        # either way (core/quant.py).
         if q8:
             assert 32 % cs == 0, (
                 f"kv_quant='int8' needs chunk_size dividing 32, got {cs}"
             )
         pt = 32 // cs if q8 else 1
-        u_shape = (
-            (l, b, lo.chunks // pt, 32, lo.rank_pad)
-            if q8 else (l, b, lo.chunks, cs, lo.rank_pad)
-        )
-        v_shape = (
-            (l, b, kh, lo.chunks // pt, 32, dh)
-            if q8 else (l, b, kh, lo.chunks, cs, dh)
-        )
+        if not q8:
+            u_shape = (l, b, lo.chunks, cs, lo.rank_pad)
+            v_shape = (l, b, kh, lo.chunks, cs, dh)
+        elif lo.kernel_store:
+            u_shape = (l, b, lo.chunks // pt, 32, lo.rank_pad)
+            v_shape = (l, b, kh, lo.chunks // pt, 32, dh)
+        else:
+            u_shape = (l, b, lo.chunks, cs * lo.rank_pad + FLAT_TRAILER)
+            v_shape = (l, b, kh, lo.chunks, cs * dh)
         return cls(
             u=jnp.zeros(u_shape, store_dt),
             sv=jnp.zeros((l, b, kh, lo.rank_pad, dh), dt),
@@ -280,8 +293,11 @@ def shadow_prefill_layer(
     lm_scale = None
     landmarks_store = lm.landmarks
     if lo.quant == "int8":
-        # tiled int8 stores with scales embedded in U's tail lanes
-        u, v_full = pack_shadow_int8(u, v_ctx, rank=lo.rank)
+        # int8 stores with scales embedded in U's tail lanes; layout
+        # chosen for the decode path that will read them
+        u, v_full = pack_shadow_int8(
+            u, v_ctx, rank=lo.rank, tiled=lo.kernel_store
+        )
         landmarks_store, lm_scale = quantize_rows(lm.landmarks)
 
     # --- seed the sparse region from the last prefill query ---
@@ -531,41 +547,63 @@ def shadow_decode_layer(
         static.sv, layer, axis=0, keepdims=False
     )
     if lo.quant == "int8":
-        # Tiled int8 stores (core/quant.py): chunk cid = sublane rows
-        # (cid % pt)*cs .. +cs of tile cid // pt. Each fetch is one
-        # [cs, row] window — the vmapped dynamic_slice lowers to a
-        # single XLA gather whose start indices include the traced
-        # layer coordinate. U comes first: its token rows carry their
-        # own scale AND this head's V scale in the tail lanes, so no
-        # separate (latency-bound) scale gather exists.
-        pt = 32 // cs
-        tiles = (asg.slot_ids // pt).ravel()
-        rows0 = ((asg.slot_ids % pt) * cs).ravel()
-        bi_f = jnp.broadcast_to(bi, asg.slot_ids.shape).ravel()
-        ki_f = jnp.broadcast_to(ki, asg.slot_ids.shape).ravel()
+        # int8 stores (core/quant.py): U comes first — its rows carry
+        # every scale, so no separate (latency-bound) scale gather
+        # exists. CRITICAL shape rule: never materialize an int8 array
+        # with cs as the sublane dim ([.., cs, X] int8 pads 4x —
+        # measured ~4.5 ms/step of relayout copies); the einsum operand
+        # reshapes straight to [.., S*cs, rp] and the scales come from
+        # the flat rows' CONTIGUOUS trailer.
+        if not lo.kernel_store:
+            # Flat rows: ONE whole-row gather per chunk including the
+            # traced layer coordinate (XLA's fastest gather shape; a
+            # windowed gather over the tiled layout makes XLA relayout
+            # the whole store — multi-GB copies per step).
+            u_rows = static.u[layer, bi, asg.slot_ids]  # [B,K,S,W]
+            u_q = u_rows[..., : cs * lo.rank_pad].reshape(
+                b, kh, ssets * cs, lo.rank_pad
+            )
+            u_sc = flat_u_scales(u_rows, cs)  # [B,K,S,cs] bf16
+            v_sc = flat_v_scales(
+                u_rows, cs, kh, ki.reshape(1, kh, 1, 1, 1)
+            )
+            v_q = static.v_full[layer, bi, ki, asg.slot_ids].reshape(
+                b, kh, ssets, cs, dh
+            )
+        else:
+            # Tiled stores read by the XLA path (interpret tests /
+            # fallbacks only — the engine pairs tiled stores with the
+            # Pallas kernel): windowed gather, chunk cid = sublane rows
+            # (cid % pt)*cs .. +cs of tile cid // pt.
+            pt = 32 // cs
+            tiles = (asg.slot_ids // pt).ravel()
+            rows0 = ((asg.slot_ids % pt) * cs).ravel()
+            bi_f = jnp.broadcast_to(bi, asg.slot_ids.shape).ravel()
+            ki_f = jnp.broadcast_to(ki, asg.slot_ids.shape).ravel()
 
-        def slc_u(bb, t, r):
-            return jax.lax.dynamic_slice(
-                static.u, (layer, bb, t, r, 0),
-                (1, 1, 1, cs, lo.rank_pad),
-            )[0, 0, 0]
+            def slc_u(bb, t, r):
+                return jax.lax.dynamic_slice(
+                    static.u, (layer, bb, t, r, 0),
+                    (1, 1, 1, cs, lo.rank_pad),
+                )[0, 0, 0]
 
-        def slc_v(bb, kk, t, r):
-            return jax.lax.dynamic_slice(
-                static.v_full, (layer, bb, kk, t, r, 0),
-                (1, 1, 1, 1, cs, dh),
-            )[0, 0, 0, 0]
+            def slc_v(bb, kk, t, r):
+                return jax.lax.dynamic_slice(
+                    static.v_full, (layer, bb, kk, t, r, 0),
+                    (1, 1, 1, 1, cs, dh),
+                )[0, 0, 0, 0]
 
-        u_rows = jax.vmap(slc_u)(bi_f, tiles, rows0).reshape(
-            b, kh, ssets, cs, lo.rank_pad
-        )
-        u_sc = u_scales_from_rows(u_rows, lo.rank_pad)  # [B,K,S,cs] bf16
-        v_sc = v_scales_from_rows(
-            u_rows, lo.rank_pad, kh, ki.reshape(1, kh, 1, 1, 1)
-        )
-        v_q = jax.vmap(slc_v)(bi_f, ki_f, tiles, rows0).reshape(
-            b, kh, ssets, cs, dh
-        )
+            u_rows = jax.vmap(slc_u)(bi_f, tiles, rows0).reshape(
+                b, kh, ssets, cs, lo.rank_pad
+            )
+            u_q = u_rows.reshape(b, kh, ssets * cs, lo.rank_pad)
+            u_sc = u_scales_from_rows(u_rows, lo.rank_pad)
+            v_sc = v_scales_from_rows(
+                u_rows, lo.rank_pad, kh, ki.reshape(1, kh, 1, 1, 1)
+            )
+            v_q = jax.vmap(slc_v)(bi_f, ki_f, tiles, rows0).reshape(
+                b, kh, ssets, cs, dh
+            )
         v_new_rows = (
             v_q.astype(v_buf_l.dtype)
             * v_sc[..., None].astype(v_buf_l.dtype)
@@ -597,7 +635,6 @@ def shadow_decode_layer(
         # scaling the [*, Dh] OUTPUT avoids materializing a dequantized
         # [*, r_pad] U (2x wider than Dh). The scale-byte lanes multiply
         # only the zero rows of the rank-padded SV, so no masking.
-        u_q = u_rows.reshape(b, kh, ssets * cs, lo.rank_pad)
         sc = u_sc.reshape(b, kh, ssets * cs)
         k_rec = jnp.einsum(
             "bknr,bkrd->bknd",
@@ -628,11 +665,18 @@ def shadow_decode_layer(
     k_rec = rope_lib.rotate_with_tables(
         k_rec, cos_off, sin_off, style=model.rope_style
     )
-    base_rows = (jnp.arange(lo.chunks) * cs).astype(jnp.int32)
-    cos_base = cos_table[base_rows]  # [C, half] (static slice pattern)
-    sin_base = sin_table[base_rows]
-    cos_g = cos_base[asg.slot_ids][..., None, :]  # [B,K,S,1,half]
-    sin_g = sin_base[asg.slot_ids][..., None, :]
+    # Chunk-base trig is COMPUTED, not gathered: 6K gathers of 128 B
+    # cos/sin rows per layer are catastrophically latency-bound
+    # (measured ~2.9 ms/step), while VPU trig over [B,K,S,half] is
+    # microseconds. Same values as the tables (both are cos/sin of
+    # compute_inv_freq angles), at f32 rather than table precision.
+    inv = rope_lib.compute_inv_freq(model)  # [half] trace-time constant
+    base_ang = (
+        (asg.slot_ids * cs).astype(jnp.float32)[..., None, None]
+        * inv[None, :]
+    )  # [B,K,S,1,half]
+    cos_g = jnp.cos(base_ang).astype(cos_table.dtype)
+    sin_g = jnp.sin(base_ang).astype(sin_table.dtype)
     k_rec = rope_lib.rotate_with_tables(
         k_rec, cos_g, sin_g, style=model.rope_style
     )

@@ -8,19 +8,34 @@ landmark tables drop to int8 with one scale per row, roughly doubling
 the feasible batch at 122K context. Dequantization fuses into the
 consuming gather/matmul (XLA reads int8 bytes and converts in-register).
 
-Tiled store format (consumed by BOTH the XLA decode path in
-cache/shadow.py and the fused Pallas refresh kernel in
-kernels/reconstruct.py):
+Two store layouts hold the SAME per-chunk bytes (each chunk = cs
+token rows, each ``row`` lanes wide); which one a cache uses is fixed
+at init by the decode path that will read it:
 
-    u      [B, C/pt, 32, rank_pad]   pt = 32 // chunk_size
-    v_full [B, K, C/pt, 32, head_dim]
+    flat  (XLA path):    u [B, C, cs*rank_pad + FLAT_TRAILER],
+                         v_full [B, K, C, cs*head_dim]
+    tiled (Pallas path): u [B, C/pt, 32, rank_pad],
+                         v_full [B, K, C/pt, 32, head_dim]
+                         (pt = 32 // chunk_size; chunk c = sublane rows
+                         (c % pt)*cs .. +cs of tile c // pt)
 
-Chunk ``c`` occupies sublane rows ``(c % pt) * cs .. + cs`` of tile
-``c // pt``. Why this shape: the int8 TPU tile is (32, 128) — merging
-``pt`` chunks per 32-sublane tile stores int8 with ZERO padding (a
-[..., cs=8, row] int8 array pads 4x), and Mosaic DMA can slice
-8-aligned sublane ranges out of a 32-tile (a single flat row — one
-sublane of a tiled chunk axis — cannot be DMA'd at all).
+The flat U row ADDITIONALLY carries a 256-lane trailer repeating all
+of the chunk's scales contiguously — lo plane then hi plane, each
+[u(cs) | v head 0 (cs) | ... | v head K-1 (cs) | zeros] — because the
+XLA path must not touch the per-token embedded lanes: extracting them
+needs a [..., cs, rank_pad] int8 view, and any materialization of
+that shape is 4x sublane-padded (measured ~4.5 ms/step of relayout
+copies). A contiguous tail slice + tiny reshapes is near-free.
+
+Why two: XLA's gather runs fastest over whole rows of an untiled
+leading axis (the flat form; a windowed gather over the tiled form
+makes XLA relayout the WHOLE store — a multi-GB copy per step that
+OOMs at 122K). Mosaic DMA is the opposite: it cannot slice one flat
+row (one sublane of a tiled chunk axis) but happily slices 8-aligned
+sublane ranges out of a 32-tile, and the tiled form is int8's native
+(32, 128) tile with ZERO padding (a [..., cs=8, row] int8 array pads
+4x). The layouts are byte-identical per chunk but NOT bitcastable
+between each other under TPU tiling, hence the init-time choice.
 
 Per-token bf16 scales are EMBEDDED in the tail lanes of each U token
 row (``SCALE_LANES`` lanes reserved by rank_pad; rank 160 pads to 256
@@ -59,7 +74,8 @@ def dequantize(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
     return (q.astype(jnp.float32) * scale[..., None].astype(jnp.float32)).astype(dtype)
 
 
-SCALE_LANES = 64  # U-row tail lanes reserved for embedded scales
+SCALE_LANES = 64  # per-token U tail lanes reserved for embedded scales
+FLAT_TRAILER = 256  # flat-U-row trailer: lo/hi planes of 128 lanes each
 
 
 def _scale_bytes(scale_bf16: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -84,17 +100,22 @@ def scales_from_bytes(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_shadow_int8(
-    u: jnp.ndarray, v: jnp.ndarray, rank: int | None = None
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    rank: int | None = None,
+    tiled: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Quantize one layer's chunk stores into the tiled int8 format.
+    """Quantize one layer's chunk stores into the int8 format.
 
     u [..., C, cs, rank_pad] (rank-padded, zero beyond rank)
     v [..., K, C, cs, head_dim]
-    -> (u8 [..., C/pt, 32, rank_pad], v8 [..., K, C/pt, 32, head_dim])
-    with all per-token scales embedded in u8's tail lanes (module
-    docstring). The trailer OVERWRITES u's last SCALE_LANES lanes —
-    pass ``rank`` so the fit is checked (rank <= rank_pad -
-    SCALE_LANES), or guarantee those lanes are zero padding yourself.
+    -> tiled: (u8 [..., C/pt, 32, rank_pad], v8 [..., K, C/pt, 32, dh])
+       flat:  (u8 [..., C, cs*rank_pad],     v8 [..., K, C, cs*dh])
+    with all per-token scales embedded in the tail lanes of each
+    token's U segment (module docstring). The trailer OVERWRITES u's
+    last SCALE_LANES lanes — pass ``rank`` so the fit is checked
+    (rank <= rank_pad - SCALE_LANES), or guarantee those lanes are
+    zero padding yourself.
     """
     c, cs, rp = u.shape[-3:]
     kh, dh = v.shape[-4], v.shape[-1]
@@ -118,10 +139,31 @@ def pack_shadow_int8(
         [u_lo[..., None], u_hi[..., None], v_lo, v_hi, pad], axis=-1
     )
     u8 = jnp.concatenate([uq[..., : rp - SCALE_LANES], trailer], axis=-1)
-    return (
-        u8.reshape(*u.shape[:-3], c // pt, 32, rp),
-        vq.reshape(*v.shape[:-3], c // pt, 32, dh),
+    if tiled:
+        return (
+            u8.reshape(*u.shape[:-3], c // pt, 32, rp),
+            vq.reshape(*v.shape[:-3], c // pt, 32, dh),
+        )
+    # flat: append the contiguous scale trailer (module docstring)
+    plane = FLAT_TRAILER // 2
+    assert (1 + kh) * cs <= plane, (
+        f"{kh} kv heads x chunk {cs} overflow the flat scale trailer"
     )
+    zpad = jnp.zeros(us.shape[:-1] + (plane - (1 + kh) * cs,), jnp.int8)
+
+    def plane_of(u_b, v_b):
+        vb = v_b.reshape(*v_b.shape[:-2], cs * kh)  # [..., C, K*cs]
+        return jnp.concatenate([u_b, vb, zpad], axis=-1)
+
+    v_lo_kc = jnp.moveaxis(v_lo, -1, -2)  # [..., C, K, cs]
+    v_hi_kc = jnp.moveaxis(v_hi, -1, -2)
+    flat_trailer = jnp.concatenate(
+        [plane_of(u_lo, v_lo_kc), plane_of(u_hi, v_hi_kc)], axis=-1
+    )  # [..., C, FLAT_TRAILER]
+    u8f = jnp.concatenate(
+        [u8.reshape(*u.shape[:-3], c, cs * rp), flat_trailer], axis=-1
+    )
+    return u8f, vq.reshape(*v.shape[:-3], c, cs * dh)
 
 
 def u_scales_from_rows(u_rows: jnp.ndarray, rank_pad: int) -> jnp.ndarray:
@@ -150,32 +192,94 @@ def v_scales_from_rows(
     return scales_from_bytes(lo, hi)
 
 
-def unpack_u_int8(u8: jnp.ndarray, chunk_size: int, dtype) -> jnp.ndarray:
-    """Dequantize a tiled U store [..., C/pt, 32, rp] to
-    [..., C, cs, rp] in ``dtype`` with the scale lanes zeroed."""
-    rp = u8.shape[-1]
+def u_rows_view(
+    u8: jnp.ndarray, chunk_size: int, rank_pad: int
+) -> jnp.ndarray:
+    """[..., C, cs, rp] token-row view of either int8 U layout
+    (free reshape — both layouts are chunk-major token rows; the flat
+    layout's scale trailer is stripped)."""
     cs = chunk_size
-    rows = u8.reshape(*u8.shape[:-3], u8.shape[-3] * (32 // cs), cs, rp)
-    sc = u_scales_from_rows(rows, rp)
+    if u8.shape[-1] == rank_pad:  # tiled [..., C/pt, 32, rp]
+        return u8.reshape(
+            *u8.shape[:-3], u8.shape[-3] * (32 // cs), cs, rank_pad
+        )
+    return u8[..., : cs * rank_pad].reshape(
+        *u8.shape[:-1], cs, rank_pad
+    )  # flat
+
+
+def flat_u_scales(u8_flat: jnp.ndarray, chunk_size: int) -> jnp.ndarray:
+    """bf16 U scales [..., C, cs] from flat U rows' contiguous trailer."""
+    cs = chunk_size
+    tail = u8_flat[..., u8_flat.shape[-1] - FLAT_TRAILER :]
+    plane = FLAT_TRAILER // 2
+    return scales_from_bytes(
+        tail[..., :cs], tail[..., plane : plane + cs]
+    )
+
+
+def flat_v_scales(
+    u8_flat: jnp.ndarray,
+    chunk_size: int,
+    num_kv_heads: int,
+    k_index: jnp.ndarray,
+) -> jnp.ndarray:
+    """bf16 V scales [..., C, cs] for kv head ``k_index`` (broadcastable
+    to ``u8_flat.shape[:-1] + (1, 1)``) from the flat U trailer."""
+    cs, kh = chunk_size, num_kv_heads
+    tail = u8_flat[..., u8_flat.shape[-1] - FLAT_TRAILER :]
+    plane = FLAT_TRAILER // 2
+
+    def pick(block):  # block [..., K*cs] -> [..., cs] for head k_index
+        kc = block.reshape(*block.shape[:-1], kh, cs)
+        return jnp.take_along_axis(kc, k_index, axis=-2)[..., 0, :]
+
+    lo = pick(tail[..., cs : cs + kh * cs])
+    hi = pick(tail[..., plane + cs : plane + cs + kh * cs])
+    return scales_from_bytes(lo, hi)
+
+
+def v_rows_view(
+    v8: jnp.ndarray, chunk_size: int, head_dim: int
+) -> jnp.ndarray:
+    """[..., K, C, cs, dh] token-row view of either int8 V layout."""
+    cs = chunk_size
+    if v8.shape[-1] == head_dim:  # tiled [..., K, C/pt, 32, dh]
+        return v8.reshape(
+            *v8.shape[:-3], v8.shape[-3] * (32 // cs), cs, head_dim
+        )
+    return v8.reshape(*v8.shape[:-1], cs, head_dim)  # flat
+
+
+def unpack_u_int8(
+    u8: jnp.ndarray, chunk_size: int, rank_pad: int, dtype
+) -> jnp.ndarray:
+    """Dequantize an int8 U store (either layout) to [..., C, cs, rp]
+    in ``dtype`` with the scale lanes zeroed."""
+    rows = u_rows_view(u8, chunk_size, rank_pad)
+    sc = u_scales_from_rows(rows, rank_pad)
     data = rows.astype(dtype) * sc[..., None].astype(dtype)
-    lane = jnp.arange(rp)
-    return jnp.where(lane < rp - SCALE_LANES, data, 0)
+    lane = jnp.arange(rank_pad)
+    return jnp.where(lane < rank_pad - SCALE_LANES, data, 0)
 
 
 def unpack_v_int8(
-    v8: jnp.ndarray, u8: jnp.ndarray, chunk_size: int, dtype
+    v8: jnp.ndarray,
+    u8: jnp.ndarray,
+    chunk_size: int,
+    rank_pad: int,
+    head_dim: int,
+    dtype,
 ) -> jnp.ndarray:
-    """Dequantize a tiled V store v8 [..., K, C/pt, 32, dh] using the
-    scales embedded in the matching u8 [..., C/pt, 32, rp]; returns
-    [..., K, C, cs, dh] in ``dtype``."""
-    cs = chunk_size
-    rp = u8.shape[-1]
-    kh, dh = v8.shape[-4], v8.shape[-1]
-    c = v8.shape[-3] * (32 // cs)
-    rows_u = u8.reshape(*u8.shape[:-3], c, cs, rp)
-    base = rp - SCALE_LANES + 2
+    """Dequantize an int8 V store (either layout) using the scales
+    embedded in the matching u8; returns [..., K, C, cs, dh]."""
+    rows_u = u_rows_view(u8, chunk_size, rank_pad)
+    # K sits one axis further out in the tiled layout ([..., K, C/pt,
+    # 32, dh]) than in the flat one ([..., K, C, cs*dh]).
+    kh = v8.shape[-4] if v8.shape[-1] == head_dim else v8.shape[-3]
+    base = rank_pad - SCALE_LANES + 2
     lo = rows_u[..., base : base + kh]  # [..., C, cs, K]
     hi = rows_u[..., base + kh : base + 2 * kh]
     sc = jnp.moveaxis(scales_from_bytes(lo, hi), -1, -3)  # [..., K, C, cs]
-    rows_v = v8.reshape(*v8.shape[:-3], c, cs, dh)
+    rows_v = v_rows_view(v8, chunk_size, head_dim)
     return rows_v.astype(dtype) * sc[..., None].astype(dtype)

@@ -123,9 +123,14 @@ def score_and_select(
     probs = jnp.sum(probs, axis=-2)  # over Q -> [B, K, G, C]
     probs = jnp.max(probs, axis=-2)  # over G -> [B, K, C]
     if approx:
-        # TPU-optimized partial reduction (~2x over the full sort at
-        # 4K landmarks); recall ~0.95 on borderline chunks only — the
-        # selection is a heuristic ranking to begin with.
+        # TPU ApproxTopK partial reduction. In the decode program the
+        # exact lax.top_k lowers to a full sort costing ~4.5 ms/step at
+        # 15K landmarks (standalone it's 0.02 ms — the in-program sort
+        # hits a pathological layout); approx_max_k avoids the sort
+        # entirely (-4.4 ms/step measured). recall_target=0.95 measured
+        # 0.99 actual recall at bench shapes, and the misses are
+        # borderline-ranked chunks of an already-heuristic selection
+        # (tightening to 0.9999 costs +3 ms/step for recall 1.0).
         _, top = jax.lax.approx_max_k(
             probs, select_sets, recall_target=0.95,
             aggregate_to_topk=True,

@@ -183,7 +183,12 @@ class Engine:
         t = max(1, min(self.rt.prefill_sub_batch, b))
         logits_parts = []
         if self.is_shadow:
-            layout = ShadowLayout.build(self.cache_cfg, s)
+            # int8 store layout follows the decode path: tiled for the
+            # Pallas kernel's DMAs, flat rows for the XLA gather
+            # (core/quant.py module docstring).
+            layout = ShadowLayout.build(
+                self.cache_cfg, s, kernel_store=self.use_pallas
+            )
             cache = ShadowCache.init(self.model, layout, b)
             for b0 in range(0, b, t):
                 lg, cache = self._prefill_shadow(

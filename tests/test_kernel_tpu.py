@@ -66,7 +66,12 @@ def test_engine_kernel_path_matches_xla_path_int8():
     from shadowkv_tpu.models.params import init_synthetic_params
     from shadowkv_tpu.models.registry import toy_config
 
-    cfg = toy_config(dtype=jnp.bfloat16)
+    # head_dim must satisfy the kernel's Dh % 128 == 0 DMA contract
+    # (toy_config defaults to 32).
+    cfg = toy_config(
+        dtype=jnp.bfloat16, head_dim=128, hidden_size=512,
+        num_heads=4, num_kv_heads=2, intermediate_size=1024,
+    )
     params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
     cc = CacheConfig(
         mode="shadow", max_length=2048, sparse_budget=256, rank=64,

@@ -23,6 +23,75 @@ def test_quantize_roundtrip(rng):
     assert err < 0.01, float(err)
 
 
+def test_flat_and_tiled_layouts_hold_identical_chunk_bytes(rng):
+    """The flat (XLA-gather) and tiled (Pallas-DMA) int8 layouts must be
+    reshapes of the same chunk-major token rows — the kernel and the
+    XLA path dequantize the same bytes."""
+    from shadowkv_tpu.core.quant import (
+        pack_shadow_int8,
+        u_rows_view,
+        unpack_u_int8,
+        unpack_v_int8,
+        v_rows_view,
+    )
+
+    B, K, C, CS, R, RP, DH = 2, 3, 16, 8, 48, 128, 128
+    ks = jax.random.split(rng, 2)
+    u = jax.random.normal(ks[0], (B, C, CS, RP), jnp.float32)
+    u = u.at[..., R:].set(0)
+    v = jax.random.normal(ks[1], (B, K, C, CS, DH), jnp.float32)
+    from shadowkv_tpu.core.quant import FLAT_TRAILER
+
+    u_t, v_t = pack_shadow_int8(u, v, rank=R, tiled=True)
+    u_f, v_f = pack_shadow_int8(u, v, rank=R, tiled=False)
+    assert u_t.shape == (B, C // 4, 32, RP)
+    assert u_f.shape == (B, C, CS * RP + FLAT_TRAILER)
+    np.testing.assert_array_equal(
+        np.asarray(u_rows_view(u_t, CS, RP)),
+        np.asarray(u_rows_view(u_f, CS, RP)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(v_rows_view(v_t, CS, DH)),
+        np.asarray(v_rows_view(v_f, CS, DH)),
+    )
+    # and the full dequant agrees across layouts
+    np.testing.assert_array_equal(
+        np.asarray(unpack_u_int8(u_t, CS, RP, jnp.float32)),
+        np.asarray(unpack_u_int8(u_f, CS, RP, jnp.float32)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unpack_v_int8(v_t, u_t, CS, RP, DH, jnp.float32)),
+        np.asarray(unpack_v_int8(v_f, u_f, CS, RP, DH, jnp.float32)),
+    )
+    # the flat row's contiguous trailer decodes to the same scales as
+    # the per-token embedded lanes
+    from shadowkv_tpu.core.quant import (
+        flat_u_scales,
+        flat_v_scales,
+        u_scales_from_rows,
+        v_scales_from_rows,
+    )
+
+    rows = u_rows_view(u_t, CS, RP)
+    np.testing.assert_array_equal(
+        np.asarray(flat_u_scales(u_f, CS), np.float32),
+        np.asarray(u_scales_from_rows(rows, RP), np.float32),
+    )
+    for k in range(K):
+        np.testing.assert_array_equal(
+            np.asarray(
+                flat_v_scales(u_f, CS, K, jnp.full((1, 1, 1, 1), k)),
+                np.float32,
+            ),
+            np.asarray(
+                v_scales_from_rows(
+                    rows, RP, K, jnp.full((1, 1, 1, 1), k)
+                ),
+                np.float32,
+            ),
+        )
+
+
 def test_int8_engine_close_to_bf16_engine():
     cfg = toy_config(dtype=jnp.float32)
     params = init_synthetic_params(cfg, jax.random.PRNGKey(0))

@@ -174,8 +174,8 @@ def test_sparse_refresh_int8_matches_dequant_reference(rng):
     )
     # Reference: dequantize with the jnp path, then the refresh
     # reference on the dequantized stores.
-    u_dq = unpack_u_int8(u_p, CS, jnp.float32)
-    v_dq = unpack_v_int8(v_p, u_p, CS, jnp.float32)
+    u_dq = unpack_u_int8(u_p, CS, rp, jnp.float32)
+    v_dq = unpack_v_int8(v_p, u_p, CS, rp, DH, jnp.float32)
     k_ref, v_ref = _reference(
         layer, u_dq, sv_pad, v_dq, k_buf, v_buf, slot_ids, stay, invf
     )
