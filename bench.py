@@ -16,9 +16,9 @@ BENCH_DECODE_STEPS, BENCH_MODE (full|shadow|both), BENCH_QUANT
 
 Default configuration matches the BASELINE.json north star: 122K
 context on one chip, full attention at its max feasible batch (1 on a
-16 GB v5e) vs ShadowKV at its max feasible batch (3 with the int8
-V/U/landmark stores) — the reference's batch-enlargement story
-(index.html:147) on TPU terms.
+16 GB v5e) vs ShadowKV at its max feasible batch (4 with the int8
+V/U/landmark stores + splash prefill + chunked RoPE) — the reference's
+batch-enlargement story (index.html:147) on TPU terms.
 """
 
 from __future__ import annotations
@@ -81,11 +81,14 @@ def main():
 
     datalen = int(os.environ.get("BENCH_DATALEN", 122880))
     full_batch = int(os.environ.get("BENCH_FULL_BATCH", 1))
-    shadow_batch = int(os.environ.get("BENCH_SHADOW_BATCH", 3))
+    shadow_batch = int(os.environ.get("BENCH_SHADOW_BATCH", 4))
     steps = int(os.environ.get("BENCH_DECODE_STEPS", 100))
     bench_mode = os.environ.get("BENCH_MODE", "both")
     quant = os.environ.get("BENCH_QUANT", "int8")
     use_pallas = os.environ.get("BENCH_USE_PALLAS", "") == "1"
+    # dense-splash keeps the prefill HBM peak low enough for batch 4 at
+    # 122K (GQA K/V consumed without the 2x [B, H, S, Dh] repeats).
+    prefill_pattern = os.environ.get("BENCH_PREFILL", "dense-splash")
 
     cfg = toy_config(
         name="sbench-1.4b",
@@ -102,6 +105,7 @@ def main():
     rt = RuntimeConfig(
         prefill_sub_batch=1, prefill_block_q=256,
         use_pallas=True if use_pallas else None,
+        prefill_pattern=prefill_pattern,
     )
     log(f"devices: {jax.devices()}")
     params = init_synthetic_params(cfg, jax.random.PRNGKey(0))

@@ -139,7 +139,11 @@ class RuntimeConfig:
     # Mesh axis sizes; dp shards batch, tp shards heads / factors.
     dp: int = 1
     tp: int = 1
-    # Prefill attention pattern: 'dense' (flash causal) or 'stream'
+    # Prefill attention pattern: 'dense' (flash causal),
+    # 'dense-splash' (causal via the splash MQA kernel — same math,
+    # GQA K/V consumed natively so the two [B, H, S, Dh] repeats that
+    # set the prefill HBM peak disappear; ~20 % slower prefill, buys
+    # a larger decode batch on memory-tight chips), or 'stream'
     # (attention-sink + sliding window via splash attention — the TPU
     # counterpart of the reference's MInference sparse prefill,
     # models/tensor_op.py:68-117).

@@ -210,23 +210,74 @@ def sparse_prefill_splash(
             )
 
     b, s, h, dh = q.shape
+    mask_fn = lambda g: [SinkLocalMask((s, s), window, sink)] * g
+    return _splash_mqa(q, k, v, mask_fn, scale, head_major, interpret)
+
+
+def causal_prefill_splash(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    head_major: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Dense causal prefill via the splash MQA kernel.
+
+    Same math as causal_prefill_flash, but the kernel consumes GQA K/V
+    natively ([S, Dh] shared across the group) instead of requiring
+    them repeated to H heads — the flash path's jnp.repeat materializes
+    two [B, H, S, Dh] copies (2 x 480 MB per layer at 122K) that set
+    the prefill HBM peak and block batch 4 on a 16 GB chip. Measured
+    ~20 % slower prefill than flash at 122K; decode batch is the bench
+    metric, prefill is one-time per sequence.
+    """
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_mask as sm,
+    )
+
+    s = q.shape[1]
+    mask_fn = lambda g: [sm.CausalMask((s, s))] * g
+    return _splash_mqa(q, k, v, mask_fn, scale, head_major, interpret)
+
+
+def _splash_mqa(q, k, v, mask_fn, scale, head_major, interpret):
+    """Shared splash-MQA driver: q [B, S, H, Dh], k/v [B, S, K, Dh]
+    (or [B, K, S, Dh] when head_major); mask_fn(g) -> per-q-head masks
+    for one KV group."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+        splash_attention_mask as sm,
+    )
+
+    b, s, h, dh = q.shape
     scale = scale if scale is not None else dh**-0.5
+    # splash has no sm_scale arg; scale K rather than Q — identical
+    # scores, but K is half the size under GQA and the scalar mul fuses
+    # into the head-major transpose copy, where scaling Q costs a
+    # second full [B, H, S, Dh] buffer at the 122K-prefill HBM peak.
     if head_major:
         kh_ = k.shape[1]
-        k_bh, v_bh = k, v
+        k_bh, v_bh = k * scale, v
     else:
         kh_ = k.shape[2]
-        k_bh = k.transpose(0, 2, 1, 3)
+        k_bh = k.transpose(0, 2, 1, 3) * scale
         v_bh = v.transpose(0, 2, 1, 3)
     g = h // kh_
-    qh = q.transpose(0, 2, 1, 3) * scale  # splash has no sm_scale arg
+    qh = q.transpose(0, 2, 1, 3)
     qg = qh.reshape(b, kh_, g, s, dh)
 
-    mask = sm.MultiHeadMask(
-        [SinkLocalMask((s, s), window, sink) for _ in range(g)]
+    mask = sm.MultiHeadMask(mask_fn(g))
+    # Large blocks keep the per-(q-block, kv-block) mask metadata under
+    # the 1 MB SMEM budget: a DENSE causal mask at 122K with the
+    # default blocks needs ~2 MB of prefetched active-block lists
+    # (metadata shrinks quadratically with block size).
+    blk = min(1024, s)
+    block_sizes = sk.BlockSizes(
+        block_q=blk, block_kv=blk, block_kv_compute=min(512, s)
     )
     kernel = sk.make_splash_mqa_single_device(
-        mask=mask, interpret=interpret
+        mask=mask, block_sizes=block_sizes, interpret=interpret
     )
     # vmap over batch, then over KV heads (MQA kernel: q [G, S, Dh],
     # k/v [S, Dh] shared across the group).

@@ -121,19 +121,28 @@ def apply_rope(
     """
     orig_dtype = x.dtype
     half = cos.shape[-1]
-    xf = x.astype(jnp.float32)
+    # bf16 inputs rotate in bf16: upcasting the bulk array materializes
+    # a full f32 copy (960 MB per layer at 122K prefill — the single
+    # biggest HBM temp in the program), for ~2^-8 relative output error
+    # either way after the cast back. f32 models keep f32 math (HF
+    # parity tests compare exactly).
+    xf = x if x.dtype == jnp.bfloat16 else x.astype(jnp.float32)
     # Broadcast tables over (batch, heads): [1, seq, 1, half]
     shape = (1, cos.shape[0], 1, half)
-    c = cos.reshape(shape)
-    s = sin.reshape(shape)
+    c = cos.reshape(shape).astype(xf.dtype)
+    s = sin.reshape(shape).astype(xf.dtype)
 
     if style == "neox":
         assert 2 * half == x.shape[-1]
-        x1 = xf[..., :half]
-        x2 = xf[..., half:]
-        out = jnp.concatenate(
-            [x1 * c - x2 * s, x2 * c + x1 * s], axis=-1
-        )
+        # Full-width rotate-half with the sign folded into the SIN
+        # table: rot(x) = concat([-x2, x1]) = roll(x, half) * [-1|+1],
+        # so out = x * [c|c] + roll(x, half) * [-s|s]. Any half-width
+        # [.., 64] bf16 temp pads 2x in lanes (2 x 480 MB per layer at
+        # 122K prefill); the roll keeps everything at [.., dim] and the
+        # sign lives in the (sequence-sized, loop-hoisted) table.
+        cf = jnp.concatenate([c, c], axis=-1)
+        sf = jnp.concatenate([-s, s], axis=-1)
+        out = xf * cf + jnp.roll(xf, half, axis=-1) * sf
     elif style == "glm":
         rot = 2 * half  # rotated prefix (64 for GLM-4)
         xr = xf[..., :rot]
@@ -147,6 +156,39 @@ def apply_rope(
     else:
         raise ValueError(f"unknown rope style: {style}")
     return out.astype(orig_dtype)
+
+
+def apply_rope_chunked(
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    style: str = "neox",
+    max_chunks: int = 8,
+) -> jnp.ndarray:
+    """apply_rope with HBM temps bounded by a lax.map over sequence
+    chunks.
+
+    At 122K prefill the one-shot rotation keeps ~3 full [B, S, H, Dh]
+    temporaries live (the roll's slice pair plus the output) — ~1.4 GB
+    per layer for Q — which is what stands between batch 3 and batch 4
+    on a 16 GB chip. Chunking turns all but the output buffer into
+    1/n_chunks-sized loop temps; RoPE is bandwidth-bound so the loop
+    costs nothing. Only the B == 1 sub-batch layout reshapes freely to
+    chunk-major, so other shapes fall back to the fused form.
+    """
+    b, s = x.shape[0], x.shape[1]
+    n = next((c for c in range(max_chunks, 1, -1) if s % c == 0), 1)
+    if b != 1 or n <= 1 or s < 16384:
+        return apply_rope(x, cos, sin, style)
+    cs = s // n
+    xc = x.reshape((n, cs) + x.shape[2:])
+    cc = cos.reshape(n, cs, -1)
+    sc = sin.reshape(n, cs, -1)
+    out = jax.lax.map(
+        lambda args: apply_rope(args[0][None], args[1], args[2], style)[0],
+        (xc, cc, sc),
+    )
+    return out.reshape(x.shape)
 
 
 def rotate_with_tables(

@@ -32,6 +32,7 @@ from shadowkv_tpu.core.attention import (
     causal_prefill_attention,
     causal_prefill_attention_hm,
     causal_prefill_flash,
+    causal_prefill_splash,
     decode_attention_hm,
     sparse_prefill_splash,
 )
@@ -65,8 +66,10 @@ def _layer_qkv(model: ModelConfig, lp: LayerParams, x, cos, sin):
     q, k, v = qkv_proj(
         h, lp, model.num_heads, model.num_kv_heads, model.head_dim
     )
-    q_r = rope_lib.apply_rope(q, cos, sin, model.rope_style)
-    k_r = rope_lib.apply_rope(k, cos, sin, model.rope_style)
+    # Chunked form bounds long-prefill RoPE temps; short (decode) and
+    # multi-sub-batch shapes fall back to the one-shot rotation inside.
+    q_r = rope_lib.apply_rope_chunked(q, cos, sin, model.rope_style)
+    k_r = rope_lib.apply_rope_chunked(k, cos, sin, model.rope_style)
     return q_r, k_r, k, v
 
 
@@ -130,6 +133,12 @@ def prefill_full(
                 q, k_hist, v_hist, rt.stream_window, rt.stream_sink,
                 head_major=True,
             )
+        elif (
+            use_flash
+            and start_pos == 0
+            and rt.prefill_pattern == "dense-splash"
+        ):
+            ctx = causal_prefill_splash(q, k_hist, v_hist, head_major=True)
         elif use_flash and start_pos == 0:
             ctx = causal_prefill_flash(q, k_hist, v_hist, head_major=True)
         else:
@@ -298,6 +307,8 @@ def prefill_shadow_into(
             ctx = sparse_prefill_splash(
                 q, k_r, v, rt.stream_window, rt.stream_sink
             )
+        elif use_flash and rt.prefill_pattern == "dense-splash":
+            ctx = causal_prefill_splash(q, k_r, v)
         elif use_flash:
             ctx = causal_prefill_flash(q, k_r, v)
         else:
