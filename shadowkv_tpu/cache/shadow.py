@@ -34,7 +34,7 @@ from shadowkv_tpu.config import CacheConfig, ModelConfig
 from shadowkv_tpu.core import rope as rope_lib
 from shadowkv_tpu.core.lowrank import lowrank_kv_factors
 from shadowkv_tpu.core.quant import (
-    FLAT_TRAILER,
+    flat_trailer_lanes,
     SCALE_LANES,
     flat_u_scales,
     flat_v_scales,
@@ -111,6 +111,12 @@ class ShadowLayout:
         rank_eff = cache.rank + (
             SCALE_LANES if cache.kv_quant == "int8" else 0
         )
+        # Full 128-lane alignment everywhere. An 8-aligned-only
+        # rank_pad (192) was tried to cut U gather volume 25 %: the
+        # gather itself got 18 % faster but the unaligned rows and the
+        # 192-lane einsum operand triggered ~7 ms/step of relayout
+        # copies and scheduling stalls at 122K/b4 — strictly worse.
+        rank_pad = ((rank_eff + 127) // 128) * 128
         return cls(
             prefill_len=prefill_len,
             chunk_size=cs,
@@ -124,7 +130,7 @@ class ShadowLayout:
             gen_capacity=cache.gen_capacity,
             buffer_cap=sparse_end + cache.gen_capacity,
             rank=cache.rank,
-            rank_pad=((rank_eff + 127) // 128) * 128,
+            rank_pad=rank_pad,
             quant=cache.kv_quant,
             kernel_store=kernel_store and cache.kv_quant == "int8",
         )
@@ -199,7 +205,10 @@ class ShadowCache(flax.struct.PyTreeNode):
             u_shape = (l, b, lo.chunks // pt, 32, lo.rank_pad)
             v_shape = (l, b, kh, lo.chunks // pt, 32, dh)
         else:
-            u_shape = (l, b, lo.chunks, cs * lo.rank_pad + FLAT_TRAILER)
+            u_shape = (
+                l, b, lo.chunks,
+                cs * lo.rank_pad + flat_trailer_lanes(cs, kh),
+            )
             v_shape = (l, b, kh, lo.chunks, cs * dh)
         return cls(
             u=jnp.zeros(u_shape, store_dt),
@@ -294,9 +303,14 @@ def shadow_prefill_layer(
     landmarks_store = lm.landmarks
     if lo.quant == "int8":
         # int8 stores with scales embedded in U's tail lanes; layout
-        # chosen for the decode path that will read them
+        # chosen for the decode path that will read them. Long-context
+        # quantization is blocked so its f32 intermediates stay ~1/8 of
+        # the store (at 244K they otherwise peak ~3 GB/layer and gate
+        # the prefill batch).
+        blocks = 8 if v_ctx.size >= (1 << 25) else 1
         u, v_full = pack_shadow_int8(
-            u, v_ctx, rank=lo.rank, tiled=lo.kernel_store
+            u, v_ctx, rank=lo.rank, tiled=lo.kernel_store,
+            quant_blocks=blocks,
         )
         landmarks_store, lm_scale = quantize_rows(lm.landmarks)
 
@@ -563,7 +577,7 @@ def shadow_decode_layer(
             u_q = u_rows[..., : cs * lo.rank_pad].reshape(
                 b, kh, ssets * cs, lo.rank_pad
             )
-            u_sc = flat_u_scales(u_rows, cs)  # [B,K,S,cs] bf16
+            u_sc = flat_u_scales(u_rows, cs, kh)  # [B,K,S,cs] bf16
             v_sc = flat_v_scales(
                 u_rows, cs, kh, ki.reshape(1, kh, 1, 1, 1)
             )

@@ -64,15 +64,35 @@ def qkv_proj(
     Returns:
       q: [B, S, H, Dh], k: [B, S, K, Dh], v: [B, S, K, Dh]
     """
-    qkv = jnp.dot(x, layer.wqkv, preferred_element_type=x.dtype)
-    if layer.bqkv is not None:
-        qkv = qkv + layer.bqkv.astype(qkv.dtype)
     q_size = num_heads * head_dim
     kv_size = num_kv_heads * head_dim
-    q = qkv[..., :q_size]
-    k = qkv[..., q_size : q_size + kv_size]
-    v = qkv[..., q_size + kv_size :]
     b, s = x.shape[:2]
+    if b * s > 4 * MLP_CHUNK_TOKENS:
+        # Long prefill: three dots against static weight slices. The
+        # fused form materializes the [S, (H+2K)*Dh] output AND the
+        # three slice copies (~3.8 GB/layer at 244K — the prefill HBM
+        # peak); split, only q/k/v themselves exist. Identical math —
+        # same contraction, the weight slice is static. The extra
+        # weight reads are noise next to S-sized activations.
+        splits = []
+        for lo_, hi in (
+            (0, q_size),
+            (q_size, q_size + kv_size),
+            (q_size + kv_size, q_size + 2 * kv_size),
+        ):
+            w = jax.lax.slice_in_dim(layer.wqkv, lo_, hi, axis=1)
+            part = jnp.dot(x, w, preferred_element_type=x.dtype)
+            if layer.bqkv is not None:
+                part = part + layer.bqkv[lo_:hi].astype(part.dtype)
+            splits.append(part)
+        q, k, v = splits
+    else:
+        qkv = jnp.dot(x, layer.wqkv, preferred_element_type=x.dtype)
+        if layer.bqkv is not None:
+            qkv = qkv + layer.bqkv.astype(qkv.dtype)
+        q = qkv[..., :q_size]
+        k = qkv[..., q_size : q_size + kv_size]
+        v = qkv[..., q_size + kv_size :]
     return (
         q.reshape(b, s, num_heads, head_dim),
         k.reshape(b, s, num_kv_heads, head_dim),

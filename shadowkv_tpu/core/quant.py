@@ -12,16 +12,17 @@ Two store layouts hold the SAME per-chunk bytes (each chunk = cs
 token rows, each ``row`` lanes wide); which one a cache uses is fixed
 at init by the decode path that will read it:
 
-    flat  (XLA path):    u [B, C, cs*rank_pad + FLAT_TRAILER],
+    flat  (XLA path):    u [B, C, cs*rank_pad + flat_trailer_lanes],
                          v_full [B, K, C, cs*head_dim]
     tiled (Pallas path): u [B, C/pt, 32, rank_pad],
                          v_full [B, K, C/pt, 32, head_dim]
                          (pt = 32 // chunk_size; chunk c = sublane rows
                          (c % pt)*cs .. +cs of tile c // pt)
 
-The flat U row ADDITIONALLY carries a 256-lane trailer repeating all
-of the chunk's scales contiguously — lo plane then hi plane, each
-[u(cs) | v head 0 (cs) | ... | v head K-1 (cs) | zeros] — because the
+The flat U row ADDITIONALLY carries a ``flat_trailer_lanes(cs, K)``
+trailer repeating all of the chunk's scales contiguously — lo plane
+then hi plane, each
+[u(cs) | v head 0 (cs) | ... | v head K-1 (cs) | pad-to-8] — because the
 XLA path must not touch the per-token embedded lanes: extracting them
 needs a [..., cs, rank_pad] int8 view, and any materialization of
 that shape is 4x sublane-padded (measured ~4.5 ms/step of relayout
@@ -38,13 +39,14 @@ sublane ranges out of a 32-tile, and the tiled form is int8's native
 between each other under TPU tiling, hence the init-time choice.
 
 Per-token bf16 scales are EMBEDDED in the tail lanes of each U token
-row (``SCALE_LANES`` lanes reserved by rank_pad; rank 160 pads to 256
-leaving 96 free int8 lanes):
+row (``SCALE_LANES`` lanes reserved by rank_pad; e.g. rank 160 + 32
+scale lanes = 192 for the flat layout, rounded up to 256 for the
+tiled one whose DMA units need 128-lane alignment):
 
-    lane rp-64        u scale lo byte
-    lane rp-63        u scale hi byte
-    lane rp-62 + k    v scale lo byte, kv head k   (k < K <= 31)
-    lane rp-62+K + k  v scale hi byte, kv head k
+    lane rp-SL        u scale lo byte        (SL = SCALE_LANES)
+    lane rp-SL+1      u scale hi byte
+    lane rp-SL+2 + k    v scale lo byte, kv head k  (k < K <= SL/2 - 1)
+    lane rp-SL+2+K + k  v scale hi byte, kv head k
 
 so ONE U fetch delivers the data and every scale (a separate per-token
 scale array costs a catastrophically latency-bound 32 B-row gather,
@@ -61,8 +63,16 @@ import jax.numpy as jnp
 
 def quantize_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Quantize along the last axis. Returns (int8 values, f32 scale)
-    with ``x ~= q * scale[..., None]``."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    with ``x ~= q * scale[..., None]``.
+
+    The amax reduce runs in x's own dtype (|x| and max are exact in any
+    float format) and only the REDUCED result converts to f32. Sharing
+    one ``x.astype(f32)`` between the reduce and the divide makes XLA
+    materialize a full-size f32 copy of x — ~1 GB per layer when
+    quantizing the V store of a 244K prefill; unshared, the convert
+    fuses into the quantize loop and no full-size temp exists.
+    """
+    amax = jnp.max(jnp.abs(x), axis=-1).astype(jnp.float32)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(
         jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
@@ -70,12 +80,47 @@ def quantize_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
+def quantize_rows_blocked(
+    x: jnp.ndarray, blocks: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """quantize_rows with HBM temps bounded by a lax.map over row
+    blocks. XLA materializes the f32 intermediate of the quantize loop
+    inside the prefill layer scan (~1 GB/layer for a 244K V store,
+    measured — the amax/divide pair defeats fusion there); mapping over
+    ``blocks`` row groups caps the temp at 1/blocks with no extra
+    traffic. ``blocks`` must divide the row count."""
+    if blocks <= 1:
+        return quantize_rows(x)
+    n = 1
+    for d in x.shape[:-1]:
+        n *= d
+    assert n % blocks == 0, (x.shape, blocks)
+    xb = x.reshape(blocks, n // blocks, x.shape[-1])
+    q, s = jax.lax.map(quantize_rows, xb)
+    return (
+        q.reshape(x.shape),
+        s.reshape(x.shape[:-1]),
+    )
+
+
 def dequantize(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
     return (q.astype(jnp.float32) * scale[..., None].astype(jnp.float32)).astype(dtype)
 
 
-SCALE_LANES = 64  # per-token U tail lanes reserved for embedded scales
-FLAT_TRAILER = 256  # flat-U-row trailer: lo/hi planes of 128 lanes each
+SCALE_LANES = 32  # per-token U tail lanes reserved for embedded scales
+# (2 + 2*kv_heads used -> kv_heads <= 15; every lane here is gathered
+# on every decode step, so the reservation is kept tight)
+
+
+def flat_trailer_lanes(chunk_size: int, num_kv_heads: int) -> int:
+    """Width of the flat U row's contiguous scale trailer: lo + hi
+    planes, each holding [u(cs) | v head 0 (cs) | ... | v head K-1 (cs)]
+    padded to a full 128-lane tile. Keeping the whole flat row
+    128-lane aligned matters more than the padding bytes: an 8-aligned
+    trailer (plane 72) made every decode-step gather/reshape of U rows
+    relayout-copy (~7 ms/step at 122K/b4, measured)."""
+    plane = ((1 + num_kv_heads) * chunk_size + 127) // 128 * 128
+    return 2 * plane
 
 
 def _scale_bytes(scale_bf16: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -104,6 +149,7 @@ def pack_shadow_int8(
     v: jnp.ndarray,
     rank: int | None = None,
     tiled: bool = True,
+    quant_blocks: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Quantize one layer's chunk stores into the int8 format.
 
@@ -128,8 +174,8 @@ def pack_shadow_int8(
         f"the last {SCALE_LANES} lanes; pad rank to rank_pad - "
         f"{SCALE_LANES} or less)"
     )
-    uq, us = quantize_rows(u)  # us [..., C, cs]
-    vq, vs = quantize_rows(v)  # vs [..., K, C, cs]
+    uq, us = quantize_rows_blocked(u, quant_blocks)  # us [..., C, cs]
+    vq, vs = quantize_rows_blocked(v, quant_blocks)  # vs [..., K, C, cs]
     u_lo, u_hi = _scale_bytes(us.astype(jnp.bfloat16))
     v_lo, v_hi = _scale_bytes(vs.astype(jnp.bfloat16))
     v_lo = jnp.moveaxis(v_lo, -3, -1)  # [..., C, cs, K]
@@ -145,10 +191,7 @@ def pack_shadow_int8(
             vq.reshape(*v.shape[:-3], c // pt, 32, dh),
         )
     # flat: append the contiguous scale trailer (module docstring)
-    plane = FLAT_TRAILER // 2
-    assert (1 + kh) * cs <= plane, (
-        f"{kh} kv heads x chunk {cs} overflow the flat scale trailer"
-    )
+    plane = flat_trailer_lanes(cs, kh) // 2
     zpad = jnp.zeros(us.shape[:-1] + (plane - (1 + kh) * cs,), jnp.int8)
 
     def plane_of(u_b, v_b):
@@ -159,7 +202,7 @@ def pack_shadow_int8(
     v_hi_kc = jnp.moveaxis(v_hi, -1, -2)
     flat_trailer = jnp.concatenate(
         [plane_of(u_lo, v_lo_kc), plane_of(u_hi, v_hi_kc)], axis=-1
-    )  # [..., C, FLAT_TRAILER]
+    )  # [..., C, trailer]
     u8f = jnp.concatenate(
         [u8.reshape(*u.shape[:-3], c, cs * rp), flat_trailer], axis=-1
     )
@@ -208,11 +251,14 @@ def u_rows_view(
     )  # flat
 
 
-def flat_u_scales(u8_flat: jnp.ndarray, chunk_size: int) -> jnp.ndarray:
+def flat_u_scales(
+    u8_flat: jnp.ndarray, chunk_size: int, num_kv_heads: int
+) -> jnp.ndarray:
     """bf16 U scales [..., C, cs] from flat U rows' contiguous trailer."""
     cs = chunk_size
-    tail = u8_flat[..., u8_flat.shape[-1] - FLAT_TRAILER :]
-    plane = FLAT_TRAILER // 2
+    trailer = flat_trailer_lanes(cs, num_kv_heads)
+    tail = u8_flat[..., u8_flat.shape[-1] - trailer :]
+    plane = trailer // 2
     return scales_from_bytes(
         tail[..., :cs], tail[..., plane : plane + cs]
     )
@@ -227,8 +273,9 @@ def flat_v_scales(
     """bf16 V scales [..., C, cs] for kv head ``k_index`` (broadcastable
     to ``u8_flat.shape[:-1] + (1, 1)``) from the flat U trailer."""
     cs, kh = chunk_size, num_kv_heads
-    tail = u8_flat[..., u8_flat.shape[-1] - FLAT_TRAILER :]
-    plane = FLAT_TRAILER // 2
+    trailer = flat_trailer_lanes(cs, kh)
+    tail = u8_flat[..., u8_flat.shape[-1] - trailer :]
+    plane = trailer // 2
 
     def pick(block):  # block [..., K*cs] -> [..., cs] for head k_index
         kc = block.reshape(*block.shape[:-1], kh, cs)

@@ -1,0 +1,202 @@
+"""Ring-DMA chunk gather for the decode hot path (low-hit regimes).
+
+The XLA decode path spends most of its step gathering selected chunk
+rows out of the U and V stores (measured 50-80 GB/s effective at the
+bench config — per-row gather overhead dominates 1-2 KB rows). This
+kernel issues the same fetches as a pipelined ring of async HBM->HBM
+DMAs (16 in flight), which runs the identical access pattern at
+~470 GB/s (benchmarks/prof_gather_kernel.py). It is a GATHER ONLY:
+dequantization, the U x SV reconstruction matmul and RoPE stay in XLA,
+which already runs them near memory speed.
+
+Reference mapping: this replaces the gather half of
+``gather_copy_with_offsets`` / ``batch_gather_gemm``'s chunk-gather
+iterator (kernels/gather_copy.cu:332-419,
+kernels/special_batch_gather_predicated_tile_iterator.h:294) for the
+miss-heavy regime, where the reference's hit-skip machinery has nothing
+to skip. The hit-skipping fused kernel (kernels/reconstruct.py) remains
+the high-locality path.
+
+Layout contract (core/quant.py): stores are TILED chunk-major —
+  u   [L, B, CT, TS, WU]      (int8: CT = C/pt, TS = 32; bf16: CT = C,
+  v   [L, B, K, CT, TS, WV]    TS = cs)
+so chunk cid occupies sublane rows (cid % pt)*cs .. +cs of tile
+cid // pt (pt = TS // cs). Every DMA'd unit is an 8-aligned sublane
+slice of a tiling-aligned array — the only per-chunk slice Mosaic
+supports for int8 (a flat [C, W] row CANNOT be DMA'd per-chunk).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NSEM = 16  # DMAs in flight per stream (u / v each get their own ring)
+
+
+def _gather_kernel(
+    # scalar prefetch
+    layer_ref,  # [1]
+    ids_ref,  # [BK, S] selected chunk ids
+    # tensors (all ANY/HBM — the kernel is pure DMA issue)
+    u_hbm,  # [L, B, CT, TS, WU]
+    v_hbm,  # [L, B, K, CT, TS, WV]
+    # outputs
+    u_out,  # [BK, S*cs, WU]
+    v_out,  # [BK, S*cs, WV]
+    # scratch
+    u_sems,
+    v_sems,
+    *,
+    num_kv_heads: int,
+    chunk_size: int,
+    tile_sub: int,
+):
+    bk = pl.program_id(0)
+    b = bk // num_kv_heads
+    k = bk % num_kv_heads
+    layer = layer_ref[0]
+    cs = chunk_size
+    pt = tile_sub // cs
+    s = ids_ref.shape[1]
+    nsem = min(NSEM, s)
+
+    def u_dma(j, slot):
+        cid = ids_ref[bk, j]
+        return pltpu.make_async_copy(
+            u_hbm.at[
+                layer, b, cid // pt, pl.ds((cid % pt) * cs, cs), :
+            ],
+            u_out.at[bk, pl.ds(j * cs, cs), :],
+            u_sems.at[slot],
+        )
+
+    def v_dma(j, slot):
+        cid = ids_ref[bk, j]
+        return pltpu.make_async_copy(
+            v_hbm.at[
+                layer, b, k, cid // pt, pl.ds((cid % pt) * cs, cs), :
+            ],
+            v_out.at[bk, pl.ds(j * cs, cs), :],
+            v_sems.at[slot],
+        )
+
+    def loop(j, _):
+        @pl.when(j >= nsem)
+        def _():
+            u_dma(j - nsem, j % nsem).wait()
+            v_dma(j - nsem, j % nsem).wait()
+
+        u_dma(j, j % nsem).start()
+        v_dma(j, j % nsem).start()
+        return 0
+
+    jax.lax.fori_loop(0, s, loop, 0)
+
+    def drain(i, _):
+        j = s - nsem + i
+        u_dma(j, j % nsem).wait()
+        v_dma(j, j % nsem).wait()
+        return 0
+
+    jax.lax.fori_loop(0, nsem, drain, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk_size", "tile_sub", "interpret"),
+)
+def gather_chunks(
+    layer: jnp.ndarray,  # [] int32
+    slot_ids: jnp.ndarray,  # [B, K, S] int32 selected chunk ids
+    u: jnp.ndarray,  # [L, B, CT, TS, WU]
+    v_full: jnp.ndarray,  # [L, B, K, CT, TS, WV]
+    *,
+    chunk_size: int,
+    tile_sub: int,
+    interpret: bool = False,
+):
+    """Fetch the selected chunks' U token rows and V rows for one layer.
+
+    Returns (u_tok [B, K, S*cs, WU], v_tok [B, K, S*cs, WV]) in the
+    stores' dtypes — TOKEN-major, never exposing a cs-sublane int8
+    shape (a materialized [..., cs, W] int8 array pads 4x under TPU
+    tiling; see core/quant.py). U rows are fetched PER KV HEAD (each
+    head selects different chunks); scales ride inside the U rows.
+    """
+    b, kh, s = slot_ids.shape
+    cs = chunk_size
+    wu, wv = u.shape[-1], v_full.shape[-1]
+    assert u.shape[-2] == tile_sub and v_full.shape[-2] == tile_sub
+    assert tile_sub % cs == 0 and cs % 8 == 0
+    bk = b * kh
+
+    kernel = functools.partial(
+        _gather_kernel,
+        num_kv_heads=kh,
+        chunk_size=cs,
+        tile_sub=tile_sub,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA((min(NSEM, s),)),
+            pltpu.SemaphoreType.DMA((min(NSEM, s),)),
+        ],
+    )
+    u_rows, v_rows = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((bk, s * cs, wu), u.dtype),
+            jax.ShapeDtypeStruct((bk, s * cs, wv), v_full.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(
+        layer.reshape(1).astype(jnp.int32),
+        slot_ids.reshape(bk, s),
+        u,
+        v_full,
+    )
+    return (
+        u_rows.reshape(b, kh, s * cs, wu),
+        v_rows.reshape(b, kh, s * cs, wv),
+    )
+
+
+def gather_chunks_reference(
+    layer, slot_ids, u, v_full, *, chunk_size, tile_sub
+):
+    """jnp reference for tests: same outputs via take_along-style
+    indexing over the tiled stores."""
+    b, kh, s = slot_ids.shape
+    cs = chunk_size
+    pt = tile_sub // cs
+    ct = u.shape[2]
+    u_l = u[layer]  # [B, CT, TS, WU]
+    v_l = v_full[layer]  # [B, K, CT, TS, WV]
+    u_tok = u_l.reshape(b, ct * pt, cs, u.shape[-1])  # [B, C, cs, WU]
+    v_tok = v_l.reshape(b, kh, ct * pt, cs, v_full.shape[-1])
+    bi = jnp.arange(b)[:, None, None]
+    ki = jnp.arange(kh)[None, :, None]
+    return (
+        u_tok[bi, slot_ids].reshape(b, kh, s * cs, u.shape[-1]),
+        v_tok[bi, ki, slot_ids].reshape(b, kh, s * cs, v_full.shape[-1]),
+    )

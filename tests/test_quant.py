@@ -40,12 +40,12 @@ def test_flat_and_tiled_layouts_hold_identical_chunk_bytes(rng):
     u = jax.random.normal(ks[0], (B, C, CS, RP), jnp.float32)
     u = u.at[..., R:].set(0)
     v = jax.random.normal(ks[1], (B, K, C, CS, DH), jnp.float32)
-    from shadowkv_tpu.core.quant import FLAT_TRAILER
+    from shadowkv_tpu.core.quant import flat_trailer_lanes
 
     u_t, v_t = pack_shadow_int8(u, v, rank=R, tiled=True)
     u_f, v_f = pack_shadow_int8(u, v, rank=R, tiled=False)
     assert u_t.shape == (B, C // 4, 32, RP)
-    assert u_f.shape == (B, C, CS * RP + FLAT_TRAILER)
+    assert u_f.shape == (B, C, CS * RP + flat_trailer_lanes(CS, K))
     np.testing.assert_array_equal(
         np.asarray(u_rows_view(u_t, CS, RP)),
         np.asarray(u_rows_view(u_f, CS, RP)),
@@ -74,7 +74,7 @@ def test_flat_and_tiled_layouts_hold_identical_chunk_bytes(rng):
 
     rows = u_rows_view(u_t, CS, RP)
     np.testing.assert_array_equal(
-        np.asarray(flat_u_scales(u_f, CS), np.float32),
+        np.asarray(flat_u_scales(u_f, CS, K), np.float32),
         np.asarray(u_scales_from_rows(rows, RP), np.float32),
     )
     for k in range(K):
