@@ -453,6 +453,7 @@ def shadow_decode_layer(
     inv_freq_full: Optional[jnp.ndarray] = None,
     v_store=None,  # HostVStore when V is offloaded to host DRAM
     approx_topk: bool = False,
+    ring_gather: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, ShadowMut]:
     """One layer's sparse-attention cache update at decode time.
 
@@ -560,7 +561,48 @@ def shadow_decode_layer(
     sv_l = jax.lax.dynamic_index_in_dim(
         static.sv, layer, axis=0, keepdims=False
     )
-    if lo.quant == "int8":
+    ring = ring_gather and v_store is None
+    u_sc_flat = None  # int8 per-token U scales [B,K,S*cs] (ring path)
+    if ring:
+        # --- ring-DMA gather (kernels/gather.py): one Pallas kernel
+        #     streams ALL selected chunks' U and V rows out of the
+        #     (tiled when int8) stores as a pipelined ring of async
+        #     HBM DMAs; dequant/matmul/RoPE stay in XLA. Replaces the
+        #     per-row XLA gathers in the miss-heavy regime where the
+        #     fused kernel's hit-skip machinery has nothing to skip. ---
+        from shadowkv_tpu.core.quant import scales_from_bytes
+        from shadowkv_tpu.kernels.gather import gather_chunks
+
+        tile_sub = 32 if lo.quant == "int8" else cs
+        u_tok, v_tok = gather_chunks(
+            layer, asg.slot_ids, static.u, static.v_full,
+            chunk_size=cs, tile_sub=tile_sub,
+            interpret=jax.default_backend() == "cpu",
+        )  # [B,K,S*cs,rp] , [B,K,S*cs,Dh]
+        if lo.quant == "int8":
+            base = lo.rank_pad - SCALE_LANES
+            u_sc_flat = scales_from_bytes(
+                u_tok[..., base], u_tok[..., base + 1]
+            )  # [B,K,S*cs] bf16
+            ki4 = ki.reshape(1, kh, 1, 1)
+            v_sc = scales_from_bytes(
+                jnp.take_along_axis(
+                    u_tok[..., base + 2 : base + 2 + kh], ki4, axis=-1
+                )[..., 0],
+                jnp.take_along_axis(
+                    u_tok[..., base + 2 + kh : base + 2 + 2 * kh],
+                    ki4,
+                    axis=-1,
+                )[..., 0],
+            )
+            v_new_rows = (
+                v_tok.astype(v_buf_l.dtype)
+                * v_sc[..., None].astype(v_buf_l.dtype)
+            ).reshape(b, kh, ssets, cs * dh)
+        else:
+            v_new_rows = v_tok.reshape(b, kh, ssets, cs * dh)
+        u_q = u_tok  # [B,K,S*cs,rp] store dtype
+    elif lo.quant == "int8":
         # int8 stores (core/quant.py): U comes first — its rows carry
         # every scale, so no separate (latency-bound) scale gather
         # exists. CRITICAL shape rule: never materialize an int8 array
@@ -649,7 +691,7 @@ def shadow_decode_layer(
         # scaling the [*, Dh] OUTPUT avoids materializing a dequantized
         # [*, r_pad] U (2x wider than Dh). The scale-byte lanes multiply
         # only the zero rows of the rank-padded SV, so no masking.
-        sc = u_sc.reshape(b, kh, ssets * cs)
+        sc = u_sc_flat if ring else u_sc.reshape(b, kh, ssets * cs)
         k_rec = jnp.einsum(
             "bknr,bkrd->bknd",
             u_q.astype(k_buf_l.dtype),
@@ -660,11 +702,13 @@ def shadow_decode_layer(
             k_buf_l.dtype
         )
     else:
-        # Chunk-major U gather: one contiguous [cs, r] block per chunk.
-        u_rows = static.u[layer, bi, asg.slot_ids]  # [B,K,S,cs,r]
-        u_rows = u_rows.reshape(b, kh, ssets * cs, lo.rank_pad)
+        if not ring:
+            # Chunk-major U gather: one contiguous [cs, r] block/chunk.
+            u_q = static.u[layer, bi, asg.slot_ids].reshape(
+                b, kh, ssets * cs, lo.rank_pad
+            )
         k_rec = jnp.einsum(
-            "bknr,bkrd->bknd", u_rows, sv_l,
+            "bknr,bkrd->bknd", u_q.astype(k_buf_l.dtype), sv_l,
             preferred_element_type=jnp.float32,
         ).astype(k_buf_l.dtype)
     # Decomposed RoPE: rotate(x, chunk*cs + off) =

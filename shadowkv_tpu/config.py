@@ -155,3 +155,10 @@ class RuntimeConfig:
     # True = the fused kernel (wins when selection is temporally
     # stable), honored on TPU backends only.
     use_pallas: Optional[bool] = None
+    # Ring-DMA chunk gather (kernels/gather.py) replacing the decode
+    # step's XLA gathers of U/V chunk rows: a pipelined ring of async
+    # HBM DMAs fetching ALL selected chunks (dequant/matmul/RoPE stay
+    # in XLA). Targets the miss-heavy regime where the fused kernel's
+    # hit-skip machinery has nothing to skip. Mutually exclusive with
+    # use_pallas. Runs in interpret mode on CPU (tests).
+    ring_gather: Optional[bool] = None

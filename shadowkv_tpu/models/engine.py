@@ -90,6 +90,13 @@ class Engine:
         else:
             on_tpu = jax.devices()[0].platform != "cpu"
             self.use_pallas = bool(rt.use_pallas) and on_tpu
+        # Ring-DMA gather of selected chunks (kernels/gather.py).
+        # Allowed on CPU too (interpret mode) so tests can drive it.
+        self.ring_gather = bool(rt.ring_gather)
+        assert not (self.use_pallas and self.ring_gather), (
+            "use_pallas and ring_gather are mutually exclusive decode "
+            "paths"
+        )
 
         # Flash prefill on TPU: the jnp blockwise fallback attends every
         # q-block to all keys; at 122K that is one >100 s XLA program,
@@ -134,11 +141,13 @@ class Engine:
         # int8 (it dequantizes rows in VMEM, kernels/reconstruct.py).
         if self.cache_cfg.mode == "shadow_offload":
             self.use_pallas = False
+            self.ring_gather = False
         assert not (
             self.cache_cfg.mode == "shadow_offload"
             and self.cache_cfg.kv_quant != "none"
         ), "offload + quantized V store not supported together yet"
         use_pallas = self.use_pallas
+        ring_gather = self.ring_gather
         engine = self
         approx_topk = (
             self.cache_cfg.approx_topk
@@ -151,6 +160,7 @@ class Engine:
                 model, params, cache, tokens, self.cos_table,
                 self.sin_table, use_kernel=use_pallas,
                 v_store=engine.v_store, approx_topk=approx_topk,
+                ring_gather=ring_gather,
             )
             return _sample(logits, key, temperature, top_k, top_p), cache
 
@@ -186,8 +196,12 @@ class Engine:
             # int8 store layout follows the decode path: tiled for the
             # Pallas kernel's DMAs, flat rows for the XLA gather
             # (core/quant.py module docstring).
+            # int8 stores: both Pallas decode paths (fused refresh,
+            # ring gather) DMA tiled (32, row) chunks; the XLA path
+            # gathers flat rows (core/quant.py module docstring).
             layout = ShadowLayout.build(
-                self.cache_cfg, s, kernel_store=self.use_pallas
+                self.cache_cfg, s,
+                kernel_store=self.use_pallas or self.ring_gather,
             )
             cache = ShadowCache.init(self.model, layout, b)
             for b0 in range(0, b, t):

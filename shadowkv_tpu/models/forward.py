@@ -333,6 +333,7 @@ def decode_shadow(
     use_kernel: bool = False,
     v_store=None,
     approx_topk: bool = False,
+    ring_gather: bool = False,
 ):
     """One sparse decode step (reference models/base.py:315-341 decode
     branch; see SURVEY.md §3.3 for the kernel-by-kernel mapping).
@@ -362,7 +363,7 @@ def decode_shadow(
             model, layout, static, mut, gen_len, layer, q, k_r, v,
             cos_table, sin_table, use_kernel=use_kernel,
             inv_freq_full=inv_freq_full, v_store=v_store,
-            approx_topk=approx_topk,
+            approx_topk=approx_topk, ring_gather=ring_gather,
         )
         ctx = decode_attention_hm(q, k_view, v_view, valid_len)
         return (_layer_tail(lp, model, x, ctx), mut), None
