@@ -109,3 +109,45 @@ def test_sparse_refresh_compiled_matches_interpret(quant):
         np.asarray(k_c, np.float32), np.asarray(k_i, np.float32),
         rtol=0.05, atol=0.05,  # bf16 accumulate differences
     )
+
+
+@pytest.mark.parametrize(
+    "dtype,tile_sub",
+    [("bf16", 8), ("int8", 32)],
+    ids=["bf16-chunk-rows", "int8-tiled"],
+)
+def test_gather_chunks_compiled_matches_reference(dtype, tile_sub):
+    """Ring-DMA gather (kernels/gather.py) compiled on the real chip vs
+    the jnp indexing reference — pure data movement, must be exact."""
+    from shadowkv_tpu.kernels.gather import (
+        gather_chunks,
+        gather_chunks_reference,
+    )
+
+    l, b, kh, s, cs = 2, 2, 4, 24, 8
+    c, wu, wv = 64, 256, 128
+    ct = c // (tile_sub // cs)
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    if dtype == "int8":
+        u = jax.random.randint(
+            ks[0], (l, b, ct, tile_sub, wu), -127, 128, jnp.int32
+        ).astype(jnp.int8)
+        v = jax.random.randint(
+            ks[1], (l, b, kh, ct, tile_sub, wv), -127, 128, jnp.int32
+        ).astype(jnp.int8)
+    else:
+        u = jax.random.normal(ks[0], (l, b, ct, tile_sub, wu), jnp.bfloat16)
+        v = jax.random.normal(
+            ks[1], (l, b, kh, ct, tile_sub, wv), jnp.bfloat16
+        )
+    ids = jax.random.randint(ks[2], (b, kh, s), 0, c, jnp.int32)
+    layer = jnp.int32(1)
+
+    u_got, v_got = gather_chunks(
+        layer, ids, u, v, chunk_size=cs, tile_sub=tile_sub
+    )
+    u_ref, v_ref = gather_chunks_reference(
+        layer, ids, u, v, chunk_size=cs, tile_sub=tile_sub
+    )
+    np.testing.assert_array_equal(np.asarray(u_got), np.asarray(u_ref))
+    np.testing.assert_array_equal(np.asarray(v_got), np.asarray(v_ref))
