@@ -223,6 +223,7 @@ class Engine:
             if len(logits_parts) == 1
             else jnp.concatenate(logits_parts, axis=0)
         )
+        self._cache = cache  # save_state()-able before any decode
         return logits, cache
 
     def _offload_v(self, cache: ShadowCache) -> ShadowCache:
@@ -244,6 +245,40 @@ class Engine:
         return cache.replace(
             v_full=jnp.zeros((l, b, kh, 0, cs, dh), cache.v_full.dtype)
         )
+
+    # -- prefilled-state checkpointing --------------------------------------
+
+    def save_state(self, path: str):
+        """Persist the current cache (post-prefill or mid-generation) so
+        another process can resume this context without re-prefilling
+        (utils/checkpoint.py; new capability — the reference recomputes
+        SVD + landmarks every run, SURVEY.md §5.4)."""
+        from shadowkv_tpu.utils.checkpoint import save_shadow_state
+
+        assert self.is_shadow, "save_state supports shadow caches"
+        assert self._cache is not None, (
+            "save_state needs a prefilled cache: call prefill()/"
+            "generate() first"
+        )
+        save_shadow_state(self._cache, path, v_store=self.v_store)
+
+    def load_state(self, path: str):
+        """Load a checkpoint written by save_state; afterwards
+        ``generate(..., cont=True)`` continues that context."""
+        from shadowkv_tpu.cache.offload import HostVStore
+        from shadowkv_tpu.utils.checkpoint import load_shadow_state
+
+        assert self.is_shadow, "load_state supports shadow caches"
+        cache, host_v = load_shadow_state(path)
+        assert (self.cache_cfg.mode == "shadow_offload") == (
+            host_v is not None
+        ), "checkpoint offload mode does not match CacheConfig.mode"
+        if host_v is not None:
+            if self.v_store is None:
+                self.v_store = HostVStore(host_v)
+            else:
+                self.v_store.update(host_v)
+        self._cache = cache
 
     # -- generation ---------------------------------------------------------
 

@@ -1,0 +1,84 @@
+"""Prefilled-state checkpoint roundtrip (utils/checkpoint.py).
+
+A context prefetched by one Engine must resume bit-identically in a
+fresh Engine (fresh process stand-in) via save_state/load_state +
+generate(cont=True) — including the offload mode, whose V rows live
+outside the cache pytree in host memory.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shadowkv_tpu.config import CacheConfig, RuntimeConfig
+from shadowkv_tpu.models.engine import Engine
+from shadowkv_tpu.models.params import init_synthetic_params
+from shadowkv_tpu.models.registry import toy_config
+
+
+def _mk_engine(mode="shadow", quant="none"):
+    cfg = toy_config(dtype=jnp.float32)
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
+    cc = CacheConfig(
+        mode=mode, max_length=512, sparse_budget=64, rank=32,
+        outlier_chunks=4, kv_quant=quant,
+    )
+    return Engine(cfg, cc, RuntimeConfig(prefill_block_q=64), params), cfg
+
+
+@pytest.mark.parametrize(
+    "mode,quant",
+    [("shadow", "none"), ("shadow", "int8"), ("shadow_offload", "none")],
+)
+def test_checkpoint_roundtrip_resume(tmp_path, mode, quant):
+    eng, cfg = _mk_engine(mode, quant)
+    ids = np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 256))
+    path = str(tmp_path / "ctx.npz")
+
+    # Reference run: one uninterrupted generate.
+    out_ref, _ = eng.generate(ids, gen_len=10)
+
+    # Checkpointed run: prefill + 2 greedy steps, save, resume in a
+    # FRESH engine and teacher-force the same 2 tokens via cont=True.
+    eng2, _ = _mk_engine(mode, quant)
+    out_a, _ = eng2.generate(ids, gen_len=2)
+    eng2.save_state(path)
+
+    eng3, _ = _mk_engine(mode, quant)
+    eng3.load_state(path)
+    out_b, _ = eng3.generate(out_a[:, 1:], gen_len=8, cont=True)
+
+    got = np.concatenate([out_a, out_b], axis=1)
+    np.testing.assert_array_equal(got, out_ref)
+
+
+def test_checkpoint_preserves_dtypes_and_layout(tmp_path):
+    from shadowkv_tpu.utils.checkpoint import (
+        load_shadow_state,
+        save_shadow_state,
+    )
+
+    eng, cfg = _mk_engine("shadow", "int8")
+    ids = np.random.RandomState(1).randint(0, cfg.vocab_size, (1, 256))
+    _, cache = eng.prefill(ids)
+    path = str(tmp_path / "ctx.npz")
+    save_shadow_state(cache, path)
+    loaded, host_v = load_shadow_state(path)
+    assert host_v is None
+    assert loaded.layout == cache.layout
+    for leaf_a, leaf_b in zip(
+        jax.tree.leaves(cache), jax.tree.leaves(loaded)
+    ):
+        assert leaf_a.dtype == leaf_b.dtype
+        np.testing.assert_array_equal(
+            np.asarray(leaf_a), np.asarray(leaf_b)
+        )
+
+
+def test_save_state_after_prefill_only(tmp_path):
+    eng, cfg = _mk_engine()
+    ids = np.random.RandomState(2).randint(0, cfg.vocab_size, (1, 256))
+    eng.prefill(ids)
+    path = str(tmp_path / "ctx.npz")
+    eng.save_state(path)  # must not require a generate() first
