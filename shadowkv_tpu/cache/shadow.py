@@ -743,29 +743,45 @@ def shadow_decode_layer(
         b, kh, ssets * cs, dh
     )
 
-    # --- 5. write sparse region + append new tokens to gen region ---
+    # --- 5. build the attention view: sparse region + appended new
+    #        tokens over this layer's buffer ---
+    k_new_t = k_new.transpose(0, 2, 1, 3)
+    v_new_t = v_new.transpose(0, 2, 1, 3)
+    gen_row = lo.sparse_end + gen_len
     k_buf_l = jax.lax.dynamic_update_slice(
         k_buf_l, k_sparse, (0, 0, lo.sparse_start, 0)
     )
     v_buf_l = jax.lax.dynamic_update_slice(
         v_buf_l, v_sparse, (0, 0, lo.sparse_start, 0)
     )
-    gen_row = lo.sparse_end + gen_len
     k_buf_l = jax.lax.dynamic_update_slice(
-        k_buf_l, k_new.transpose(0, 2, 1, 3), (0, 0, gen_row, 0)
+        k_buf_l, k_new_t, (0, 0, gen_row, 0)
     )
     v_buf_l = jax.lax.dynamic_update_slice(
-        v_buf_l, v_new.transpose(0, 2, 1, 3), (0, 0, gen_row, 0)
+        v_buf_l, v_new_t, (0, 0, gen_row, 0)
     )
 
-    # --- 6. commit this layer's state ---
+    # --- 6. commit this layer's state: ONLY the changed regions
+    #        (sparse + gen row) are written into the stacked buffers —
+    #        the local/outlier prefix is static after prefill, so the
+    #        full-buffer write-back the reference's in-place CUDA
+    #        updates imply would move ~40 % more bytes per layer for
+    #        nothing. ---
+    k_st = jax.lax.dynamic_update_slice(
+        mut.k_buf, k_sparse[None], (layer, 0, 0, lo.sparse_start, 0)
+    )
+    k_st = jax.lax.dynamic_update_slice(
+        k_st, k_new_t[None], (layer, 0, 0, gen_row, 0)
+    )
+    v_st = jax.lax.dynamic_update_slice(
+        mut.v_buf, v_sparse[None], (layer, 0, 0, lo.sparse_start, 0)
+    )
+    v_st = jax.lax.dynamic_update_slice(
+        v_st, v_new_t[None], (layer, 0, 0, gen_row, 0)
+    )
     mut = mut.replace(
-        k_buf=jax.lax.dynamic_update_slice(
-            mut.k_buf, k_buf_l[None], (layer, 0, 0, 0, 0)
-        ),
-        v_buf=jax.lax.dynamic_update_slice(
-            mut.v_buf, v_buf_l[None], (layer, 0, 0, 0, 0)
-        ),
+        k_buf=k_st,
+        v_buf=v_st,
         cached_ids=jax.lax.dynamic_update_slice(
             mut.cached_ids, asg.slot_ids[None], (layer, 0, 0, 0)
         ),

@@ -214,6 +214,16 @@ class LLM:
         out = self.decode(tokens) if self.tokenizer is not None else tokens
         return out, stats.decode_tokens_per_second
 
+    # -- context checkpointing -------------------------------------------------
+
+    def save_context(self, path: str):
+        """Persist the prefilled context (utils/checkpoint.py); resume
+        with ``load_context`` + ``generate(..., cont=True)``."""
+        self.engine.save_state(path)
+
+    def load_context(self, path: str):
+        self.engine.load_state(path)
+
     def print_kv_stats(self):
         """KV memory accounting (reference models/base.py:101-107,
         kv_cache.py:651-663)."""

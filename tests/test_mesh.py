@@ -28,7 +28,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _build(batch, prefill_len=256, tp=4):
+def _build(batch, prefill_len=256, tp=4, quant="none"):
     cfg = toy_config(
         num_layers=2, hidden_size=256, num_heads=8, num_kv_heads=tp,
         head_dim=32, intermediate_size=512, vocab_size=512,
@@ -37,7 +37,7 @@ def _build(batch, prefill_len=256, tp=4):
     rt = RuntimeConfig(prefill_block_q=128)
     cc = CacheConfig(mode="shadow", max_length=prefill_len,
                      sparse_budget=64, rank=32, outlier_chunks=4,
-                     gen_capacity=32)
+                     gen_capacity=32, kv_quant=quant)
     params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.1)
     cos, sin = compute_cos_sin(cfg, prefill_len + cc.gen_capacity)
     ids = jax.random.randint(
@@ -50,10 +50,14 @@ def _build(batch, prefill_len=256, tp=4):
     return cfg, params, cache, cos, sin
 
 
-def test_sharded_decode_matches_unsharded():
+@pytest.mark.parametrize("quant", ["none", "int8"])
+def test_sharded_decode_matches_unsharded(quant):
+    """Covers the bench configuration too: int8 stores (whose leaves
+    change rank — tiled U, flat V rows) shard under the same pspec
+    rules (trailing dims replicate)."""
     tp, dp = 4, 2
     batch = 2 * dp
-    cfg, params, cache, cos, sin = _build(batch, tp=tp)
+    cfg, params, cache, cos, sin = _build(batch, tp=tp, quant=quant)
     tokens = jnp.ones((batch, 1), jnp.int32)
 
     step = jax.jit(
