@@ -12,7 +12,8 @@ KV-cache-bandwidth-bound full attention vs compact-buffer ShadowKV).
 
 Env overrides: BENCH_DATALEN, BENCH_FULL_BATCH, BENCH_SHADOW_BATCH,
 BENCH_DECODE_STEPS, BENCH_MODE (full|shadow|both), BENCH_QUANT
-(none|int8), BENCH_USE_PALLAS (0|1).
+(none|int8), BENCH_USE_PALLAS (0|1), BENCH_RING (0|1, ring-DMA chunk
+gather on the decode path), BENCH_CACHE_MODE (shadow|shadow_offload).
 
 Default configuration matches the BASELINE.json north star: 122K
 context on one chip, full attention at its max feasible batch (1 on a
@@ -86,6 +87,8 @@ def main():
     bench_mode = os.environ.get("BENCH_MODE", "both")
     quant = os.environ.get("BENCH_QUANT", "int8")
     use_pallas = os.environ.get("BENCH_USE_PALLAS", "") == "1"
+    ring = os.environ.get("BENCH_RING", "") == "1"
+    cache_mode = os.environ.get("BENCH_CACHE_MODE", "shadow")
     # dense-splash keeps the prefill HBM peak low enough for batch 4 at
     # 122K (GQA K/V consumed without the 2x [B, H, S, Dh] repeats).
     prefill_pattern = os.environ.get("BENCH_PREFILL", "dense-splash")
@@ -105,6 +108,7 @@ def main():
     rt = RuntimeConfig(
         prefill_sub_batch=1, prefill_block_q=256,
         use_pallas=True if use_pallas else None,
+        ring_gather=True if ring else None,
         prefill_pattern=prefill_pattern,
     )
     log(f"devices: {jax.devices()}")
@@ -122,7 +126,7 @@ def main():
     shadow_tps = None
     if bench_mode in ("shadow", "both"):
         shadow_cfg = CacheConfig(
-            mode="shadow",
+            mode=cache_mode,
             max_length=datalen + 128,
             sparse_budget=2048,
             rank=160,

@@ -454,6 +454,9 @@ def shadow_decode_layer(
     v_store=None,  # HostVStore when V is offloaded to host DRAM
     approx_topk: bool = False,
     ring_gather: bool = False,
+    v_host=None,  # V store resident in pinned host memory (the cache's
+    # v_full is then a placeholder); the ring kernel DMAs selected
+    # chunks host->HBM directly
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, ShadowMut]:
     """One layer's sparse-attention cache update at decode time.
 
@@ -575,8 +578,10 @@ def shadow_decode_layer(
 
         tile_sub = 32 if lo.quant == "int8" else cs
         u_tok, v_tok = gather_chunks(
-            layer, asg.slot_ids, static.u, static.v_full,
+            layer, asg.slot_ids, static.u,
+            static.v_full if v_host is None else v_host,
             chunk_size=cs, tile_sub=tile_sub,
+            host_v=v_host is not None,
             interpret=jax.default_backend() == "cpu",
         )  # [B,K,S*cs,rp] , [B,K,S*cs,Dh]
         if lo.quant == "int8":

@@ -9,6 +9,12 @@ DMAs (16 in flight), which runs the identical access pattern at
 dequantization, the U x SV reconstruction matmul and RoPE stay in XLA,
 which already runs them near memory speed.
 
+With ``host_v=True`` the V store is declared resident in pinned host
+memory (``pltpu.MemorySpace.HOST``) and the same ring issues host->HBM
+DMAs — the direct TPU analogue of the reference's pinned-memory gather
+(kv_cache.py:554-563 + gather_copy.cu K2/K3), without the io_callback
+round-trip that some TPU runtimes reject.
+
 Reference mapping: this replaces the gather half of
 ``gather_copy_with_offsets`` / ``batch_gather_gemm``'s chunk-gather
 iterator (kernels/gather_copy.cu:332-419,
@@ -108,7 +114,7 @@ def _gather_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk_size", "tile_sub", "interpret"),
+    static_argnames=("chunk_size", "tile_sub", "host_v", "interpret"),
 )
 def gather_chunks(
     layer: jnp.ndarray,  # [] int32
@@ -118,6 +124,7 @@ def gather_chunks(
     *,
     chunk_size: int,
     tile_sub: int,
+    host_v: bool = False,
     interpret: bool = False,
 ):
     """Fetch the selected chunks' U token rows and V rows for one layer.
@@ -135,6 +142,16 @@ def gather_chunks(
     assert tile_sub % cs == 0 and cs % 8 == 0
     bk = b * kh
 
+    if host_v and interpret:
+        # Interpret mode emulates DMAs with dynamic_update_slice, which
+        # rejects mixed memory spaces — move the store to device memory
+        # for the emulation (CPU "host" and "device" are the same DRAM;
+        # tests exercise plumbing + tokens, not placement).
+        from jax._src import core as _core
+
+        v_full = jax.device_put(v_full, _core.MemorySpace.Device)
+        host_v = False
+
     kernel = functools.partial(
         _gather_kernel,
         num_kv_heads=kh,
@@ -146,7 +163,11 @@ def gather_chunks(
         grid=(bk,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                memory_space=(
+                    pltpu.MemorySpace.HOST if host_v else pl.ANY
+                )
+            ),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),

@@ -72,6 +72,7 @@ class Engine:
         self.cos_table = cos
         self.sin_table = sin
         self.v_store = None
+        self._host_v = None  # pinned-host V store (ring offload mode)
         self._cache = None  # persisted across generate() for cont=True
         self._build_jits()
 
@@ -136,18 +137,29 @@ class Engine:
             )
             return _sample(logits, key, temperature, top_k, top_p), cache
 
-        # Offload mode fetches V through an io_callback (jnp path); the
-        # fused kernel serves the HBM-resident stores, bf16 or packed
-        # int8 (it dequantizes rows in VMEM, kernels/reconstruct.py).
+        # Offload mode: with ring_gather the V store stays a cache leaf
+        # committed to pinned host DRAM and the ring kernel DMAs
+        # selected chunks host->HBM (the direct analogue of the
+        # reference's pinned-memory gather, kv_cache.py:554-563 +
+        # gather_copy kernels K2/K3); otherwise V moves to a HostVStore
+        # fetched through an io_callback (hosts whose runtime rejects
+        # host callbacks use the ring path). The fused refresh kernel
+        # serves HBM-resident stores only.
+        self.ring_host = False
         if self.cache_cfg.mode == "shadow_offload":
             self.use_pallas = False
-            self.ring_gather = False
+            self.ring_host = self.ring_gather
         assert not (
             self.cache_cfg.mode == "shadow_offload"
             and self.cache_cfg.kv_quant != "none"
-        ), "offload + quantized V store not supported together yet"
+            and not self.ring_host
+        ), (
+            "offload + quantized V store needs ring_gather=True (the "
+            "io_callback path serves bf16 rows only)"
+        )
         use_pallas = self.use_pallas
         ring_gather = self.ring_gather
+        ring_host = self.ring_host
         engine = self
         approx_topk = (
             self.cache_cfg.approx_topk
@@ -155,14 +167,26 @@ class Engine:
         )
 
         @partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(1,))
-        def decode_shadow_fn(params, cache, tokens, key, temperature, top_k, top_p):
+        def decode_shadow_jit(params, cache, tokens, key, temperature,
+                              top_k, top_p, *v_host):
             logits, cache = forward.decode_shadow(
                 model, params, cache, tokens, self.cos_table,
                 self.sin_table, use_kernel=use_pallas,
                 v_store=engine.v_store, approx_topk=approx_topk,
                 ring_gather=ring_gather,
+                v_host=v_host[0] if v_host else None,
             )
             return _sample(logits, key, temperature, top_k, top_p), cache
+
+        if ring_host:
+            # The pinned-host V store rides as an input-only trailing
+            # arg (set by _offload_v after prefill).
+            def decode_shadow_fn(params, cache, tokens, key, *sample):
+                return decode_shadow_jit(
+                    params, cache, tokens, key, *sample, engine._host_v
+                )
+        else:
+            decode_shadow_fn = decode_shadow_jit
 
         @partial(jax.jit, static_argnums=(2, 3, 4))
         def sample_fn(logits, key, temperature, top_k, top_p):
@@ -235,16 +259,28 @@ class Engine:
         device-side v_full leaf shrinks to a zero-chunk placeholder so
         the pytree structure (and the decode jit) stays unchanged.
         """
+        shape = cache.v_full.shape
+        placeholder = jnp.zeros(
+            shape[:3] + (0,) + shape[4:], cache.v_full.dtype
+        )
+        if self.ring_host:
+            # The store moves to pinned host memory and is passed to the
+            # decode jit as an INPUT-ONLY argument (host-memory leaves
+            # must not appear in jit outputs — XLA's device-placement
+            # annotation is output-side and not universally supported);
+            # the ring kernel DMAs selected chunks host->HBM per step.
+            self._host_v = jax.device_put(
+                cache.v_full,
+                cache.v_full.sharding.with_memory_kind("pinned_host"),
+            )
+            return cache.replace(v_full=placeholder)
         from shadowkv_tpu.cache.offload import HostVStore
 
         if self.v_store is None:
             self.v_store = HostVStore(cache.v_full)
         else:
             self.v_store.update(cache.v_full)
-        l, b, kh, c, cs, dh = cache.v_full.shape
-        return cache.replace(
-            v_full=jnp.zeros((l, b, kh, 0, cs, dh), cache.v_full.dtype)
-        )
+        return cache.replace(v_full=placeholder)
 
     # -- prefilled-state checkpointing --------------------------------------
 
@@ -260,7 +296,12 @@ class Engine:
             "save_state needs a prefilled cache: call prefill()/"
             "generate() first"
         )
-        save_shadow_state(self._cache, path, v_store=self.v_store)
+        cache = self._cache
+        if self.ring_host:
+            # Fold the pinned-host store back into the pytree for the
+            # save (np.asarray reads it host-side, no device copy).
+            cache = cache.replace(v_full=self._host_v)
+        save_shadow_state(cache, path, v_store=self.v_store)
 
     def load_state(self, path: str):
         """Load a checkpoint written by save_state; afterwards
@@ -270,14 +311,34 @@ class Engine:
 
         assert self.is_shadow, "load_state supports shadow caches"
         cache, host_v = load_shadow_state(path)
-        assert (self.cache_cfg.mode == "shadow_offload") == (
-            host_v is not None
-        ), "checkpoint offload mode does not match CacheConfig.mode"
-        if host_v is not None:
-            if self.v_store is None:
-                self.v_store = HostVStore(host_v)
-            else:
-                self.v_store.update(host_v)
+        if self.ring_host:
+            # Ring checkpoints carry the full store in the v_full entry
+            # (meta offload=False since no HostVStore was attached);
+            # re-commit it to pinned host memory and leave a zero-chunk
+            # placeholder in the pytree.
+            assert host_v is None, (
+                "io_callback-offload checkpoint loaded into a "
+                "ring-offload engine"
+            )
+            self._host_v = jax.device_put(
+                cache.v_full,
+                cache.v_full.sharding.with_memory_kind("pinned_host"),
+            )
+            shape = cache.v_full.shape
+            cache = cache.replace(
+                v_full=jnp.zeros(
+                    shape[:3] + (0,) + shape[4:], cache.v_full.dtype
+                )
+            )
+        else:
+            assert (self.cache_cfg.mode == "shadow_offload") == (
+                host_v is not None
+            ), "checkpoint offload mode does not match CacheConfig.mode"
+            if host_v is not None:
+                if self.v_store is None:
+                    self.v_store = HostVStore(host_v)
+                else:
+                    self.v_store.update(host_v)
         self._cache = cache
 
     # -- generation ---------------------------------------------------------

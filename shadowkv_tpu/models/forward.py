@@ -334,9 +334,17 @@ def decode_shadow(
     v_store=None,
     approx_topk: bool = False,
     ring_gather: bool = False,
+    v_host=None,
 ):
     """One sparse decode step (reference models/base.py:315-341 decode
     branch; see SURVEY.md §3.3 for the kernel-by-kernel mapping).
+
+    ``v_host`` is the V store resident in pinned host DRAM (the cache's
+    v_full leaf is then a zero-chunk placeholder): the ring-gather
+    kernel DMAs selected chunks host->HBM (the direct analogue of the
+    reference's pinned-memory gather, kv_cache.py:554-563 + gather_copy
+    kernels). Input-only — host-memory leaves must not ride jit
+    outputs.
 
     Only the mutable buffers (k_buf/v_buf/cached_ids) ride the layer-scan
     carry; the read-only factor/landmark/V-store state stays outside the
@@ -364,6 +372,7 @@ def decode_shadow(
             cos_table, sin_table, use_kernel=use_kernel,
             inv_freq_full=inv_freq_full, v_store=v_store,
             approx_topk=approx_topk, ring_gather=ring_gather,
+            v_host=v_host,
         )
         ctx = decode_attention_hm(q, k_view, v_view, valid_len)
         return (_layer_tail(lp, model, x, ctx), mut), None

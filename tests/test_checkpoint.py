@@ -17,22 +17,28 @@ from shadowkv_tpu.models.params import init_synthetic_params
 from shadowkv_tpu.models.registry import toy_config
 
 
-def _mk_engine(mode="shadow", quant="none"):
+def _mk_engine(mode="shadow", quant="none", ring=False):
     cfg = toy_config(dtype=jnp.float32)
     params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
     cc = CacheConfig(
         mode=mode, max_length=512, sparse_budget=64, rank=32,
         outlier_chunks=4, kv_quant=quant,
     )
-    return Engine(cfg, cc, RuntimeConfig(prefill_block_q=64), params), cfg
+    rt = RuntimeConfig(prefill_block_q=64, ring_gather=ring)
+    return Engine(cfg, cc, rt, params), cfg
 
 
 @pytest.mark.parametrize(
-    "mode,quant",
-    [("shadow", "none"), ("shadow", "int8"), ("shadow_offload", "none")],
+    "mode,quant,ring",
+    [
+        ("shadow", "none", False),
+        ("shadow", "int8", False),
+        ("shadow_offload", "none", False),  # io_callback offload
+        ("shadow_offload", "int8", True),  # pinned-host ring offload
+    ],
 )
-def test_checkpoint_roundtrip_resume(tmp_path, mode, quant):
-    eng, cfg = _mk_engine(mode, quant)
+def test_checkpoint_roundtrip_resume(tmp_path, mode, quant, ring):
+    eng, cfg = _mk_engine(mode, quant, ring)
     ids = np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 256))
     path = str(tmp_path / "ctx.npz")
 
@@ -41,11 +47,11 @@ def test_checkpoint_roundtrip_resume(tmp_path, mode, quant):
 
     # Checkpointed run: prefill + 2 greedy steps, save, resume in a
     # FRESH engine and teacher-force the same 2 tokens via cont=True.
-    eng2, _ = _mk_engine(mode, quant)
+    eng2, _ = _mk_engine(mode, quant, ring)
     out_a, _ = eng2.generate(ids, gen_len=2)
     eng2.save_state(path)
 
-    eng3, _ = _mk_engine(mode, quant)
+    eng3, _ = _mk_engine(mode, quant, ring)
     eng3.load_state(path)
     out_b, _ = eng3.generate(out_a[:, 1:], gen_len=8, cont=True)
 

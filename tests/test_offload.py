@@ -57,3 +57,32 @@ def test_offload_engine_matches_hbm_engine():
         toks, _ = eng.generate(ids, gen_len=12, temperature=0.0)
         outs[mode] = toks
     np.testing.assert_array_equal(outs["shadow"], outs["shadow_offload"])
+
+
+def test_ring_offload_engine_matches_hbm_engine():
+    """shadow_offload + ring_gather: the V store stays a cache leaf in
+    pinned host memory and the ring kernel fetches selected chunks —
+    same tokens as the HBM engine, for bf16 and int8 stores (the
+    io_callback path can't serve int8; the ring path can)."""
+    cfg = toy_config(dtype=jnp.float32)
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0))
+    ids = np.random.RandomState(2).randint(1, cfg.vocab_size, (2, 512))
+    for quant in ("none", "int8"):
+        outs = {}
+        for mode, ring in (("shadow", False), ("shadow_offload", True)):
+            cc = CacheConfig(
+                mode=mode, max_length=512, sparse_budget=64, rank=32,
+                outlier_chunks=4, gen_capacity=32, kv_quant=quant,
+            )
+            rt = RuntimeConfig(
+                prefill_sub_batch=2, prefill_block_q=128,
+                ring_gather=ring,
+            )
+            eng = Engine(cfg, cc, rt, params)
+            if mode == "shadow_offload":
+                assert eng.ring_host and eng.v_store is None
+            toks, _ = eng.generate(ids, gen_len=12, temperature=0.0)
+            outs[mode] = toks
+        np.testing.assert_array_equal(
+            outs["shadow"], outs["shadow_offload"], err_msg=quant
+        )
