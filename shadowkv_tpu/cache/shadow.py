@@ -510,10 +510,13 @@ def shadow_decode_layer(
 
         mc, ms, cnt = compact_misses(asg.slot_ids, asg.stay_mask)
         k_buf, v_buf = sparse_refresh(
-            layer, mc, ms, cnt, static.u, static.sv, static.v_full,
+            layer, mc, ms, cnt, static.u, static.sv,
+            static.v_full if v_host is None else v_host,
             inv_freq_full, mut.k_buf, mut.v_buf,
             chunk_size=cs, sparse_start=lo.sparse_start,
             rope_dim=model.rope_dim, rope_style=model.rope_style,
+            host_v=v_host is not None,
+            interpret=jax.default_backend() == "cpu",
         )
         # Append the new tokens to the gen region (narrow in-place
         # write on the stacked buffer; reference update_kv_cache,

@@ -367,7 +367,7 @@ def _refresh_kernel(
     jax.jit,
     static_argnames=(
         "chunk_size", "sparse_start", "rope_dim", "rope_style",
-        "interpret",
+        "host_v", "interpret",
     ),
 )
 def sparse_refresh(
@@ -386,6 +386,7 @@ def sparse_refresh(
     sparse_start: int,
     rope_dim: int,
     rope_style: str = "neox",
+    host_v: bool = False,
     interpret: bool = False,
 ):
     """Refresh the sparse region of k_buf/v_buf for one layer in place.
@@ -394,8 +395,20 @@ def sparse_refresh(
     chunk stores or the tiled int8 stores of core/quant.py (detected
     from u.dtype); int8 chunks are dequantized in VMEM with the scales
     embedded in U's tail lanes.
+
+    ``host_v=True``: the V store resides in pinned host DRAM and every
+    miss V fetch becomes a host->HBM DMA — hit reuse + host gather of
+    misses only, the reference ShadowKVCache_CPU architecture exactly
+    (kv_cache.py:1081-1095 + copy.cuh:785-846).
     """
     quant = u.dtype == jnp.int8
+    if host_v and interpret:
+        # Interpret mode emulates DMAs with dynamic_update_slice, which
+        # rejects mixed memory spaces (see kernels/gather.py).
+        from jax._src import core as _core
+
+        v_full = jax.device_put(v_full, _core.MemorySpace.Device)
+        host_v = False
     cs = chunk_size
     l, bsz = u.shape[0], u.shape[1]
     kh, r = sv.shape[2], sv.shape[3]
@@ -452,7 +465,11 @@ def sparse_refresh(
         grid=(bk,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # u
-            pl.BlockSpec(memory_space=pl.ANY),  # v_full
+            pl.BlockSpec(  # v_full (HBM, or pinned host when offloaded)
+                memory_space=(
+                    pltpu.MemorySpace.HOST if host_v else pl.ANY
+                )
+            ),
             pl.BlockSpec(memory_space=pl.ANY),  # sv (manual DMA, n>0)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # inv_freq
             pl.BlockSpec(memory_space=pl.ANY),  # k_buf

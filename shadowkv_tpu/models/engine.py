@@ -89,8 +89,10 @@ class Engine:
             # Default to the XLA path; opt in via RuntimeConfig.
             self.use_pallas = False
         else:
-            on_tpu = jax.devices()[0].platform != "cpu"
-            self.use_pallas = bool(rt.use_pallas) and on_tpu
+            # Explicit True is honored on CPU too: the kernel runs in
+            # interpret mode there (tests of the engine-level kernel
+            # paths).
+            self.use_pallas = bool(rt.use_pallas)
         # Ring-DMA gather of selected chunks (kernels/gather.py).
         # Allowed on CPU too (interpret mode) so tests can drive it.
         self.ring_gather = bool(rt.ring_gather)
@@ -137,18 +139,17 @@ class Engine:
             )
             return _sample(logits, key, temperature, top_k, top_p), cache
 
-        # Offload mode: with ring_gather the V store stays a cache leaf
-        # committed to pinned host DRAM and the ring kernel DMAs
-        # selected chunks host->HBM (the direct analogue of the
-        # reference's pinned-memory gather, kv_cache.py:554-563 +
-        # gather_copy kernels K2/K3); otherwise V moves to a HostVStore
-        # fetched through an io_callback (hosts whose runtime rejects
-        # host callbacks use the ring path). The fused refresh kernel
-        # serves HBM-resident stores only.
+        # Offload mode: with ring_gather (fetch ALL selected chunks) or
+        # use_pallas (fused refresh: hit reuse + fetch MISSES only —
+        # the reference ShadowKVCache_CPU architecture exactly) the V
+        # store stays committed to pinned host DRAM and Pallas DMAs
+        # chunks host->HBM (reference pinned-memory gather,
+        # kv_cache.py:554-563 + gather_copy kernels K2/K3); otherwise V
+        # moves to a HostVStore fetched through an io_callback (for
+        # runtimes without Pallas host-memory support).
         self.ring_host = False
         if self.cache_cfg.mode == "shadow_offload":
-            self.use_pallas = False
-            self.ring_host = self.ring_gather
+            self.ring_host = self.ring_gather or self.use_pallas
         assert not (
             self.cache_cfg.mode == "shadow_offload"
             and self.cache_cfg.kv_quant != "none"

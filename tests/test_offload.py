@@ -86,3 +86,34 @@ def test_ring_offload_engine_matches_hbm_engine():
         np.testing.assert_array_equal(
             outs["shadow"], outs["shadow_offload"], err_msg=quant
         )
+
+
+def test_fused_kernel_offload_matches_hbm_kernel_engine():
+    """shadow_offload + use_pallas: hit-reuse + host-DMA fetch of MISS
+    chunks only — the reference ShadowKVCache_CPU architecture. Engine
+    tokens must match the HBM fused-kernel engine exactly (identical
+    math, only the V store's memory placement differs; the kernel runs
+    in interpret mode on CPU). head_dim=128 per the kernel's DMA
+    contract."""
+    cfg = toy_config(
+        dtype=jnp.float32, head_dim=128, hidden_size=512,
+        num_heads=4, num_kv_heads=2, intermediate_size=1024,
+    )
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
+    ids = np.random.RandomState(5).randint(1, cfg.vocab_size, (2, 1024))
+    outs = {}
+    for mode in ("shadow", "shadow_offload"):
+        cc = CacheConfig(
+            mode=mode, max_length=1024, sparse_budget=128, rank=64,
+            outlier_chunks=4, gen_capacity=32,
+        )
+        rt = RuntimeConfig(
+            prefill_sub_batch=2, prefill_block_q=128, use_pallas=True,
+        )
+        eng = Engine(cfg, cc, rt, params)
+        assert eng.use_pallas
+        if mode == "shadow_offload":
+            assert eng.ring_host and eng.v_store is None
+        toks, _ = eng.generate(ids, gen_len=8, temperature=0.0)
+        outs[mode] = toks
+    np.testing.assert_array_equal(outs["shadow"], outs["shadow_offload"])
