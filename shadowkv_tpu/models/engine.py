@@ -45,6 +45,13 @@ class GenerationStats:
         return self.decode_tokens / self.decode_seconds
 
 
+def _v_placeholder(v_full):
+    """Zero-chunk stand-in keeping the cache pytree structure unchanged
+    when the real V store lives outside device memory."""
+    shape = v_full.shape
+    return jnp.zeros(shape[:3] + (0,) + shape[4:], v_full.dtype)
+
+
 class Engine:
     """Single-program inference engine over one model + cache config."""
 
@@ -260,28 +267,34 @@ class Engine:
         device-side v_full leaf shrinks to a zero-chunk placeholder so
         the pytree structure (and the decode jit) stays unchanged.
         """
-        shape = cache.v_full.shape
-        placeholder = jnp.zeros(
-            shape[:3] + (0,) + shape[4:], cache.v_full.dtype
-        )
         if self.ring_host:
             # The store moves to pinned host memory and is passed to the
             # decode jit as an INPUT-ONLY argument (host-memory leaves
             # must not appear in jit outputs — XLA's device-placement
             # annotation is output-side and not universally supported);
-            # the ring kernel DMAs selected chunks host->HBM per step.
-            self._host_v = jax.device_put(
-                cache.v_full,
-                cache.v_full.sharding.with_memory_kind("pinned_host"),
-            )
-            return cache.replace(v_full=placeholder)
+            # the Pallas kernels DMA chunks host->HBM per step.
+            return self._commit_host_v(cache, cache.v_full)
         from shadowkv_tpu.cache.offload import HostVStore
 
         if self.v_store is None:
             self.v_store = HostVStore(cache.v_full)
         else:
             self.v_store.update(cache.v_full)
-        return cache.replace(v_full=placeholder)
+        return cache.replace(v_full=_v_placeholder(cache.v_full))
+
+    def _commit_host_v(self, cache, v_data):
+        """Pin ``v_data`` (device array or host numpy) in host memory as
+        the decode jit's input-only V store; the cache keeps a
+        zero-chunk placeholder. numpy input never stages through HBM
+        (a 122K/b4 store is ~the size of the whole chip)."""
+        if isinstance(v_data, jax.Array):
+            sharding = v_data.sharding.with_memory_kind("pinned_host")
+        else:
+            sharding = jax.sharding.SingleDeviceSharding(
+                jax.devices()[0], memory_kind="pinned_host"
+            )
+        self._host_v = jax.device_put(v_data, sharding)
+        return cache.replace(v_full=_v_placeholder(self._host_v))
 
     # -- prefilled-state checkpointing --------------------------------------
 
@@ -298,49 +311,69 @@ class Engine:
             "generate() first"
         )
         cache = self._cache
+        variant = "hbm"
         if self.ring_host:
             # Fold the pinned-host store back into the pytree for the
             # save (np.asarray reads it host-side, no device copy).
             cache = cache.replace(v_full=self._host_v)
-        save_shadow_state(cache, path, v_store=self.v_store)
+            variant = "ring"
+        elif self.v_store is not None:
+            variant = "io_callback"
+        save_shadow_state(
+            cache, path, v_store=self.v_store, variant=variant
+        )
 
     def load_state(self, path: str):
         """Load a checkpoint written by save_state; afterwards
-        ``generate(..., cont=True)`` continues that context."""
+        ``generate(..., cont=True)`` continues that context.
+
+        Checkpoints are cross-compatible between V placements (hbm /
+        ring / io_callback engines): the store lands wherever THIS
+        engine keeps it. The static layout must match this engine's
+        cache config and decode path — validated here, because a
+        mismatch (e.g. a flat-row int8 store fed to the tiled-store
+        kernels, or differing gen capacities) corrupts silently.
+        """
         from shadowkv_tpu.cache.offload import HostVStore
         from shadowkv_tpu.utils.checkpoint import load_shadow_state
 
         assert self.is_shadow, "load_state supports shadow caches"
-        cache, host_v = load_shadow_state(path)
+        offloaded = self.cache_cfg.mode == "shadow_offload"
+        cache, host_v = load_shadow_state(
+            path, v_to="numpy" if offloaded else "device"
+        )
+        self._check_layout(cache.layout)
         if self.ring_host:
-            # Ring checkpoints carry the full store in the v_full entry
-            # (meta offload=False since no HostVStore was attached);
-            # re-commit it to pinned host memory and leave a zero-chunk
-            # placeholder in the pytree.
-            assert host_v is None, (
-                "io_callback-offload checkpoint loaded into a "
-                "ring-offload engine"
-            )
-            self._host_v = jax.device_put(
-                cache.v_full,
-                cache.v_full.sharding.with_memory_kind("pinned_host"),
-            )
-            shape = cache.v_full.shape
-            cache = cache.replace(
-                v_full=jnp.zeros(
-                    shape[:3] + (0,) + shape[4:], cache.v_full.dtype
-                )
-            )
-        else:
-            assert (self.cache_cfg.mode == "shadow_offload") == (
-                host_v is not None
-            ), "checkpoint offload mode does not match CacheConfig.mode"
-            if host_v is not None:
-                if self.v_store is None:
-                    self.v_store = HostVStore(host_v)
-                else:
-                    self.v_store.update(host_v)
+            cache = self._commit_host_v(cache, host_v)
+        elif offloaded:
+            if self.v_store is None:
+                self.v_store = HostVStore(host_v)
+            else:
+                self.v_store.update(host_v)
         self._cache = cache
+
+    def _check_layout(self, lo):
+        cc = self.cache_cfg
+        expect = {
+            "chunk_size": cc.chunk_size,
+            "select_sets": cc.select_sets,
+            "rank": cc.rank,
+            "gen_capacity": cc.gen_capacity,
+            "quant": cc.kv_quant,
+            # Mirrors ShadowLayout.build's gating: the tiled store only
+            # exists for int8 (bf16 stores are one layout for all paths).
+            "kernel_store": (self.use_pallas or self.ring_gather)
+            and cc.kv_quant == "int8",
+        }
+        got = {k: getattr(lo, k) for k in expect}
+        assert got == expect, (
+            f"checkpoint layout does not match this engine: {got} != "
+            f"{expect}"
+        )
+        assert lo.prefill_len <= cc.max_length, (
+            f"checkpoint prefill_len {lo.prefill_len} exceeds "
+            f"max_length {cc.max_length} (RoPE tables too short)"
+        )
 
     # -- generation ---------------------------------------------------------
 
@@ -390,6 +423,10 @@ class Engine:
         if cont:
             assert self._cache is not None, "cont=True needs a prior call"
             cache = self._cache
+            # The decode steps below DONATE the cache; a stale
+            # self._cache alias would reference deleted buffers if the
+            # loop is interrupted (cleared until the loop completes).
+            self._cache = None
             if self.is_shadow:
                 used = int(cache.gen_len) + s + gen_len
                 assert used <= self.cache_cfg.gen_capacity, (
@@ -406,6 +443,7 @@ class Engine:
                 )
         else:
             logits, cache = self.prefill(input_ids)
+            self._cache = None  # about to be donated (see cont branch)
             key, sub = jax.random.split(key)
             tokens = self._sample(logits, sub, *sample_args)
         tokens.block_until_ready()
@@ -456,6 +494,7 @@ class Engine:
 
         t0 = time.perf_counter()
         logits, cache = self.prefill(input_ids)
+        self._cache = None  # about to be donated (see generate())
         key = jax.random.PRNGKey(seed)
         key, sub = jax.random.split(key)
         sample_args = (temperature, top_k, top_p)

@@ -59,6 +59,56 @@ def test_checkpoint_roundtrip_resume(tmp_path, mode, quant, ring):
     np.testing.assert_array_equal(got, out_ref)
 
 
+@pytest.mark.parametrize(
+    "src,dst",
+    [
+        # hbm -> io_callback offload and back (store crosses the
+        # pytree/HostVStore boundary), and io_callback -> ring (store
+        # crosses into pinned host memory). Layouts must match, so the
+        # pairs keep quant/kernel_store equal.
+        (("shadow", "none", False), ("shadow_offload", "none", False)),
+        (("shadow_offload", "none", False), ("shadow", "none", False)),
+        (
+            ("shadow_offload", "none", False),
+            ("shadow_offload", "none", True),
+        ),
+    ],
+)
+def test_checkpoint_cross_variant_load(tmp_path, src, dst):
+    """A checkpoint written by one V-placement variant resumes
+    bit-identically in an engine using a different placement."""
+    eng, cfg = _mk_engine(*src)
+    ids = np.random.RandomState(3).randint(0, cfg.vocab_size, (2, 256))
+    path = str(tmp_path / "ctx.npz")
+
+    out_ref, _ = eng.generate(ids, gen_len=10)
+
+    eng2, _ = _mk_engine(*src)
+    out_a, _ = eng2.generate(ids, gen_len=2)
+    eng2.save_state(path)
+
+    eng3, _ = _mk_engine(*dst)
+    eng3.load_state(path)
+    out_b, _ = eng3.generate(out_a[:, 1:], gen_len=8, cont=True)
+
+    got = np.concatenate([out_a, out_b], axis=1)
+    np.testing.assert_array_equal(got, out_ref)
+
+
+def test_checkpoint_layout_mismatch_rejected(tmp_path):
+    """Loading into an engine whose static layout differs (here: int8
+    store vs bf16) must fail loudly, not corrupt silently."""
+    eng, cfg = _mk_engine("shadow", "none")
+    ids = np.random.RandomState(4).randint(0, cfg.vocab_size, (1, 256))
+    eng.prefill(ids)
+    path = str(tmp_path / "ctx.npz")
+    eng.save_state(path)
+
+    eng2, _ = _mk_engine("shadow", "int8")
+    with pytest.raises(AssertionError, match="does not match"):
+        eng2.load_state(path)
+
+
 def test_checkpoint_preserves_dtypes_and_layout(tmp_path):
     from shadowkv_tpu.utils.checkpoint import (
         load_shadow_state,
