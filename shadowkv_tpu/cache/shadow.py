@@ -24,11 +24,13 @@ contiguous row — on TPU this keeps every gather a dense 1024-element
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import flax.struct
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from shadowkv_tpu.config import CacheConfig, ModelConfig
 from shadowkv_tpu.core import rope as rope_lib
@@ -457,6 +459,11 @@ def shadow_decode_layer(
     v_host=None,  # V store resident in pinned host memory (the cache's
     # v_full is then a placeholder); the ring kernel DMAs selected
     # chunks host->HBM directly
+    mesh=None,  # jax.sharding.Mesh with axes (dp, tp): the Pallas
+    # kernel calls below are wrapped in shard_map islands (GSPMD can't
+    # partition a pallas_call) so the ring/fused decode paths run
+    # multi-chip with B on dp and KV heads on tp — the same layout the
+    # XLA path shards via NamedSharding (parallel/mesh.py)
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, ShadowMut]:
     """One layer's sparse-attention cache update at decode time.
 
@@ -508,15 +515,49 @@ def shadow_decode_layer(
             sparse_refresh,
         )
 
-        mc, ms, cnt = compact_misses(asg.slot_ids, asg.stay_mask)
-        k_buf, v_buf = sparse_refresh(
-            layer, mc, ms, cnt, static.u, static.sv,
-            static.v_full if v_host is None else v_host,
-            inv_freq_full, mut.k_buf, mut.v_buf,
+        refresh_fn = functools.partial(
+            sparse_refresh,
             chunk_size=cs, sparse_start=lo.sparse_start,
             rope_dim=model.rope_dim, rope_style=model.rope_style,
             host_v=v_host is not None,
             interpret=jax.default_backend() == "cpu",
+        )
+        if mesh is not None:
+            # Inside the island each program sees a local head slice;
+            # the int8 scale lanes are packed per GLOBAL head, so pass
+            # the shard's head offset + the global head count through.
+            base_refresh, total_kh = refresh_fn, kh
+
+            def refresh_fn(layer_, mc_, ms_, cnt_, u_, sv_, v_, inv_,
+                           kb_, vb_):
+                off = jax.lax.axis_index("tp") * sv_.shape[2]
+                return base_refresh(
+                    layer_, mc_, ms_, cnt_, u_, sv_, v_, inv_, kb_, vb_,
+                    head_offset=off, total_kv_heads=total_kh,
+                )
+
+            refresh_fn = jax.shard_map(
+                refresh_fn, mesh=mesh,
+                in_specs=(
+                    P(),  # layer (replicated scalar)
+                    P("dp", "tp"),  # miss_chunk
+                    P("dp", "tp"),  # miss_slot
+                    P("dp", "tp"),  # miss_cnt
+                    P(None, "dp"),  # u (tp-replicated, shared by heads)
+                    P(None, "dp", "tp"),  # sv
+                    P(None, "dp", "tp"),  # v store
+                    P(),  # inv_freq (replicated)
+                    P(None, "dp", "tp"),  # k_buf
+                    P(None, "dp", "tp"),  # v_buf
+                ),
+                out_specs=(P(None, "dp", "tp"), P(None, "dp", "tp")),
+                check_vma=False,  # pallas_call outputs carry no vma
+            )
+        mc, ms, cnt = compact_misses(asg.slot_ids, asg.stay_mask)
+        k_buf, v_buf = refresh_fn(
+            layer, mc, ms, cnt, static.u, static.sv,
+            static.v_full if v_host is None else v_host,
+            inv_freq_full, mut.k_buf, mut.v_buf,
         )
         # Append the new tokens to the gen region (narrow in-place
         # write on the stacked buffer; reference update_kv_cache,
@@ -580,12 +621,27 @@ def shadow_decode_layer(
         from shadowkv_tpu.kernels.gather import gather_chunks
 
         tile_sub = 32 if lo.quant == "int8" else cs
-        u_tok, v_tok = gather_chunks(
-            layer, asg.slot_ids, static.u,
-            static.v_full if v_host is None else v_host,
+        gather_fn = functools.partial(
+            gather_chunks,
             chunk_size=cs, tile_sub=tile_sub,
             host_v=v_host is not None,
             interpret=jax.default_backend() == "cpu",
+        )
+        if mesh is not None:
+            gather_fn = jax.shard_map(
+                gather_fn, mesh=mesh,
+                in_specs=(
+                    P(),  # layer (replicated scalar)
+                    P("dp", "tp"),  # slot_ids
+                    P(None, "dp"),  # u (tp-replicated, shared by heads)
+                    P(None, "dp", "tp"),  # v store
+                ),
+                out_specs=(P("dp", "tp"), P("dp", "tp")),
+                check_vma=False,  # pallas_call outputs carry no vma
+            )
+        u_tok, v_tok = gather_fn(
+            layer, asg.slot_ids, static.u,
+            static.v_full if v_host is None else v_host,
         )  # [B,K,S*cs,rp] , [B,K,S*cs,Dh]
         if lo.quant == "int8":
             base = lo.rank_pad - SCALE_LANES

@@ -84,7 +84,7 @@ def _scale_col(u8, lane_lo, lane_hi):
 
 def _refresh_kernel(
     # scalar prefetch
-    layer_ref,  # [1]
+    layer_ref,  # [2]: (layer, global kv-head offset of this shard)
     miss_chunk_ref,  # [BK, S]
     miss_slot_ref,  # [BK, S]
     miss_cnt_ref,  # [BK]
@@ -109,6 +109,10 @@ def _refresh_kernel(
     #   v_sems, u_sems, w_sems, vw_sems
     *scratch,
     num_kv_heads: int,
+    total_kv_heads: int,  # GLOBAL head count: the int8 scale lanes are
+    # packed per global head (core/quant.py); under shard_map this
+    # program sees a local head slice and layer_ref[1] carries the
+    # shard's global head offset
     chunk_size: int,
     head_dim: int,
     sparse_start: int,
@@ -286,9 +290,10 @@ def _refresh_kernel(
         if quant:
             u8 = u8_tile[buf]  # [GROUP*cs, r_pad] int8
             base = sv.shape[0] - SCALE_LANES
+            kg = layer_ref[1] + k  # global kv-head index
             u_sc = _scale_col(u8, base, base + 1)  # [GROUP*cs, 1]
             v_sc = _scale_col(
-                u8, base + 2 + k, base + 2 + num_kv_heads + k
+                u8, base + 2 + kg, base + 2 + total_kv_heads + kg
             )
             # int8 -> bf16 feeds the MXU directly; the row scale folds
             # into the f32 OUTPUT ((q*s) @ SV == (q @ SV)*s). Scale-byte
@@ -367,7 +372,7 @@ def _refresh_kernel(
     jax.jit,
     static_argnames=(
         "chunk_size", "sparse_start", "rope_dim", "rope_style",
-        "host_v", "interpret",
+        "host_v", "interpret", "total_kv_heads",
     ),
 )
 def sparse_refresh(
@@ -388,6 +393,10 @@ def sparse_refresh(
     rope_style: str = "neox",
     host_v: bool = False,
     interpret: bool = False,
+    head_offset=0,  # traced int32: global index of this shard's first
+    # kv head (nonzero only inside shard_map islands over tp)
+    total_kv_heads: int | None = None,  # global head count (defaults
+    # to this call's local count — the unsharded case)
 ):
     """Refresh the sparse region of k_buf/v_buf for one layer in place.
 
@@ -414,6 +423,7 @@ def sparse_refresh(
     kh, r = sv.shape[2], sv.shape[3]
     dh = sv.shape[4]
     s = miss_chunk.shape[-1]
+    total_kh = total_kv_heads if total_kv_heads is not None else kh
     assert cs % 8 == 0 and dh % 128 == 0 and sparse_start % 8 == 0
     if quant:
         assert v_full.dtype == jnp.int8
@@ -422,12 +432,13 @@ def sparse_refresh(
         assert v_full.shape[-2:] == (32, dh), v_full.shape
         # rank padding must hold the scale lanes clear of real SV rows
         assert r >= SCALE_LANES, (r, SCALE_LANES)
-        assert 2 + 2 * kh <= SCALE_LANES, kh
+        assert 2 + 2 * total_kh <= SCALE_LANES, total_kh
     bk = bsz * kh
 
     kernel = functools.partial(
         _refresh_kernel,
         num_kv_heads=kh,
+        total_kv_heads=total_kh,
         chunk_size=cs,
         head_dim=dh,
         sparse_start=sparse_start,
@@ -499,7 +510,12 @@ def sparse_refresh(
         ),
         interpret=interpret,
     )(
-        layer.reshape(1).astype(jnp.int32),
+        jnp.stack(
+            [
+                jnp.asarray(layer, jnp.int32).reshape(()),
+                jnp.asarray(head_offset, jnp.int32).reshape(()),
+            ]
+        ),
         miss_chunk.reshape(bk, s),
         miss_slot.reshape(bk, s),
         miss_cnt.reshape(bk),

@@ -335,9 +335,16 @@ def decode_shadow(
     approx_topk: bool = False,
     ring_gather: bool = False,
     v_host=None,
+    mesh=None,
 ):
     """One sparse decode step (reference models/base.py:315-341 decode
     branch; see SURVEY.md §3.3 for the kernel-by-kernel mapping).
+
+    ``mesh``: optional (dp, tp) jax.sharding.Mesh. The XLA decode path
+    needs none (GSPMD partitions it from the operand NamedShardings,
+    tests/test_mesh.py) but the Pallas paths (ring_gather / use_kernel)
+    do — their pallas_calls run inside shard_map islands with B on dp
+    and KV heads on tp (see shadow_decode_layer).
 
     ``v_host`` is the V store resident in pinned host DRAM (the cache's
     v_full leaf is then a zero-chunk placeholder): the ring-gather
@@ -372,7 +379,7 @@ def decode_shadow(
             cos_table, sin_table, use_kernel=use_kernel,
             inv_freq_full=inv_freq_full, v_store=v_store,
             approx_topk=approx_topk, ring_gather=ring_gather,
-            v_host=v_host,
+            v_host=v_host, mesh=mesh,
         )
         ctx = decode_attention_hm(q, k_view, v_view, valid_len)
         return (_layer_tail(lp, model, x, ctx), mut), None

@@ -28,10 +28,12 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _build(batch, prefill_len=256, tp=4, quant="none"):
+def _build(batch, prefill_len=256, tp=4, quant="none",
+           kernel_store=False, head_dim=32):
     cfg = toy_config(
-        num_layers=2, hidden_size=256, num_heads=8, num_kv_heads=tp,
-        head_dim=32, intermediate_size=512, vocab_size=512,
+        num_layers=2, hidden_size=8 * head_dim, num_heads=8,
+        num_kv_heads=tp, head_dim=head_dim,
+        intermediate_size=16 * head_dim, vocab_size=512,
         dtype=jnp.float32,
     )
     rt = RuntimeConfig(prefill_block_q=128)
@@ -43,7 +45,7 @@ def _build(batch, prefill_len=256, tp=4, quant="none"):
     ids = jax.random.randint(
         jax.random.PRNGKey(1), (batch, prefill_len), 0, cfg.vocab_size
     )
-    layout = ShadowLayout.build(cc, prefill_len)
+    layout = ShadowLayout.build(cc, prefill_len, kernel_store=kernel_store)
     _, cache = jax.jit(
         forward.prefill_shadow, static_argnums=(0, 1, 2)
     )(cfg, rt, layout, params, ids, cos, sin)
@@ -85,6 +87,67 @@ def test_sharded_decode_matches_unsharded(quant):
         rtol=2e-4, atol=2e-4,
     )
     # Sharding survived the step (buffers stay tp/dp-sharded).
+    spec = cache_s2.k_buf.sharding.spec
+    assert "tp" in str(spec) and "dp" in str(spec)
+
+
+@pytest.mark.parametrize(
+    "path,quant",
+    [
+        ("ring", "none"),
+        ("ring", "int8"),
+        ("fused", "none"),
+        ("fused", "int8"),
+    ],
+)
+def test_sharded_pallas_decode_matches_unsharded(path, quant):
+    """The Pallas decode paths (ring-DMA gather / fused refresh) run
+    inside shard_map islands under a (dp, tp) mesh — GSPMD cannot
+    partition a pallas_call, so shadow_decode_layer wraps them with
+    B on dp and KV heads on tp. Sharded logits must equal unsharded."""
+    tp, dp = 4, 2
+    batch = 2 * dp
+    kernel_store = quant == "int8"
+    # The fused refresh kernel requires lane-aligned heads (Dh % 128).
+    head_dim = 128 if path == "fused" else 32
+    cfg, params, cache, cos, sin = _build(
+        batch, tp=tp, quant=quant, kernel_store=kernel_store,
+        head_dim=head_dim,
+    )
+    tokens = jnp.ones((batch, 1), jnp.int32)
+    kwargs = (
+        dict(ring_gather=True) if path == "ring" else dict(use_kernel=True)
+    )
+
+    ref_step = jax.jit(
+        lambda p, c, t: forward.decode_shadow(
+            cfg, p, c, t, cos, sin, **kwargs
+        )
+    )
+    ref_logits, ref_cache = ref_step(params, cache, tokens)
+
+    mesh = mesh_lib.build_mesh(dp, tp)
+    params_s = mesh_lib.shard_pytree(
+        mesh, params, mesh_lib.param_pspecs(params)
+    )
+    cache_s = mesh_lib.shard_pytree(
+        mesh, cache, mesh_lib.shadow_cache_pspecs(cache)
+    )
+    tokens_s = jax.device_put(tokens, NamedSharding(mesh, P("dp", None)))
+    step_s = jax.jit(
+        lambda p, c, t: forward.decode_shadow(
+            cfg, p, c, t, cos, sin, mesh=mesh, **kwargs
+        )
+    )
+    logits_s, cache_s2 = step_s(params_s, cache_s, tokens_s)
+
+    np.testing.assert_allclose(
+        np.asarray(ref_logits), np.asarray(logits_s), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_cache.k_buf), np.asarray(cache_s2.k_buf),
+        rtol=2e-4, atol=2e-4,
+    )
     spec = cache_s2.k_buf.sharding.spec
     assert "tp" in str(spec) and "dp" in str(spec)
 
