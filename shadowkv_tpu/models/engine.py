@@ -81,7 +81,38 @@ class Engine:
         self.v_store = None
         self._host_v = None  # pinned-host V store (ring offload mode)
         self._cache = None  # persisted across generate() for cont=True
+        # Multi-chip: RuntimeConfig.dp/tp > 1 builds the (dp, tp) mesh
+        # (parallel/mesh.py — B on dp, GQA KV heads + factors +
+        # buffers on tp) and shards the weights once here; caches are
+        # sharded at prefill. GSPMD partitions the XLA paths from these
+        # NamedShardings; the Pallas decode paths additionally get the
+        # mesh for their shard_map islands (cache/shadow.py).
+        self.mesh = None
+        if rt.dp * rt.tp > 1:
+            from shadowkv_tpu.parallel import mesh as mesh_lib
+
+            self.mesh = mesh_lib.build_mesh(rt.dp, rt.tp)
+            assert model.num_kv_heads % rt.tp == 0, (
+                f"tp={rt.tp} must divide num_kv_heads "
+                f"{model.num_kv_heads}"
+            )
+            self.params = mesh_lib.shard_pytree(
+                self.mesh, self.params, mesh_lib.param_pspecs(self.params)
+            )
         self._build_jits()
+
+    def _shard_cache(self, cache):
+        """NamedShard a freshly built (or loaded) cache over the mesh."""
+        if self.mesh is None:
+            return cache
+        from shadowkv_tpu.parallel import mesh as mesh_lib
+
+        pspecs = (
+            mesh_lib.shadow_cache_pspecs(cache)
+            if isinstance(cache, ShadowCache)
+            else mesh_lib.full_cache_pspecs(cache)
+        )
+        return mesh_lib.shard_pytree(self.mesh, cache, pspecs)
 
     # -- jit construction ---------------------------------------------------
 
@@ -183,6 +214,7 @@ class Engine:
                 v_store=engine.v_store, approx_topk=approx_topk,
                 ring_gather=ring_gather,
                 v_host=v_host[0] if v_host else None,
+                mesh=engine.mesh,
             )
             return _sample(logits, key, temperature, top_k, top_p), cache
 
@@ -235,7 +267,7 @@ class Engine:
                 self.cache_cfg, s,
                 kernel_store=self.use_pallas or self.ring_gather,
             )
-            cache = ShadowCache.init(self.model, layout, b)
+            cache = self._shard_cache(ShadowCache.init(self.model, layout, b))
             for b0 in range(0, b, t):
                 lg, cache = self._prefill_shadow(
                     self.params, cache, input_ids[b0 : b0 + t], b0
@@ -244,7 +276,9 @@ class Engine:
             if self.cache_cfg.mode == "shadow_offload":
                 cache = self._offload_v(cache)
         else:
-            cache = FullCache.init(self.model, self.cache_cfg, b)
+            cache = self._shard_cache(
+                FullCache.init(self.model, self.cache_cfg, b)
+            )
             for b0 in range(0, b, t):
                 lg, cache = self._prefill_full(
                     self.params, cache, 0, input_ids[b0 : b0 + t], b0
@@ -287,8 +321,17 @@ class Engine:
         the decode jit's input-only V store; the cache keeps a
         zero-chunk placeholder. numpy input never stages through HBM
         (a 122K/b4 store is ~the size of the whole chip)."""
-        if isinstance(v_data, jax.Array):
+        if isinstance(v_data, jax.Array) and (
+            self.mesh is None
+            or isinstance(v_data.sharding, jax.sharding.NamedSharding)
+        ):
             sharding = v_data.sharding.with_memory_kind("pinned_host")
+        elif self.mesh is not None:
+            sharding = jax.sharding.NamedSharding(
+                self.mesh,
+                jax.sharding.PartitionSpec(None, "dp", "tp"),
+                memory_kind="pinned_host",
+            )
         else:
             sharding = jax.sharding.SingleDeviceSharding(
                 jax.devices()[0], memory_kind="pinned_host"
@@ -343,6 +386,7 @@ class Engine:
             path, v_to="numpy" if offloaded else "device"
         )
         self._check_layout(cache.layout)
+        cache = self._shard_cache(cache)
         if self.ring_host:
             cache = self._commit_host_v(cache, host_v)
         elif offloaded:

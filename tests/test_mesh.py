@@ -152,6 +152,41 @@ def test_sharded_pallas_decode_matches_unsharded(path, quant):
     assert "tp" in str(spec) and "dp" in str(spec)
 
 
+@pytest.mark.parametrize(
+    "quant,ring", [("none", False), ("int8", True)]
+)
+def test_engine_mesh_generation_matches_single(quant, ring):
+    """Engine-level multi-chip: RuntimeConfig(dp, tp) builds the mesh,
+    shards weights at init and caches at prefill; generation (XLA path
+    and ring-Pallas path) must produce the single-device tokens."""
+    from shadowkv_tpu.models.engine import Engine
+
+    cfg = toy_config(
+        num_layers=2, hidden_size=256, num_heads=8, num_kv_heads=4,
+        head_dim=32, intermediate_size=512, vocab_size=512,
+        dtype=jnp.float32,
+    )
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
+    cc = CacheConfig(
+        mode="shadow", max_length=512, sparse_budget=64, rank=32,
+        outlier_chunks=4, gen_capacity=32, kv_quant=quant,
+    )
+    ids = np.random.RandomState(0).randint(0, cfg.vocab_size, (4, 256))
+
+    def run(dp, tp):
+        rt = RuntimeConfig(
+            prefill_block_q=64, dp=dp, tp=tp, ring_gather=ring
+        )
+        eng = Engine(cfg, cc, rt, params)
+        out, _ = eng.generate(ids, gen_len=8)
+        return out, eng
+
+    ref, _ = run(1, 1)
+    got, eng = run(2, 4)
+    assert eng.mesh is not None and eng.mesh.shape == {"dp": 2, "tp": 4}
+    np.testing.assert_array_equal(ref, got)
+
+
 def test_full_cache_sharded_decode():
     tp, dp = 4, 2
     batch = dp
