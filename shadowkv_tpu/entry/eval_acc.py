@@ -46,6 +46,9 @@ def parse_args():
                    help="prompt-length bucket (one XLA compile per "
                         "bucket; 0 = exact lengths)")
     p.add_argument("--minference", action="store_true", default=False)
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="continue an interrupted run from its jsonl "
+                        "archive instead of truncating it")
     return p.parse_args()
 
 
@@ -83,7 +86,7 @@ def main():
             f"{name}_{args.datalen}_{args.method}_{args.sparse_budget}_"
             f"{args.rank}_{args.chunk_size}.jsonl"
         )
-        evaluator.test(llm, dataset, out, args.method)
+        evaluator.test(llm, dataset, out, args.method, resume=args.resume)
 
     evaluator.summarize()
 

@@ -82,12 +82,20 @@ class Evaluator:
         setting: str = "baseline",
         temperature: float = 0.0,
         top_p: float = 1.0,
+        resume: bool = False,
     ) -> float:
         """Evaluate ``llm`` on ``dataset``; returns this rank's mean score.
 
         Batch layout matches the reference loop (test/evaluator.py:58-92):
         ``llm.batch_size`` samples per step, greedy decoding, metric per
         sample, jsonl archive per step.
+
+        ``resume=True`` continues an interrupted run from its archive:
+        completed steps' scores are reloaded from the jsonl (a torn tail
+        line from a mid-write crash is dropped) and generation restarts
+        at the first missing step. The reference instead truncates the
+        archive and re-pays the whole eval (test/evaluator.py:54) — at
+        100+ s/sample on 128K contexts a resume is hours saved.
         """
         os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
         if self.dist.master_process:
@@ -100,11 +108,35 @@ class Evaluator:
             dataset.shard(self.dist.rank, self.dist.world_size)
 
         bsz = llm.batch_size
-        open(output_path, "w").close()
         scores: list[float] = []
-        t_start = time.time()
+        start_step = 0
         steps = dataset.num_samples // bsz
-        for i in range(steps):
+        if resume and os.path.exists(output_path):
+            intact: list[str] = []
+            with open(output_path, encoding="utf8") as f:
+                for line in f:
+                    if start_step >= steps:
+                        break  # stale over-long archive
+                    try:
+                        rec = json.loads(line)
+                        step_correct = rec["correct"]
+                    except (json.JSONDecodeError, KeyError):
+                        break  # torn tail write from a crash
+                    scores.extend(step_correct)
+                    intact.append(line.rstrip("\n"))
+                    start_step += 1
+            with open(output_path, "w", encoding="utf8") as f:
+                f.writelines(l + "\n" for l in intact)
+            if self.dist.master_process and start_step:
+                print(
+                    f"  [resume] {start_step}/{steps} steps restored "
+                    f"from {output_path}",
+                    file=sys.stderr,
+                )
+        else:
+            open(output_path, "w").close()
+        t_start = time.time()
+        for i in range(start_step, steps):
             rows = [dataset.tokenized_prompts[i * bsz + j] for j in range(bsz)]
             # Equal-length batching via the reference's middle-truncation
             # manner (keeps the template head AND the question tail;
@@ -141,7 +173,9 @@ class Evaluator:
                 f.write(json.dumps(record, ensure_ascii=False) + "\n")
             if self.dist.master_process:
                 done = (i + 1) * bsz
-                rate = (time.time() - t_start) / done
+                rate = (time.time() - t_start) / (
+                    (i + 1 - start_step) * bsz
+                )
                 print(
                     f"  [{done}/{steps * bsz}] avg_score={avg:.3f} "
                     f"({rate:.1f}s/sample)",

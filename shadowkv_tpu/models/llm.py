@@ -58,6 +58,8 @@ class LLM:
         # splash attention (reference --minference equivalent)
         prefill_sub_batch: int = 4,
         gen_capacity: int = 256,
+        dp: int = 1,  # device-mesh axes (parallel/mesh.py): batch on
+        tp: int = 1,  # dp, GQA KV heads + factors + buffers on tp
     ):
         mode_alias = {"shadowkv": "shadow", "shadowkv_cpu": "shadow_offload"}
         attn_mode = mode_alias.get(attn_mode, attn_mode)
@@ -84,6 +86,7 @@ class LLM:
         rt = RuntimeConfig(
             batch_size=batch_size, prefill_sub_batch=prefill_sub_batch,
             prefill_pattern="stream" if minference else "dense",
+            dp=dp, tp=tp,
         )
         self.engine = Engine(self.config, self.cache_cfg, rt, params)
         self.stop_ids = self._resolve_stop_ids()

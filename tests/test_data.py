@@ -165,6 +165,40 @@ def test_evaluator_roundtrip(tmp_path):
     assert table and "1.0000" in table
 
 
+def test_evaluator_resume_skips_completed_steps(tmp_path):
+    """resume=True restores completed steps from the jsonl archive
+    (dropping a torn tail line) and only generates the remainder."""
+    tok = FakeTokenizer()
+    ds = Dataset("ruler/niah_single_1", tok, 8192, num_samples=4, bucket=0)
+    answers = [g if isinstance(g, str) else g[0] for g in ds.gt]
+    ev = Evaluator(DistConfig(False, 0, 1, True))
+    out = tmp_path / "a.jsonl"
+
+    # First (interrupted) run: 2 of 4 steps archived, then a torn line.
+    llm = EchoLLM(answers)
+    full_ds = Dataset(
+        "ruler/niah_single_1", tok, 8192, num_samples=2, bucket=0
+    )
+    full_ds.tokenized_prompts = ds.tokenized_prompts[:2]
+    full_ds.gt = ds.gt[:2]
+    ev.test(llm, full_ds, str(out))
+    with open(out, "a") as f:
+        f.write('{"prediction": ["torn')  # mid-write crash
+
+    # Resumed run: EchoLLM must only be asked for steps 2 and 3.
+    llm2 = EchoLLM(answers[2:])
+    score = ev.test(llm2, ds, str(out), resume=True)
+    assert llm2.calls == 2
+    assert score == 1.0
+    rows = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(rows) == 4
+
+    # resume over a COMPLETE archive regenerates nothing.
+    llm3 = EchoLLM([])
+    score = ev.test(llm3, ds, str(out), resume=True)
+    assert llm3.calls == 0 and score == 1.0
+
+
 # -- longbench / infinibench templates ----------------------------------------
 
 
