@@ -439,6 +439,34 @@ def split_cache(cache: ShadowCache) -> tuple[ShadowStatic, ShadowMut]:
     )
 
 
+def _append_gen_rows(buf, new_t, row0):
+    """Write [B, K, Qn, Dh] new-token rows into ``buf`` [B, K, cap, Dh]
+    at row ``row0`` — a scalar (static batch: all slots at the same
+    generation depth) or a [B] vector (continuous batching: per-slot
+    rows; B is small and static, so the per-slot writes unroll)."""
+    if row0.ndim == 0:
+        return jax.lax.dynamic_update_slice(buf, new_t, (0, 0, row0, 0))
+    for i in range(new_t.shape[0]):
+        buf = jax.lax.dynamic_update_slice(
+            buf, new_t[i : i + 1], (i, 0, row0[i], 0)
+        )
+    return buf
+
+
+def _append_gen_rows_stacked(buf, new_t, layer, row0):
+    """Same as _append_gen_rows for the stacked [L, B, K, cap, Dh]
+    buffer, writing layer ``layer``."""
+    if row0.ndim == 0:
+        return jax.lax.dynamic_update_slice(
+            buf, new_t[None], (layer, 0, 0, row0, 0)
+        )
+    for i in range(new_t.shape[0]):
+        buf = jax.lax.dynamic_update_slice(
+            buf, new_t[None, i : i + 1], (layer, i, 0, row0[i], 0)
+        )
+    return buf
+
+
 def shadow_decode_layer(
     model: ModelConfig,
     layout: ShadowLayout,
@@ -563,13 +591,13 @@ def shadow_decode_layer(
         # write on the stacked buffer; reference update_kv_cache,
         # kv_cache.py:1227-1271).
         gen_row = lo.sparse_end + gen_len
-        k_buf = jax.lax.dynamic_update_slice(
-            k_buf, k_new.transpose(0, 2, 1, 3)[None].astype(k_buf.dtype),
-            (layer, 0, 0, gen_row, 0),
+        k_buf = _append_gen_rows_stacked(
+            k_buf, k_new.transpose(0, 2, 1, 3).astype(k_buf.dtype),
+            layer, gen_row,
         )
-        v_buf = jax.lax.dynamic_update_slice(
-            v_buf, v_new.transpose(0, 2, 1, 3)[None].astype(v_buf.dtype),
-            (layer, 0, 0, gen_row, 0),
+        v_buf = _append_gen_rows_stacked(
+            v_buf, v_new.transpose(0, 2, 1, 3).astype(v_buf.dtype),
+            layer, gen_row,
         )
         mut = mut.replace(
             k_buf=k_buf,
@@ -818,12 +846,8 @@ def shadow_decode_layer(
     v_buf_l = jax.lax.dynamic_update_slice(
         v_buf_l, v_sparse, (0, 0, lo.sparse_start, 0)
     )
-    k_buf_l = jax.lax.dynamic_update_slice(
-        k_buf_l, k_new_t, (0, 0, gen_row, 0)
-    )
-    v_buf_l = jax.lax.dynamic_update_slice(
-        v_buf_l, v_new_t, (0, 0, gen_row, 0)
-    )
+    k_buf_l = _append_gen_rows(k_buf_l, k_new_t, gen_row)
+    v_buf_l = _append_gen_rows(v_buf_l, v_new_t, gen_row)
 
     # --- 6. commit this layer's state: ONLY the changed regions
     #        (sparse + gen row) are written into the stacked buffers —
@@ -834,15 +858,11 @@ def shadow_decode_layer(
     k_st = jax.lax.dynamic_update_slice(
         mut.k_buf, k_sparse[None], (layer, 0, 0, lo.sparse_start, 0)
     )
-    k_st = jax.lax.dynamic_update_slice(
-        k_st, k_new_t[None], (layer, 0, 0, gen_row, 0)
-    )
+    k_st = _append_gen_rows_stacked(k_st, k_new_t, layer, gen_row)
     v_st = jax.lax.dynamic_update_slice(
         mut.v_buf, v_sparse[None], (layer, 0, 0, lo.sparse_start, 0)
     )
-    v_st = jax.lax.dynamic_update_slice(
-        v_st, v_new_t[None], (layer, 0, 0, gen_row, 0)
-    )
+    v_st = _append_gen_rows_stacked(v_st, v_new_t, layer, gen_row)
     mut = mut.replace(
         k_buf=k_st,
         v_buf=v_st,

@@ -147,9 +147,23 @@ class RuntimeConfig:
     # (attention-sink + sliding window via splash attention — the TPU
     # counterpart of the reference's MInference sparse prefill,
     # models/tensor_op.py:68-117).
+    # 'vs' runs the MInference per-head dynamic patterns
+    # (vertical_and_slash estimation + runtime block-sparse kernel,
+    # core/minference.py + kernels/vs_sparse.py).
     prefill_pattern: str = "dense"
     stream_window: int = 8192
     stream_sink: int = 1024
+    # MInference 'vs' pattern knobs (reference defaults: the MInference
+    # config JSONs cluster around vertical 1000 / slash 6096).
+    vs_vertical_size: int = 1000
+    vs_slash_size: int = 6144
+    vs_block: int = 128
+    # Optional per-q-head pattern table: a tuple of
+    # (kind, vertical_size, slash_size) tuples or kind strings, kinds in
+    # {vertical_and_slash, stream_llm, block_sparse, dense} — the
+    # reference's minference_parttern JSON (models/llama.py:242-247),
+    # uniform across layers. None = all heads vertical_and_slash.
+    minference_patterns: Optional[tuple] = None
     # Fused Pallas sparse-refresh kernel on the decode path. None/False
     # = the vectorized-XLA gather path (wins below ~75 % hit rate);
     # True = the fused kernel (wins when selection is temporally

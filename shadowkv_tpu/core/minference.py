@@ -1,0 +1,602 @@
+"""MInference-style dynamic sparse prefill: vertical_and_slash and
+block_sparse per-head patterns.
+
+TPU rebuild of the reference's MInference prefill dispatch
+(reference models/tensor_op.py:68-117 ``minference_prefill_kernel`` /
+``gather_last_q_vertical_slash_topk_v4``), which calls into the external
+MInference CUDA/Triton kernels {vertical_slash_sparse_attention,
+block_sparse_attention, streaming_forward}. Here the three per-head
+pattern types become one representation:
+
+- Estimation (this module, plain XLA): the last 64 queries attend all
+  keys; a softmax's column sums score VERTICAL token columns and its
+  diagonal sums score SLASH diagonals; top-k of each picks the pattern
+  (exact reference estimation recipe, models/tensor_op.py:85-100,
+  including the forced first-30 verticals and last-100 slashes).
+- Block conversion (this module): token verticals/slashes are rounded
+  to attention blocks. The active block set has the closed form
+      active[qb, kb] = causal & (col_flag[kb] | diag_flag[qb - kb])
+  so per-head metadata is two tiny 1-D sets (column blocks + diagonal
+  offsets), not a [nQ, nK] mask — small enough for SMEM scalar
+  prefetch in the kernel at 122K+ context.
+- Execution: the Pallas kernel in kernels/vs_sparse.py walks, per
+  query block, only the active key blocks (flash accumulation, DMA
+  double-buffered); ``vs_attention_reference`` here is the jnp oracle
+  (and the CPU path).
+
+The sink+local ``stream_llm`` pattern is a special case of the same
+metadata (verticals = sink blocks, slashes = window diagonals), which is
+how mixed per-head patterns run in one kernel launch. The uniform-stream
+fast path stays in core/attention.py::sparse_prefill_splash.
+
+Granularity note: MInference's CUDA kernel attends token-granular
+vertical columns; the TPU kernel attends the 1-2 blocks containing them
+(a superset of the reference's attended set — strictly more context per
+selected vertical). Slashes are block-granular in both (MInference pads
+each slash diagonal to its covering blocks the same way).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+LAST_Q = 64
+_NEG = float(jnp.finfo(jnp.float32).min)
+
+
+@dataclasses.dataclass(frozen=True)
+class HeadPattern:
+    """Per-q-head sparse-prefill pattern (reference minference_parttern
+    entries: a dict head -> (type, vertical_size, slash_size, _)).
+
+    kind: 'vertical_and_slash' | 'stream_llm' | 'block_sparse' | 'dense'
+    """
+
+    kind: str = "vertical_and_slash"
+    vertical_size: int = 1000
+    slash_size: int = 6144
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class VSMeta:
+    """Active-block metadata for one (batch, head) set, block granular.
+
+    col_ids:  [BH, nK] int32, active column-block ids sorted ascending,
+              padded with nK (one past the last valid block).
+    col_cnt:  [BH, nQ] int32, #active column blocks with kb <= qb.
+    col_flag: [BH, nK] int32 0/1 membership (kernel-side dedup of
+              blocks active as both a column and a diagonal).
+    diag_ids: [BH, nQ] int32, active diagonal offsets sorted ascending,
+              padded with nQ.
+    diag_cnt: [BH, nQ] int32, #active diagonals with delta <= qb.
+    """
+
+    col_ids: jnp.ndarray
+    col_cnt: jnp.ndarray
+    col_flag: jnp.ndarray
+    diag_ids: jnp.ndarray
+    diag_cnt: jnp.ndarray
+
+    def tree_flatten(self):
+        return (
+            (self.col_ids, self.col_cnt, self.col_flag, self.diag_ids,
+             self.diag_cnt),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def estimate_vertical_slash(
+    q: jnp.ndarray,  # [B, S, H, Dh] roped queries
+    k: jnp.ndarray,  # [B, S, K, Dh] roped keys
+    scale: Optional[float] = None,
+    last_q: int = LAST_Q,
+):
+    """Vertical/slash importance scores from the last ``last_q`` queries.
+
+    Exact reference estimation (models/tensor_op.py:85-100): fp32
+    softmax of the last 64 queries vs all keys (causally masked on the
+    trailing square), summed over query rows for verticals and over
+    diagonals for slashes. Returns (vertical [B, H, S], slash [B, H, S])
+    where slash index d scores the diagonal at distance d (d = 0 is the
+    main diagonal); the forced regions (first 30 verticals, nearest 100
+    slashes) are set to +inf exactly as the reference does.
+
+    Heads are processed sequentially (lax.map) so the [last_q, S] fp32
+    score temp stays per-head (~30 MB at 122K) instead of x H.
+    """
+    b, s, h, dh = q.shape
+    kh = k.shape[2]
+    g = h // kh
+    lq = min(last_q, s)
+    scale = scale if scale is not None else dh**-0.5
+    q_t = q[:, -lq:].transpose(0, 2, 1, 3)  # [B, H, lq, Dh]
+    k_t = k.transpose(0, 2, 1, 3)  # [B, K, S, Dh]
+
+    # Causal mask on the trailing [lq, lq] square (reference
+    # LAST_Q_MASK): query row i (absolute position s - lq + i) may not
+    # attend key columns s - lq + j for j > i.
+    ii = jnp.arange(lq)
+    tail_mask = ii[:, None] >= ii[None, :]  # [lq, lq]
+
+    # Diagonal gather indices: slash distance d at query row i reads
+    # key column (s - lq + i) - d; out-of-range (d > position) is
+    # masked. [lq, S] per head.
+    dd = jnp.arange(s)
+    gather_col = (s - lq) + ii[:, None] - dd[None, :]  # [lq, S]
+    gather_valid = gather_col >= 0
+    gather_col = jnp.clip(gather_col, 0, s - 1)
+
+    def per_head(hh):
+        qk = jnp.einsum(
+            "bld,bsd->bls", q_t[:, hh], k_t[:, hh // g],
+            preferred_element_type=jnp.float32,
+        ) * scale  # [B, lq, S]
+        tail = jnp.where(tail_mask, qk[:, :, s - lq:], _NEG)
+        qk = qk.at[:, :, s - lq:].set(tail)
+        p = jax.nn.softmax(qk, axis=-1)  # fp32
+        vertical = p.sum(axis=1)  # [B, S]
+        diag = jnp.take_along_axis(
+            p, jnp.broadcast_to(gather_col, (b, lq, s)), axis=-1
+        )
+        slash = jnp.where(gather_valid[None], diag, 0.0).sum(axis=1)
+        return vertical, slash
+
+    vertical, slash = jax.lax.map(per_head, jnp.arange(h))
+    vertical = vertical.transpose(1, 0, 2)  # [B, H, S]
+    slash = slash.transpose(1, 0, 2)
+    inf = jnp.float32(jnp.inf)
+    vertical = vertical.at[:, :, : min(30, s)].set(inf)
+    slash = slash.at[:, :, : min(100, s)].set(inf)
+    return vertical, slash
+
+
+def _compact_flags(flags: jnp.ndarray, pad_value: int):
+    """[..., N] 0/1 flags -> ids of set positions sorted ascending,
+    unset positions padded with ``pad_value`` at the tail."""
+    n = flags.shape[-1]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    masked = jnp.where(flags > 0, iota, jnp.int32(pad_value))
+    return jnp.sort(masked, axis=-1)
+
+
+def _scatter_flags(idx: jnp.ndarray, n: int):
+    """[..., M] indices -> [..., N] 0/1 int32 flags (duplicates fold)."""
+    one_hot = (idx[..., None] == jnp.arange(n, dtype=idx.dtype)).any(-2)
+    return one_hot.astype(jnp.int32)
+
+
+def build_vs_meta(
+    v_idx: jnp.ndarray,  # [BH, Nv] vertical token indices
+    s_idx: jnp.ndarray,  # [BH, Ns] slash token distances
+    seq_len: int,
+    block: int,
+) -> VSMeta:
+    """Convert token-granular vertical/slash selections to block
+    metadata (the reference's MInference kernel does the analogous
+    conversion on the fly when building its block-sparse CSR)."""
+    n_blk = (seq_len + block - 1) // block
+    col_flag = _scatter_flags(v_idx // block, n_blk)
+    # A slash at token distance d crosses block-diagonals floor(d/B)
+    # and ceil(d/B) (band of width B over the block grid).
+    d1 = s_idx // block
+    d2 = (s_idx + block - 1) // block
+    diag_flag = _scatter_flags(
+        jnp.concatenate([d1, d2], axis=-1), n_blk
+    )
+    # The main block diagonal always attends (holds the causal
+    # frontier; the estimation's forced nearest-slashes imply it).
+    diag_flag = diag_flag.at[..., 0].set(1)
+    return VSMeta(
+        col_ids=_compact_flags(col_flag, n_blk),
+        col_cnt=jnp.cumsum(col_flag, axis=-1).astype(jnp.int32),
+        col_flag=col_flag,
+        diag_ids=_compact_flags(diag_flag, n_blk),
+        diag_cnt=jnp.cumsum(diag_flag, axis=-1).astype(jnp.int32),
+    )
+
+
+def stream_meta(
+    bh: int, seq_len: int, block: int, sink: int, window: int
+) -> VSMeta:
+    """The stream_llm (sink + sliding window) pattern expressed as VS
+    block metadata: verticals = the sink blocks, slashes = the window
+    diagonals. Used when per-head patterns mix types in one launch."""
+    n_blk = (seq_len + block - 1) // block
+    kb = jnp.arange(n_blk, dtype=jnp.int32)
+    col_flag = jnp.broadcast_to(
+        (kb * block < sink).astype(jnp.int32), (bh, n_blk)
+    )
+    diag_flag = jnp.broadcast_to(
+        (kb * block < window + block).astype(jnp.int32), (bh, n_blk)
+    )
+    return VSMeta(
+        col_ids=_compact_flags(col_flag, n_blk),
+        col_cnt=jnp.cumsum(col_flag, axis=-1).astype(jnp.int32),
+        col_flag=col_flag,
+        diag_ids=_compact_flags(diag_flag, n_blk),
+        diag_cnt=jnp.cumsum(diag_flag, axis=-1).astype(jnp.int32),
+    )
+
+
+def vs_meta_from_scores(
+    vertical: jnp.ndarray,  # [BH, S]
+    slash: jnp.ndarray,  # [BH, S]
+    vertical_size: int,
+    slash_size: int,
+    seq_len: int,
+    block: int,
+    grid_len: Optional[int] = None,  # padded length sizing the block
+    # grid (defaults to seq_len; must be a block multiple for the kernel)
+) -> VSMeta:
+    """Top-k the scores (reference clamps: vertical >= 30, slash >= 50,
+    both <= q_len; models/tensor_op.py:86) and build block metadata."""
+    vsize = min(seq_len, max(vertical_size, 30))
+    ssize = min(seq_len, max(slash_size, 50))
+    _, v_idx = jax.lax.top_k(vertical, vsize)
+    _, s_idx = jax.lax.top_k(slash, ssize)
+    return build_vs_meta(v_idx, s_idx, grid_len or seq_len, block)
+
+
+def expand_block_mask(meta: VSMeta, n_blk: int) -> jnp.ndarray:
+    """[BH, nQ, nK] boolean active-block mask from metadata (oracle)."""
+    qb = jnp.arange(n_blk)[:, None]
+    kb = jnp.arange(n_blk)[None, :]
+    causal = kb <= qb
+    col = meta.col_flag[:, None, :] > 0  # [BH, 1, nK]
+    delta = jnp.clip(qb - kb, 0, n_blk - 1)  # [nQ, nK]
+    bh = meta.diag_ids.shape[0]
+    diag_flag = (
+        meta.diag_ids[..., None] == jnp.arange(n_blk)[None, None, :]
+    ).any(-2)  # [BH, nK(=delta)]
+    diag = jnp.take_along_axis(
+        jnp.broadcast_to(diag_flag[:, None, :], (bh, n_blk, n_blk)),
+        jnp.broadcast_to(delta[None], (bh, n_blk, n_blk)),
+        axis=-1,
+    )
+    return causal[None] & (col | diag)
+
+
+def vs_attention_reference(
+    q: jnp.ndarray,  # [BH, S, Dh] flat per-head queries
+    k: jnp.ndarray,  # [BKV, S, Dh] flat per-kv-head keys
+    v: jnp.ndarray,  # [BKV, S, Dh]
+    meta: VSMeta,  # arrays shaped [BH, ...]
+    kv_map: jnp.ndarray,  # [BH] int32: q-head row -> kv row
+    block: int,
+    scale: Optional[float] = None,
+    seq_len: Optional[int] = None,
+) -> jnp.ndarray:
+    """jnp oracle for the VS kernel (same flat interface): token mask =
+    expanded block mask AND causal. Materializes [BH, S, S] — tests /
+    CPU path only. Returns [BH, S, Dh]."""
+    bh, s, dh = q.shape
+    seq_len = s if seq_len is None else seq_len
+    scale = scale if scale is not None else dh**-0.5
+    n_blk = s // block
+    assert s % block == 0
+    bm = expand_block_mask(meta, n_blk)  # [BH, nQ, nK]
+    token = jnp.repeat(jnp.repeat(bm, block, axis=1), block, axis=2)
+    pos = jnp.arange(s)
+    causal = pos[None, :] <= pos[:, None]
+    mask = token & causal[None] & (pos[None, None, :] < seq_len)
+    k_g = k[kv_map]  # [BH, S, Dh]
+    v_g = v[kv_map]
+    scores = jnp.einsum(
+        "hqd,hkd->hqk", q, k_g, preferred_element_type=jnp.float32
+    ) * scale
+    scores = jnp.where(mask, scores, _NEG)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "hqk,hkd->hqd", probs.astype(v.dtype), v_g,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+# --------------------------------------------------------------------------
+# block_sparse pattern (reference models/tensor_op.py:104-106 ->
+# MInference block_sparse_attention(q, k, v, topk=100))
+# --------------------------------------------------------------------------
+
+
+def block_sparse_attention(
+    q: jnp.ndarray,  # [B, S, H, Dh]
+    k: jnp.ndarray,  # [B, S, K, Dh]
+    v: jnp.ndarray,  # [B, S, K, Dh]
+    topk_blocks: int = 100,
+    block: int = 64,
+    scale: Optional[float] = None,
+    chunk_q_blocks: int = 16,
+    head_kv: Optional[Sequence[int]] = None,  # kv head per q-head
+    # (defaults to contiguous GQA h // g; needed when q carries a
+    # subset of the model's heads)
+) -> jnp.ndarray:
+    """Block-granular top-k sparse attention (MInference
+    ``block_sparse_attention`` semantics): q and k are mean-pooled into
+    ``block``-token blocks, each query block attends its top-k scoring
+    key blocks (the causal frontier block always included), with exact
+    causal masking inside the frontier.
+
+    XLA implementation: per (head, q-chunk) gather of the selected key
+    blocks + dense attention over the gathered set, mapped sequentially
+    over heads to bound the gathered temporaries. This is the parity
+    path for the rare block_sparse heads in MInference pattern configs;
+    the dominant vertical_and_slash heads use the Pallas kernel.
+    """
+    b, s, h, dh = q.shape
+    kh = k.shape[2]
+    g = max(1, h // kh) if head_kv is None else None
+    head_kv = (
+        jnp.asarray(head_kv, jnp.int32)
+        if head_kv is not None
+        else jnp.arange(h, dtype=jnp.int32) // g
+    )
+    scale = scale if scale is not None else dh**-0.5
+    assert s % block == 0, (s, block)
+    nb = s // block
+    tk = min(topk_blocks, nb)
+    # q-chunking must tile nb exactly (lax.map over equal chunks).
+    chunk_q_blocks = max(
+        d for d in range(1, min(chunk_q_blocks, nb) + 1) if nb % d == 0
+    )
+    q_t = q.transpose(0, 2, 1, 3)  # [B, H, S, Dh]
+    k_t = k.transpose(0, 2, 1, 3)  # [B, K, S, Dh]
+    v_t = v.transpose(0, 2, 1, 3)
+    q_blk = q_t.reshape(b, h, nb, block, dh).mean(axis=3)
+    k_blk = k_t.reshape(b, kh, nb, block, dh).mean(axis=3)
+
+    qb_ids = jnp.arange(nb)
+    kb_ids = jnp.arange(nb)
+    causal_blk = kb_ids[None, :] <= qb_ids[:, None]  # [nb, nb]
+
+    def per_head(hh):
+        scores = jnp.einsum(
+            "bqd,bkd->bqk", q_blk[:, hh], k_blk[:, head_kv[hh]],
+            preferred_element_type=jnp.float32,
+        )  # [B, nb, nb]
+        scores = jnp.where(causal_blk[None], scores, _NEG)
+        # frontier block always attends (causal diagonal)
+        scores = jnp.where(
+            (kb_ids[None, :] == qb_ids[:, None])[None], jnp.inf, scores
+        )
+        _, sel = jax.lax.top_k(scores, tk)  # [B, nb, tk]
+
+        def q_chunk(c0):
+            qb_sl = jax.lax.dynamic_slice_in_dim(
+                jnp.arange(nb), c0, chunk_q_blocks
+            )  # [cq]
+            sel_c = jax.lax.dynamic_slice_in_dim(
+                sel, c0, chunk_q_blocks, axis=1
+            )  # [B, cq, tk]
+            k_g = k_t[:, head_kv[hh]][
+                jnp.arange(b)[:, None, None, None],
+                (sel_c[..., None] * block + jnp.arange(block)),
+            ]  # [B, cq, tk, block, Dh]
+            v_g = v_t[:, head_kv[hh]][
+                jnp.arange(b)[:, None, None, None],
+                (sel_c[..., None] * block + jnp.arange(block)),
+            ]
+            qq = q_t[:, hh].reshape(b, nb, block, dh)[
+                jnp.arange(b)[:, None], qb_sl
+            ]  # [B, cq, block, Dh]
+            sc = jnp.einsum(
+                "bcqd,bctkd->bcqtk", qq, k_g,
+                preferred_element_type=jnp.float32,
+            ) * scale  # [B, cq, block, tk, block]
+            # causal mask at token granularity over gathered blocks
+            q_pos = qb_sl[:, None] * block + jnp.arange(block)[None]
+            k_pos = sel_c[..., None] * block + jnp.arange(block)
+            m = (
+                k_pos[:, :, None, :, :] <= q_pos[None, :, :, None, None]
+            )  # [B, cq, block, tk, block]
+            sc = jnp.where(m, sc, _NEG)
+            p = jax.nn.softmax(
+                sc.reshape(b, chunk_q_blocks, block, tk * block), axis=-1
+            )
+            out = jnp.einsum(
+                "bcqt,bctd->bcqd",
+                p.astype(v_g.dtype),
+                v_g.reshape(b, chunk_q_blocks, tk * block, dh),
+                preferred_element_type=jnp.float32,
+            )
+            return out  # [B, cq, block, Dh]
+
+        n_chunks = (nb + chunk_q_blocks - 1) // chunk_q_blocks
+        outs = jax.lax.map(
+            q_chunk, jnp.arange(n_chunks) * chunk_q_blocks
+        )  # [nc, B, cq, block, Dh]
+        return outs.transpose(1, 0, 2, 3, 4).reshape(b, s, dh)
+
+    out = jax.lax.map(per_head, jnp.arange(h))  # [H, B, S, Dh]
+    return out.transpose(1, 2, 0, 3).astype(q.dtype)  # [B, S, H, Dh]
+
+
+# --------------------------------------------------------------------------
+# Top-level per-head dispatch (reference minference_prefill_kernel,
+# models/tensor_op.py:68-81: per-head pattern table -> kernel choice)
+# --------------------------------------------------------------------------
+
+
+def resolve_patterns(
+    patterns: Optional[Sequence], num_heads: int,
+    vertical_size: int, slash_size: int,
+) -> tuple:
+    """Normalize a per-head pattern spec to ``num_heads`` tuples of
+    (kind, vertical_size, slash_size). ``patterns`` entries may be
+    HeadPattern, (kind, vsize, ssize) tuples, or bare kind strings."""
+    if patterns is None:
+        return tuple(
+            ("vertical_and_slash", vertical_size, slash_size)
+            for _ in range(num_heads)
+        )
+    assert len(patterns) == num_heads, (len(patterns), num_heads)
+    out = []
+    for p in patterns:
+        if isinstance(p, HeadPattern):
+            out.append((p.kind, p.vertical_size, p.slash_size))
+        elif isinstance(p, str):
+            out.append((p, vertical_size, slash_size))
+        else:
+            kind, vs, ss = p[0], p[1], p[2]
+            out.append((kind, vs, ss))
+    kinds = {
+        "vertical_and_slash", "stream_llm", "block_sparse", "dense"
+    }
+    for kind, *_ in out:
+        assert kind in kinds, kind
+    return tuple(out)
+
+
+def minference_prefill(
+    q: jnp.ndarray,  # [B, S, H, Dh] roped queries
+    k: jnp.ndarray,  # [B, S, K, Dh] roped keys
+    v: jnp.ndarray,  # [B, S, K, Dh]
+    *,
+    patterns: Optional[Sequence] = None,
+    vertical_size: int = 1000,
+    slash_size: int = 6144,
+    block: int = 128,
+    stream_sink: int = 1024,
+    stream_window: int = 8192,
+    bs_topk_blocks: int = 100,
+    bs_block: int = 64,
+    use_kernel: bool = True,
+    interpret: bool = False,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Per-head dynamic sparse prefill attention (the reference's
+    ``--minference`` path). Heads run their configured pattern:
+    vertical_and_slash / stream_llm / dense unify through the VS block
+    metadata and execute in ONE Pallas kernel launch
+    (kernels/vs_sparse.py); block_sparse heads take the XLA
+    gather path. Returns [B, S, H, Dh].
+    """
+    b, s, h, dh = q.shape
+    kh = k.shape[2]
+    g = h // kh
+    scale = scale if scale is not None else dh**-0.5
+    pats = resolve_patterns(patterns, h, vertical_size, slash_size)
+
+    meta_heads = [i for i, p in enumerate(pats) if p[0] != "block_sparse"]
+    bs_heads = [i for i, p in enumerate(pats) if p[0] == "block_sparse"]
+
+    s_pad = ((s + block - 1) // block) * block
+    pad = s_pad - s
+
+    need_vs = any(pats[i][0] == "vertical_and_slash" for i in meta_heads)
+    if need_vs:
+        vertical, slash = estimate_vertical_slash(q, k, scale)
+
+    # Group meta-pattern heads by config so each group's top-k is one
+    # vectorized call; remember the head order for the final scatter.
+    groups: dict = {}
+    for i in meta_heads:
+        groups.setdefault(pats[i], []).append(i)
+
+    out = jnp.zeros(q.shape, q.dtype)
+
+    if meta_heads:
+        order: list = []
+        metas: list = []
+        for cfg, heads in groups.items():
+            kind, vsize, ssize = cfg
+            hg = len(heads)
+            order.extend(heads)
+            if kind == "vertical_and_slash":
+                vert = vertical[:, heads].reshape(b * hg, s)
+                sl = slash[:, heads].reshape(b * hg, s)
+                metas.append(
+                    vs_meta_from_scores(
+                        vert, sl, vsize, ssize, s, block, grid_len=s_pad
+                    )
+                )
+            elif kind == "stream_llm":
+                metas.append(
+                    stream_meta(b * hg, s_pad, block, stream_sink,
+                                stream_window)
+                )
+            else:  # dense: every diagonal active == full causal
+                metas.append(
+                    stream_meta(b * hg, s_pad, block, 0, s_pad * block)
+                )
+        # Interleave group metas back to [B, Hm] row order: group rows
+        # are [B, hg]; concatenate per-B via reshape trickery.
+        hm = len(order)
+
+        def cat(field):
+            parts = [
+                getattr(m, field).reshape(b, len(heads), -1)
+                for m, heads in zip(metas, groups.values())
+            ]
+            return jnp.concatenate(parts, axis=1).reshape(b * hm, -1)
+
+        meta = VSMeta(
+            col_ids=cat("col_ids"),
+            col_cnt=cat("col_cnt"),
+            col_flag=cat("col_flag"),
+            diag_ids=cat("diag_ids"),
+            diag_cnt=cat("diag_cnt"),
+        )
+        import numpy as _np
+
+        kv_map = jnp.asarray(
+            (
+                _np.arange(b)[:, None] * kh
+                + _np.asarray([hh // g for hh in order])[None, :]
+            ).reshape(-1),
+            jnp.int32,
+        )
+        q_sub = q[:, :, order]  # [B, S, Hm, Dh] (static head gather)
+        if pad:
+            q_sub = jnp.pad(q_sub, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            k_p = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            v_p = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        else:
+            k_p, v_p = k, v
+        q_f = q_sub.transpose(0, 2, 1, 3).reshape(b * hm, s_pad, dh)
+        k_f = k_p.transpose(0, 2, 1, 3).reshape(b * kh, s_pad, dh)
+        v_f = v_p.transpose(0, 2, 1, 3).reshape(b * kh, s_pad, dh)
+        if use_kernel:
+            from shadowkv_tpu.kernels.vs_sparse import vs_sparse_attention
+
+            o_f = vs_sparse_attention(
+                q_f, k_f, v_f,
+                meta.col_ids, meta.col_cnt, meta.col_flag,
+                meta.diag_ids, meta.diag_cnt, kv_map,
+                block=block, scale=scale, seq_len=s,
+                interpret=interpret,
+            )
+        else:
+            o_f = vs_attention_reference(
+                q_f, k_f, v_f, meta, kv_map, block,
+                scale=scale, seq_len=s,
+            )
+        o_meta = (
+            o_f.reshape(b, hm, s_pad, dh)[:, :, :s]
+            .transpose(0, 2, 1, 3)
+            .astype(q.dtype)
+        )
+        out = out.at[:, :, order].set(o_meta)
+
+    if bs_heads:
+        blk = next(
+            bb for bb in (bs_block, 64, 32, 16, 8, 1) if s % bb == 0
+        )
+        o_bs = block_sparse_attention(
+            q[:, :, bs_heads], k, v,
+            topk_blocks=bs_topk_blocks, block=blk, scale=scale,
+            head_kv=[hh // g for hh in bs_heads],
+        )
+        out = out.at[:, :, bs_heads].set(o_bs.astype(q.dtype))
+
+    return out

@@ -116,7 +116,9 @@ def apply_rope(
 
     Args:
       x: [B, seq, H, head_dim] queries or keys (BSHD layout).
-      cos/sin: [seq, rope_dim // 2] gathered for these positions.
+      cos/sin: [seq, rope_dim // 2] gathered for these positions, or
+        [B, seq, rope_dim // 2] when positions differ per batch row
+        (continuous batching: per-slot generation lengths).
       style: 'neox' or 'glm'.
     """
     orig_dtype = x.dtype
@@ -127,8 +129,11 @@ def apply_rope(
     # either way after the cast back. f32 models keep f32 math (HF
     # parity tests compare exactly).
     xf = x if x.dtype == jnp.bfloat16 else x.astype(jnp.float32)
-    # Broadcast tables over (batch, heads): [1, seq, 1, half]
-    shape = (1, cos.shape[0], 1, half)
+    # Broadcast tables over (batch, heads): [1|B, seq, 1, half]
+    if cos.ndim == 3:
+        shape = (cos.shape[0], cos.shape[1], 1, half)
+    else:
+        shape = (1, cos.shape[0], 1, half)
     c = cos.reshape(shape).astype(xf.dtype)
     s = sin.reshape(shape).astype(xf.dtype)
 

@@ -46,6 +46,24 @@ from shadowkv_tpu.core.layers import (
 )
 
 
+def _minference_ctx(rt: RuntimeConfig, q, k, v, use_flash: bool):
+    """MInference per-head dynamic sparse prefill (pattern 'vs'):
+    Pallas kernel on TPU, jnp oracle on CPU (tests)."""
+    from shadowkv_tpu.core.minference import minference_prefill
+
+    return minference_prefill(
+        q, k, v,
+        patterns=rt.minference_patterns,
+        vertical_size=rt.vs_vertical_size,
+        slash_size=rt.vs_slash_size,
+        block=rt.vs_block,
+        stream_sink=rt.stream_sink,
+        stream_window=rt.stream_window,
+        use_kernel=use_flash,
+        interpret=False,
+    )
+
+
 def _scan_layers(model: ModelConfig, params: ModelParams, x, cache, body):
     """Scan ``body`` over (layer index, layer params)."""
     xs = (jnp.arange(model.num_layers), params.layers)
@@ -132,6 +150,11 @@ def prefill_full(
             ctx = sparse_prefill_splash(
                 q, k_hist, v_hist, rt.stream_window, rt.stream_sink,
                 head_major=True,
+            )
+        elif start_pos == 0 and rt.prefill_pattern == "vs":
+            ctx = _minference_ctx(
+                rt, q, k_hist.transpose(0, 2, 1, 3),
+                v_hist.transpose(0, 2, 1, 3), use_flash
             )
         elif (
             use_flash
@@ -307,6 +330,8 @@ def prefill_shadow_into(
             ctx = sparse_prefill_splash(
                 q, k_r, v, rt.stream_window, rt.stream_sink
             )
+        elif rt.prefill_pattern == "vs":
+            ctx = _minference_ctx(rt, q, k_r, v, use_flash)
         elif use_flash and rt.prefill_pattern == "dense-splash":
             ctx = causal_prefill_splash(q, k_r, v)
         elif use_flash:
@@ -361,7 +386,15 @@ def decode_shadow(
 
     b, qn = tokens.shape
     x = jnp.take(params.embed, tokens, axis=0).astype(model.dtype)
-    positions = cache.kv_len + jnp.arange(qn)
+    # Per-slot generation lengths (continuous batching,
+    # serving.ContinuousBatcher): gen_len is a [B] vector and every
+    # slot sits at its own position; positions/cos/sin get a batch dim
+    # and the gen-region writes go to per-slot rows (cache/shadow.py
+    # _append_gen_rows).
+    if cache.gen_len.ndim == 1:
+        positions = cache.kv_len[:, None] + jnp.arange(qn)[None]
+    else:
+        positions = cache.kv_len + jnp.arange(qn)
     cos = jnp.take(cos_table, positions, axis=0)
     sin = jnp.take(sin_table, positions, axis=0)
     static, mut = split_cache(cache)

@@ -54,8 +54,10 @@ class LLM:
         chunk_size: int = 8,
         model_dir: Optional[str] = None,
         dtype=None,
-        minference: bool = False,  # sink+window sparse prefill via
-        # splash attention (reference --minference equivalent)
+        minference=False,  # reference --minference equivalent. True or
+        # 'vs': per-head dynamic vertical_and_slash patterns
+        # (core/minference.py); 'stream': uniform sink+window splash
+        # prefill. Per-head tables via RuntimeConfig.minference_patterns.
         prefill_sub_batch: int = 4,
         gen_capacity: int = 256,
         dp: int = 1,  # device-mesh axes (parallel/mesh.py): batch on
@@ -83,9 +85,16 @@ class LLM:
             chunk_size=chunk_size,
             gen_capacity=gen_capacity,
         )
+        if minference is True:
+            pattern = "vs"
+        elif minference in ("vs", "stream"):
+            pattern = minference
+        else:
+            assert not minference, minference
+            pattern = "dense"
         rt = RuntimeConfig(
             batch_size=batch_size, prefill_sub_batch=prefill_sub_batch,
-            prefill_pattern="stream" if minference else "dense",
+            prefill_pattern=pattern,
             dp=dp, tp=tp,
         )
         self.engine = Engine(self.config, self.cache_cfg, rt, params)
