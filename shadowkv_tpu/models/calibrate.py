@@ -1,0 +1,126 @@
+"""Offline per-head sparse-prefill pattern calibration.
+
+The reference ships MInference's pre-searched per-head pattern tables
+(JSON via ``MODEL2PATH``, reference models/llama.py:242-247) and never
+includes the search itself. This module IS that search, self-contained:
+run one calibration prompt through the model, and for every head score
+each candidate pattern by how closely its sparse attention output
+matches dense attention; emit the per-head table that
+``RuntimeConfig.minference_patterns`` consumes.
+
+Method (MInference's recipe, simplified to this repo's
+uniform-over-layers tables): layers are evaluated in a Python loop
+(offline tool, moderate calibration length); per layer the dense
+causal output is the oracle and also feeds the next layer, so errors
+do not compound. Per-head relative L2 errors are averaged over layers
+and the lowest-error candidate wins; ties prefer the cheaper pattern.
+
+Tables serialize to JSON (head index -> [kind, vertical, slash]) so a
+calibration on a checkpoint host can ship to serving hosts, mirroring
+the reference's JSON workflow.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shadowkv_tpu.config import ModelConfig
+from shadowkv_tpu.core.minference import minference_prefill
+
+DEFAULT_CANDIDATES = (
+    ("vertical_and_slash", 1000, 6144),
+    ("vertical_and_slash", 100, 800),
+    ("stream_llm", 0, 0),  # sizes unused; sink/window from kwargs
+)
+
+
+def calibrate_patterns(
+    model: ModelConfig,
+    params,
+    input_ids: np.ndarray,  # [S] calibration prompt
+    candidates: Sequence[tuple] = DEFAULT_CANDIDATES,
+    block: int = 64,
+    stream_sink: int = 64,
+    stream_window: int = 256,
+    return_errors: bool = False,
+):
+    """Search the best pattern per q-head on one calibration prompt.
+
+    Returns the per-head tuple table for
+    ``RuntimeConfig.minference_patterns`` (optionally with the
+    [n_candidates, H] error matrix).
+    """
+    from shadowkv_tpu.core import rope as rope_lib
+    from shadowkv_tpu.core.attention import causal_prefill_attention
+    from shadowkv_tpu.models.forward import _layer_qkv, _layer_tail
+
+    ids = jnp.asarray(np.asarray(input_ids), jnp.int32)[None]  # [1, S]
+    s = ids.shape[1]
+    h = model.num_heads
+    cos_t, sin_t = rope_lib.compute_cos_sin(model, s, dtype=jnp.float32)
+    cos = cos_t[:s]
+    sin = sin_t[:s]
+
+    x = jnp.take(params.embed, ids, axis=0).astype(model.dtype)
+
+    errs = np.zeros((len(candidates), h), np.float64)
+
+    @jax.jit
+    def layer_step(lp, x):
+        q, k_r, _, v = _layer_qkv(model, lp, x, cos, sin)
+        dense = causal_prefill_attention(q, k_r, v, block_q=min(512, s))
+        outs = []
+        for cand in candidates:
+            sparse = minference_prefill(
+                q, k_r, v, patterns=[cand] * h, block=block,
+                stream_sink=stream_sink, stream_window=stream_window,
+                use_kernel=False,
+            )
+            diff = jnp.linalg.norm(
+                (sparse - dense).astype(jnp.float32), axis=(1, 3)
+            )  # [B, H]
+            ref = jnp.linalg.norm(dense.astype(jnp.float32), axis=(1, 3))
+            outs.append((diff / jnp.maximum(ref, 1e-6))[0])  # [H]
+        x_next = _layer_tail(lp, model, x, dense)
+        return jnp.stack(outs), x_next
+
+    for layer in range(model.num_layers):
+        lp = jax.tree_util.tree_map(lambda a: a[layer], params.layers)
+        e, x = layer_step(lp, x)
+        errs += np.asarray(e)
+    errs /= model.num_layers
+
+    # lowest mean error wins; ties (within 1e-6) prefer the LATER
+    # candidate (cheaper patterns should be listed later)
+    table = []
+    for hh in range(h):
+        best = 0
+        for ci in range(1, len(candidates)):
+            if errs[ci, hh] <= errs[best, hh] + 1e-6:
+                best = ci
+        table.append(tuple(candidates[best]))
+    table = tuple(table)
+    if return_errors:
+        return table, errs
+    return table
+
+
+def save_patterns(table: Sequence[tuple], path: str):
+    """JSON: {head: [kind, vertical_size, slash_size]} (analogue of the
+    reference's MODEL2PATH pattern files)."""
+    with open(path, "w") as f:
+        json.dump({str(i): list(t) for i, t in enumerate(table)}, f)
+
+
+def load_patterns(path: str) -> tuple:
+    with open(path) as f:
+        raw = json.load(f)
+    return tuple(
+        tuple(raw[str(i)][:1]) + tuple(int(v) for v in raw[str(i)][1:3])
+        for i in range(len(raw))
+    )

@@ -304,3 +304,53 @@ def test_engine_vs_prefill_generates():
     )
     out_sparse, _ = eng_sparse.generate(ids, gen_len=8)
     assert (np.asarray(out_sparse) >= 0).all()
+
+
+def test_calibration_search_and_roundtrip(tmp_path):
+    """The offline pattern search returns a usable per-head table; when
+    a cheap pattern already covers the context (short prompt inside the
+    stream window), the tie-break picks it. Table round-trips JSON and
+    feeds RuntimeConfig.minference_patterns."""
+    from shadowkv_tpu.config import CacheConfig, RuntimeConfig
+    from shadowkv_tpu.models.calibrate import (
+        calibrate_patterns,
+        load_patterns,
+        save_patterns,
+    )
+    from shadowkv_tpu.models.engine import Engine
+    from shadowkv_tpu.models.params import init_synthetic_params
+    from shadowkv_tpu.models.registry import toy_config
+
+    cfg = toy_config(dtype=jnp.float32)
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
+    ids = np.random.RandomState(5).randint(0, cfg.vocab_size, (256,))
+    table, errs = calibrate_patterns(
+        cfg, params, ids,
+        block=64, stream_sink=64,
+        stream_window=256,  # covers the whole 256-token prompt
+        return_errors=True,
+    )
+    assert len(table) == cfg.num_heads
+    assert errs.shape[1] == cfg.num_heads
+    # window covers everything -> stream error ~0 -> tie-break picks it
+    assert all(t[0] == "stream_llm" for t in table), table
+
+    p = tmp_path / "patterns.json"
+    save_patterns(table, str(p))
+    assert load_patterns(str(p)) == table
+
+    # the table drives the engine
+    eng = Engine(
+        cfg,
+        CacheConfig(
+            mode="shadow", max_length=512, sparse_budget=64, rank=32,
+            outlier_chunks=4,
+        ),
+        RuntimeConfig(
+            prefill_pattern="vs", minference_patterns=table,
+            vs_block=64, stream_sink=64, stream_window=256,
+        ),
+        params,
+    )
+    out, _ = eng.generate(ids[None], gen_len=4)
+    assert out.shape == (1, 4)
