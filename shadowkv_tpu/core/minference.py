@@ -100,6 +100,9 @@ def estimate_vertical_slash(
     k: jnp.ndarray,  # [B, S, K, Dh] roped keys
     scale: Optional[float] = None,
     last_q: int = LAST_Q,
+    head_kv: Optional[Sequence[int]] = None,  # kv head per q row of
+    # ``q`` (defaults to contiguous GQA h // g; needed when q carries a
+    # subset of the model's heads)
 ):
     """Vertical/slash importance scores from the last ``last_q`` queries.
 
@@ -136,9 +139,15 @@ def estimate_vertical_slash(
     gather_valid = gather_col >= 0
     gather_col = jnp.clip(gather_col, 0, s - 1)
 
+    kv_of = (
+        jnp.asarray(head_kv, jnp.int32)
+        if head_kv is not None
+        else jnp.arange(h, dtype=jnp.int32) // g
+    )
+
     def per_head(hh):
         qk = jnp.einsum(
-            "bld,bsd->bls", q_t[:, hh], k_t[:, hh // g],
+            "bld,bsd->bls", q_t[:, hh], k_t[:, kv_of[hh]],
             preferred_element_type=jnp.float32,
         ) * scale  # [B, lq, S]
         tail = jnp.where(tail_mask, qk[:, :, s - lq:], _NEG)
@@ -342,7 +351,18 @@ def block_sparse_attention(
         else jnp.arange(h, dtype=jnp.int32) // g
     )
     scale = scale if scale is not None else dh**-0.5
-    assert s % block == 0, (s, block)
+    s_real = s
+    if s % block:
+        # Zero-pad to a block multiple: padded KEY columns sit at
+        # positions >= s_real and are causally masked for every real
+        # query row; padded query rows are sliced off below. (The last
+        # key block's mean-pooled score dilutes slightly — that block
+        # is still force-included for its own frontier rows.)
+        padlen = block - s % block
+        q = jnp.pad(q, ((0, 0), (0, padlen), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, padlen), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, padlen), (0, 0), (0, 0)))
+        s = s + padlen
     nb = s // block
     tk = min(topk_blocks, nb)
     # q-chunking must tile nb exactly (lax.map over equal chunks).
@@ -418,7 +438,8 @@ def block_sparse_attention(
         return outs.transpose(1, 0, 2, 3, 4).reshape(b, s, dh)
 
     out = jax.lax.map(per_head, jnp.arange(h))  # [H, B, S, Dh]
-    return out.transpose(1, 2, 0, 3).astype(q.dtype)  # [B, S, H, Dh]
+    out = out.transpose(1, 2, 0, 3).astype(q.dtype)  # [B, S, H, Dh]
+    return out[:, :s_real]
 
 
 # --------------------------------------------------------------------------
@@ -493,9 +514,17 @@ def minference_prefill(
     s_pad = ((s + block - 1) // block) * block
     pad = s_pad - s
 
-    need_vs = any(pats[i][0] == "vertical_and_slash" for i in meta_heads)
-    if need_vs:
-        vertical, slash = estimate_vertical_slash(q, k, scale)
+    # Estimation runs ONLY for the vertical_and_slash heads (each
+    # head's [last_q, S] fp32 score temp is real prefill latency).
+    vs_heads = [
+        i for i in meta_heads if pats[i][0] == "vertical_and_slash"
+    ]
+    if vs_heads:
+        vertical, slash = estimate_vertical_slash(
+            q[:, :, vs_heads], k, scale,
+            head_kv=[i // g for i in vs_heads],
+        )
+        vs_pos = {hh: j for j, hh in enumerate(vs_heads)}
 
     # Group meta-pattern heads by config so each group's top-k is one
     # vectorized call; remember the head order for the final scatter.
@@ -513,8 +542,9 @@ def minference_prefill(
             hg = len(heads)
             order.extend(heads)
             if kind == "vertical_and_slash":
-                vert = vertical[:, heads].reshape(b * hg, s)
-                sl = slash[:, heads].reshape(b * hg, s)
+                rows = [vs_pos[hh] for hh in heads]
+                vert = vertical[:, rows].reshape(b * hg, s)
+                sl = slash[:, rows].reshape(b * hg, s)
                 metas.append(
                     vs_meta_from_scores(
                         vert, sl, vsize, ssize, s, block, grid_len=s_pad
@@ -569,12 +599,27 @@ def minference_prefill(
         if use_kernel:
             from shadowkv_tpu.kernels.vs_sparse import vs_sparse_attention
 
-            o_f = vs_sparse_attention(
-                q_f, k_f, v_f,
-                meta.col_ids, meta.col_cnt, meta.col_flag,
-                meta.diag_ids, meta.diag_cnt, kv_map,
-                block=block, scale=scale, seq_len=s,
-                interpret=interpret,
+            # One kernel launch PER BATCH ELEMENT: the five metadata
+            # arrays ride in SMEM scalar prefetch, and a [B*H, nK]
+            # footprint at 122K would exceed the ~1 MB SMEM budget for
+            # B > 1 (per-batch rows are contiguous: index b0*hm + j).
+            parts = []
+            for b0 in range(b):
+                hs = slice(b0 * hm, (b0 + 1) * hm)
+                ks_ = slice(b0 * kh, (b0 + 1) * kh)
+                parts.append(
+                    vs_sparse_attention(
+                        q_f[hs], k_f[ks_], v_f[ks_],
+                        meta.col_ids[hs], meta.col_cnt[hs],
+                        meta.col_flag[hs], meta.diag_ids[hs],
+                        meta.diag_cnt[hs],
+                        kv_map[hs] - b0 * kh,
+                        block=block, scale=scale, seq_len=s,
+                        interpret=interpret,
+                    )
+                )
+            o_f = (
+                parts[0] if b == 1 else jnp.concatenate(parts, axis=0)
             )
         else:
             o_f = vs_attention_reference(
@@ -589,12 +634,9 @@ def minference_prefill(
         out = out.at[:, :, order].set(o_meta)
 
     if bs_heads:
-        blk = next(
-            bb for bb in (bs_block, 64, 32, 16, 8, 1) if s % bb == 0
-        )
         o_bs = block_sparse_attention(
             q[:, :, bs_heads], k, v,
-            topk_blocks=bs_topk_blocks, block=blk, scale=scale,
+            topk_blocks=bs_topk_blocks, block=bs_block, scale=scale,
             head_kv=[hh // g for hh in bs_heads],
         )
         out = out.at[:, :, bs_heads].set(o_bs.astype(q.dtype))

@@ -95,14 +95,16 @@ def calibrate_patterns(
         errs += np.asarray(e)
     errs /= model.num_layers
 
-    # lowest mean error wins; ties (within 1e-6) prefer the LATER
-    # candidate (cheaper patterns should be listed later)
+    # lowest mean error wins; ties (within 1e-6 of the MINIMUM, not of
+    # a drifting running best) prefer the LATER candidate (cheaper
+    # patterns should be listed later)
     table = []
     for hh in range(h):
-        best = 0
-        for ci in range(1, len(candidates)):
-            if errs[ci, hh] <= errs[best, hh] + 1e-6:
-                best = ci
+        min_err = errs[:, hh].min()
+        best = max(
+            ci for ci in range(len(candidates))
+            if errs[ci, hh] <= min_err + 1e-6
+        )
         table.append(tuple(candidates[best]))
     table = tuple(table)
     if return_errors:

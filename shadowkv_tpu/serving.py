@@ -51,18 +51,34 @@ class Request:
 
 @dataclasses.dataclass
 class ServeStats:
+    # wall_seconds covers the whole serve loop INCLUDING admission
+    # prefills (end-to-end throughput); the initial batch prefill is
+    # outside it. admission_seconds is the prefill time spent inside
+    # the loop, so decode_seconds = wall - admissions is pure decode.
     wall_seconds: float = 0.0
     decode_steps: int = 0
     completed_requests: int = 0
     completed_tokens: int = 0
     admissions: int = 0  # mid-stream slot refills (not the first batch)
-    prefill_seconds: float = 0.0
+    prefill_seconds: float = 0.0  # initial batch + admissions
+    admission_seconds: float = 0.0  # admissions only (inside the loop)
+
+    @property
+    def decode_seconds(self) -> float:
+        return max(0.0, self.wall_seconds - self.admission_seconds)
 
     @property
     def tokens_per_second(self) -> float:
+        """End-to-end serve throughput (admission stalls included)."""
         if self.wall_seconds == 0:
             return 0.0
         return self.completed_tokens / self.wall_seconds
+
+    @property
+    def decode_tokens_per_second(self) -> float:
+        if self.decode_seconds == 0:
+            return 0.0
+        return self.completed_tokens / self.decode_seconds
 
 
 class ContinuousBatcher:
@@ -173,7 +189,9 @@ class ContinuousBatcher:
                 tokens = tokens.at[i].set(tok[0])
                 slot_req[i] = r
                 stats.admissions += 1
-                stats.prefill_seconds += time.perf_counter() - t1
+                span = time.perf_counter() - t1
+                stats.prefill_seconds += span
+                stats.admission_seconds += span
                 record(i, int(np.asarray(tok)[0]))
 
         t_loop = time.perf_counter()

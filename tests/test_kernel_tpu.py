@@ -151,3 +151,68 @@ def test_gather_chunks_compiled_matches_reference(dtype, tile_sub):
     )
     np.testing.assert_array_equal(np.asarray(u_got), np.asarray(u_ref))
     np.testing.assert_array_equal(np.asarray(v_got), np.asarray(v_ref))
+
+
+def test_vs_sparse_compiled_matches_oracle():
+    """The MInference VS block-sparse prefill kernel, compiled on the
+    real chip, vs the jnp oracle — and a 122K-scale metadata SMEM
+    budget check (the five prefetch arrays must fit per-batch at
+    H=32, nK=960)."""
+    from shadowkv_tpu.core import minference as mi
+    from shadowkv_tpu.kernels.vs_sparse import vs_sparse_attention
+
+    s, block, h, kh, dh = 2048, 128, 4, 2, 128
+    g = h // kh
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(ks[0], (h, s, dh), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (kh, s, dh), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (kh, s, dh), jnp.bfloat16)
+    v_idx = jax.random.randint(ks[3], (h, 64), 0, s)
+    s_idx = jax.random.randint(ks[3], (h, 32), 0, s)
+    meta = mi.build_vs_meta(v_idx, s_idx, s, block)
+    kv_map = jnp.asarray([hh // g for hh in range(h)], jnp.int32)
+    out = vs_sparse_attention(
+        q, k, v, meta.col_ids, meta.col_cnt, meta.col_flag,
+        meta.diag_ids, meta.diag_cnt, kv_map,
+        block=block, scale=dh**-0.5, seq_len=s,
+    )
+    ref = mi.vs_attention_reference(
+        q.astype(jnp.float32), k.astype(jnp.float32),
+        v.astype(jnp.float32), meta, kv_map, block,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=3e-2,
+        atol=3e-2,
+    )
+
+
+def test_vs_sparse_compiles_at_122k_metadata_scale():
+    """Compile-only probe at the production metadata scale (H=32 heads,
+    nK=960 blocks = 122880/128): verifies the SMEM scalar-prefetch
+    budget claim in PARITY.md without paying a full 122K run."""
+    from shadowkv_tpu.core import minference as mi
+    from shadowkv_tpu.kernels.vs_sparse import vs_sparse_attention
+    import functools
+
+    s, block, h, kh, dh = 122880, 128, 32, 8, 128
+    g = h // kh
+    n_blk = s // block
+    meta = mi.stream_meta(h, s, block, 1024, 8192)
+    kv_map = jnp.asarray([hh // g for hh in range(h)], jnp.int32)
+    fn = functools.partial(
+        vs_sparse_attention, block=block, scale=dh**-0.5, seq_len=s
+    )
+    shapes = (
+        jax.ShapeDtypeStruct((h, s, dh), jnp.bfloat16),
+        jax.ShapeDtypeStruct((kh, s, dh), jnp.bfloat16),
+        jax.ShapeDtypeStruct((kh, s, dh), jnp.bfloat16),
+        jax.ShapeDtypeStruct((h, n_blk), jnp.int32),
+        jax.ShapeDtypeStruct((h, n_blk), jnp.int32),
+        jax.ShapeDtypeStruct((h, n_blk), jnp.int32),
+        jax.ShapeDtypeStruct((h, n_blk), jnp.int32),
+        jax.ShapeDtypeStruct((h, n_blk), jnp.int32),
+        jax.ShapeDtypeStruct((h,), jnp.int32),
+    )
+    compiled = jax.jit(fn).lower(*shapes).compile()
+    assert compiled is not None
+    del meta
