@@ -11,9 +11,17 @@ has 16 GB, so the bench model is scaled to keep the same regime:
 KV-cache-bandwidth-bound full attention vs compact-buffer ShadowKV).
 
 Env overrides: BENCH_DATALEN, BENCH_FULL_BATCH, BENCH_SHADOW_BATCH,
-BENCH_DECODE_STEPS, BENCH_MODE (full|shadow|both), BENCH_QUANT
+BENCH_DECODE_STEPS, BENCH_MODE (full|shadow|both|serve), BENCH_QUANT
 (none|int8), BENCH_USE_PALLAS (0|1), BENCH_RING (0|1, ring-DMA chunk
 gather on the decode path), BENCH_CACHE_MODE (shadow|shadow_offload).
+
+BENCH_MODE=serve measures continuous batching: BENCH_REQUESTS requests
+(default 2x the shadow batch) with generation lengths staggered
+BENCH_DECODE_STEPS/2 .. BENCH_DECODE_STEPS, served through
+serving.ContinuousBatcher at BENCH_SHADOW_BATCH slots; reports
+end-to-end served tokens/s (admission prefills included) vs the static
+batch running every request to the LONGEST gen length (the reference's
+batch_generate regime, where finished sequences pad out the batch).
 
 Default configuration matches the BASELINE.json north star: 122K
 context on one chip, full attention at its max feasible batch (1 on a
@@ -75,6 +83,81 @@ def _run_engine(mode, cfg, cache_cfg, rt, params, datalen, batch, steps):
     return stats.decode_tokens_per_second
 
 
+def run_serve(cfg, rt, params, datalen, slots, steps, quant):
+    """Continuous-batching throughput vs the static-batch baseline on
+    a variable-gen-length request stream."""
+    from shadowkv_tpu.config import CacheConfig
+    from shadowkv_tpu.models.engine import Engine
+    from shadowkv_tpu.serving import ContinuousBatcher, Request
+
+    n_req = int(os.environ.get("BENCH_REQUESTS", 2 * slots))
+    # canonical sparse settings, scaled down only for smoke-test
+    # context lengths that cannot hold them
+    budget = 2048 if datalen >= 8192 else max(64, datalen // 4)
+    cache_cfg = CacheConfig(
+        mode="shadow", max_length=datalen + 128, sparse_budget=budget,
+        rank=160 if datalen >= 8192 else 32, chunk_size=8,
+        kv_quant=quant, gen_capacity=max(256, steps + 8),
+    )
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, cfg.vocab_size, (n_req, datalen))
+    gen_lens = [
+        steps // 2 + (i * (steps // 2)) // max(1, n_req - 1)
+        for i in range(n_req)
+    ]
+    reqs = [
+        Request(uid=i, input_ids=ids[i], gen_len=gen_lens[i])
+        for i in range(n_req)
+    ]
+
+    eng = Engine(cfg, cache_cfg, rt, params)
+    cb = ContinuousBatcher(
+        eng, slots=slots, temperature=0.6, top_k=50, top_p=0.9
+    )
+    results, st = cb.run(reqs)
+    assert st.completed_requests == n_req
+    served_tps = st.tokens_per_second
+    log(
+        f"[serve] {n_req} reqs x {datalen} ctx, slots={slots}: "
+        f"{st.completed_tokens} toks in {st.wall_seconds:.1f}s wall "
+        f"({st.admission_seconds:.1f}s admissions, "
+        f"{st.decode_steps} steps) -> {served_tps:.1f} tok/s served, "
+        f"{st.decode_tokens_per_second:.1f} tok/s decode-only"
+    )
+    # Static-batch baseline: every request decodes to the LONGEST gen
+    # length (batch_generate has no per-slot exit), useful tokens are
+    # only each request's gen_len.
+    gc.collect()
+    eng2 = Engine(cfg, cache_cfg, rt, params)
+    useful = 0.0
+    t0 = time.perf_counter()
+    for r0 in range(0, n_req, slots):
+        batch = reqs[r0 : r0 + slots]
+        longest = max(r.gen_len for r in batch)
+        _, stats = eng2.batch_generate(
+            np.stack([r.input_ids for r in batch]),
+            gen_len=longest, temperature=0.6, warmup_steps=0,
+        )
+        useful += sum(r.gen_len for r in batch)
+    static_wall = time.perf_counter() - t0
+    static_tps = useful / static_wall
+    log(
+        f"[static] same stream in fixed batches of {slots}: "
+        f"{useful:.0f} useful toks in {static_wall:.1f}s -> "
+        f"{static_tps:.1f} tok/s"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"serve_tokens_per_sec_{datalen // 1024}k",
+                "value": round(served_tps, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(served_tps / static_tps, 3),
+            }
+        )
+    )
+
+
 def main():
     from shadowkv_tpu.config import CacheConfig, RuntimeConfig
     from shadowkv_tpu.models.params import init_synthetic_params
@@ -103,7 +186,12 @@ def main():
         intermediate_size=5632,
         vocab_size=32768,
         rope_theta=500000.0,
-        dtype=jnp.bfloat16,
+        # f32 escape hatch for CPU smoke tests (CPU XLA lacks bf16 dots)
+        dtype=(
+            jnp.float32
+            if os.environ.get("BENCH_DTYPE") == "f32"
+            else jnp.bfloat16
+        ),
     )
     rt = RuntimeConfig(
         prefill_sub_batch=1, prefill_block_q=256,
@@ -114,6 +202,10 @@ def main():
     log(f"devices: {jax.devices()}")
     params = init_synthetic_params(cfg, jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+
+    if bench_mode == "serve":
+        run_serve(cfg, rt, params, datalen, shadow_batch, steps, quant)
+        return
 
     full_tps = None
     if bench_mode in ("full", "both"):
