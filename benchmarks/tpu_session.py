@@ -1,0 +1,138 @@
+"""One-command TPU measurement session for everything hardware-gated.
+
+Runs, SEQUENTIALLY (one TPU job at a time — concurrent processes OOM
+each other through the axon tunnel), each pending measurement as a
+subprocess and appends results to benchmarks/tpu_session_results.jsonl.
+Skips stages already recorded (delete lines to re-run). Designed to be
+resumable: the tunnel dying mid-session loses only the current stage.
+
+    python benchmarks/tpu_session.py [--stages s1,s2,...] [--list]
+
+Stages:
+  probe_host     probe_host_dma.py — pinned_host + Pallas HOST operands
+  bench_xla      bench.py default (122K, int8, b1 full vs b4 shadow)
+  bench_ring     bench.py BENCH_RING=1 (ring-DMA chunk gather)
+  bench_pallas   bench.py BENCH_USE_PALLAS=1 (fused refresh kernel)
+  bench_vs       bench.py BENCH_PREFILL=vs (MInference dynamic sparse
+                 prefill — prefill-time comparison vs dense-splash)
+  bench_serve    bench.py BENCH_MODE=serve (continuous batching)
+  kernel_tests   SHADOWKV_TPU_TESTS=1 pytest tests/test_kernel_tpu.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULTS = os.path.join(ROOT, "benchmarks", "tpu_session_results.jsonl")
+
+STAGES = {
+    "probe_host": {
+        "cmd": [sys.executable, "benchmarks/probe_host_dma.py"],
+        "env": {},
+        "timeout": 1800,
+    },
+    "bench_xla": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {},
+        "timeout": 3600,
+    },
+    "bench_ring": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {"BENCH_RING": "1", "BENCH_MODE": "shadow"},
+        "timeout": 3600,
+    },
+    "bench_pallas": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {"BENCH_USE_PALLAS": "1", "BENCH_MODE": "shadow"},
+        "timeout": 3600,
+    },
+    "bench_vs": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {"BENCH_PREFILL": "vs", "BENCH_MODE": "shadow"},
+        "timeout": 3600,
+    },
+    "bench_serve": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {"BENCH_MODE": "serve", "BENCH_DECODE_STEPS": "100"},
+        "timeout": 5400,
+    },
+    "kernel_tests": {
+        "cmd": [
+            sys.executable, "-m", "pytest", "tests/test_kernel_tpu.py",
+            "-q", "--no-header",
+        ],
+        "env": {"SHADOWKV_TPU_TESTS": "1"},
+        "timeout": 3600,
+    },
+}
+
+
+def done_stages():
+    if not os.path.exists(RESULTS):
+        return set()
+    out = set()
+    with open(RESULTS) as f:
+        for line in f:
+            try:
+                out.add(json.loads(line)["stage"])
+            except Exception:
+                pass
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stages", default=",".join(STAGES))
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+    if args.list:
+        for s in STAGES:
+            print(s)
+        return
+    skip = set() if args.force else done_stages()
+    for name in args.stages.split(","):
+        name = name.strip()
+        if not name:
+            continue
+        if name in skip:
+            print(f"== {name}: already recorded, skipping", flush=True)
+            continue
+        spec = STAGES[name]
+        env = dict(os.environ, **spec["env"])
+        print(f"== {name}: {' '.join(spec['cmd'])} {spec['env']}",
+              flush=True)
+        t0 = time.time()
+        try:
+            # NOTE: generous timeouts on purpose — killing a python
+            # mid-TPU-op through the axon tunnel can wedge the remote
+            # worker for everyone (CLAUDE.md).
+            p = subprocess.run(
+                spec["cmd"], cwd=ROOT, env=env, capture_output=True,
+                text=True, timeout=spec["timeout"],
+            )
+            ok = p.returncode == 0
+            tail = (p.stdout + "\n" + p.stderr).strip().splitlines()[-25:]
+        except subprocess.TimeoutExpired:
+            ok, tail = False, ["TIMEOUT"]
+        rec = {
+            "stage": name,
+            "ok": ok,
+            "seconds": round(time.time() - t0, 1),
+            "tail": tail,
+        }
+        with open(RESULTS, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print("\n".join(tail), flush=True)
+        print(f"== {name}: {'OK' if ok else 'FAIL'} "
+              f"({rec['seconds']}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
