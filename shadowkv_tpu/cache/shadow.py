@@ -615,22 +615,26 @@ def shadow_decode_layer(
         valid_len = lo.sparse_end + gen_len + qn
         return k_buf_l, v_buf_l, valid_len, mut
 
-    # Old buffer contents for this layer (compact: a few MB).
-    k_buf_l = jax.lax.dynamic_index_in_dim(
-        mut.k_buf, layer, axis=0, keepdims=False
-    )
-    v_buf_l = jax.lax.dynamic_index_in_dim(
-        mut.v_buf, layer, axis=0, keepdims=False
-    )
+    # Only the SPARSE region of the old buffers is read here; the
+    # full per-layer view for attention is sliced from the stacked
+    # buffer AFTER the commit (one narrow write + a slice that fuses
+    # into the attention read), instead of materializing a separate
+    # per-layer view and writing both it and the stacked buffer —
+    # ~2x the sparse-region bytes per layer for nothing.
+    buf_dtype = mut.k_buf.dtype
+    ssets = lo.select_sets
+    stay_e = asg.stay_mask[..., None]  # [B,K,S,1]
+
+    def _sparse_old(buf):
+        return jax.lax.dynamic_slice(
+            buf, (layer, 0, 0, lo.sparse_start, 0),
+            (1, b, kh, ssets * cs, dh),
+        )[0].reshape(b, kh, ssets, cs * dh)
 
     # --- 3. V: staying slots keep their rows untouched (dense select);
     #        incoming chunks gathered from the chunk-major store
     #        (replaces gather_copy_with_offsets, K2/K3) ---
-    ssets = lo.select_sets
-    stay_e = asg.stay_mask[..., None]  # [B,K,S,1]
-    v_sparse_old = v_buf_l[:, :, lo.sparse_start : lo.sparse_end].reshape(
-        b, kh, ssets, cs * dh
-    )
+    v_sparse_old = _sparse_old(mut.v_buf)
     bi = jnp.arange(b)[:, None, None]
     ki = jnp.arange(kh)[None, :, None]
     sv_l = jax.lax.dynamic_index_in_dim(
@@ -688,8 +692,8 @@ def shadow_decode_layer(
                 )[..., 0],
             )
             v_new_rows = (
-                v_tok.astype(v_buf_l.dtype)
-                * v_sc[..., None].astype(v_buf_l.dtype)
+                v_tok.astype(buf_dtype)
+                * v_sc[..., None].astype(buf_dtype)
             ).reshape(b, kh, ssets, cs * dh)
         else:
             v_new_rows = v_tok.reshape(b, kh, ssets, cs * dh)
@@ -753,8 +757,8 @@ def shadow_decode_layer(
                 b, kh, ssets, cs, dh
             )
         v_new_rows = (
-            v_q.astype(v_buf_l.dtype)
-            * v_sc[..., None].astype(v_buf_l.dtype)
+            v_q.astype(buf_dtype)
+            * v_sc[..., None].astype(buf_dtype)
         ).reshape(b, kh, ssets, cs * dh)
     elif v_store is not None:
         # Host-DRAM fetch via io_callback + native gather
@@ -774,9 +778,7 @@ def shadow_decode_layer(
     # --- 4. K: staying slots untouched; incoming reconstructed
     #        U[chunks] @ SV + RoPE (batch_gather_gemm + push-cache,
     #        K6-K10) ---
-    k_sparse_old = k_buf_l[:, :, lo.sparse_start : lo.sparse_end].reshape(
-        b, kh, ssets, cs * dh
-    )
+    k_sparse_old = _sparse_old(mut.k_buf)
     if lo.quant == "int8":
         # Row scales factor out of the matmul: (q*s) @ SV = (q @ SV)*s.
         # Converting int8 -> bf16 fuses into the dot's operand read;
@@ -786,12 +788,12 @@ def shadow_decode_layer(
         sc = u_sc_flat if ring else u_sc.reshape(b, kh, ssets * cs)
         k_rec = jnp.einsum(
             "bknr,bkrd->bknd",
-            u_q.astype(k_buf_l.dtype),
+            u_q.astype(buf_dtype),
             sv_l,
             preferred_element_type=jnp.float32,
         )
         k_rec = (k_rec * sc[..., None].astype(jnp.float32)).astype(
-            k_buf_l.dtype
+            buf_dtype
         )
     else:
         if not ring:
@@ -800,9 +802,9 @@ def shadow_decode_layer(
                 b, kh, ssets * cs, lo.rank_pad
             )
         k_rec = jnp.einsum(
-            "bknr,bkrd->bknd", u_q.astype(k_buf_l.dtype), sv_l,
+            "bknr,bkrd->bknd", u_q.astype(buf_dtype), sv_l,
             preferred_element_type=jnp.float32,
-        ).astype(k_buf_l.dtype)
+        ).astype(buf_dtype)
     # Decomposed RoPE: rotate(x, chunk*cs + off) =
     # rotate(rotate(x, off), chunk*cs). The off table is cs static rows
     # and the chunk-base gather is cs x fewer rows than per-token
@@ -840,14 +842,6 @@ def shadow_decode_layer(
     k_new_t = k_new.transpose(0, 2, 1, 3)
     v_new_t = v_new.transpose(0, 2, 1, 3)
     gen_row = lo.sparse_end + gen_len
-    k_buf_l = jax.lax.dynamic_update_slice(
-        k_buf_l, k_sparse, (0, 0, lo.sparse_start, 0)
-    )
-    v_buf_l = jax.lax.dynamic_update_slice(
-        v_buf_l, v_sparse, (0, 0, lo.sparse_start, 0)
-    )
-    k_buf_l = _append_gen_rows(k_buf_l, k_new_t, gen_row)
-    v_buf_l = _append_gen_rows(v_buf_l, v_new_t, gen_row)
 
     # --- 6. commit this layer's state: ONLY the changed regions
     #        (sparse + gen row) are written into the stacked buffers —
@@ -869,6 +863,15 @@ def shadow_decode_layer(
         cached_ids=jax.lax.dynamic_update_slice(
             mut.cached_ids, asg.slot_ids[None], (layer, 0, 0, 0)
         ),
+    )
+    # The attention view is a slice of the just-committed stacked
+    # buffer — XLA fuses the slice into the attention read, so no
+    # separate per-layer view buffer is ever written.
+    k_buf_l = jax.lax.dynamic_index_in_dim(
+        mut.k_buf, layer, axis=0, keepdims=False
+    )
+    v_buf_l = jax.lax.dynamic_index_in_dim(
+        mut.v_buf, layer, axis=0, keepdims=False
     )
     valid_len = lo.sparse_end + gen_len + qn
     return k_buf_l, v_buf_l, valid_len, mut
