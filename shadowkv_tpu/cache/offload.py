@@ -48,6 +48,16 @@ class HostVStore:
         self.dtype = arr.dtype
         self._jax_dtype = jnp.asarray(arr[:0]).dtype
 
+    def update_slot(self, slot: int, v_slot: np.ndarray):
+        """In-place overwrite of one batch slot's chunk rows (continuous
+        batching admission, serving.ContinuousBatcher: the freshly
+        prefilled request's V replaces the finished request's). The
+        decode jit's io_callback reads ``self.rows`` at call time, so
+        this swaps data without any retrace."""
+        l, b, k, c, cs, dh = self.shape
+        v_slot = np.asarray(v_slot).reshape(l, k, c, cs, dh)
+        self.rows.reshape(l, b, k, c, cs, dh)[:, slot] = v_slot
+
     def _host_fetch(self, layer, slot_ids, stay):
         layer = int(layer)
         l, b, k, c, cs, dh = self.shape

@@ -178,12 +178,19 @@ class ShadowCache(flax.struct.PyTreeNode):
         model: ModelConfig,
         layout: ShadowLayout,
         batch_size: int,
+        v_placeholder: bool = False,
     ) -> "ShadowCache":
         """Preallocate zeroed full-batch buffers. Sub-batch prefill
         writes slices in place (reference batch_prefill accumulates into
         shared buffers via ``prefilled_batch``, kv_cache.py:824-980);
         writing into a donated preallocation instead of concatenating
-        sub-batch caches keeps peak HBM at 1x the cache size."""
+        sub-batch caches keeps peak HBM at 1x the cache size.
+
+        ``v_placeholder=True`` allocates a ZERO-CHUNK v_full leaf (the
+        offloaded-V cache shape: the real chunk-major store lives in
+        host DRAM, reference kv_cache.py:554-563, and the pytree keeps
+        a structural stand-in) so the full-batch V store is never
+        materialized in HBM — at 122K it is larger than the chip."""
         l, b = model.num_layers, batch_size
         kh, dh, dt = model.num_kv_heads, model.head_dim, model.dtype
         lo = layout
@@ -212,6 +219,8 @@ class ShadowCache(flax.struct.PyTreeNode):
                 cs * lo.rank_pad + flat_trailer_lanes(cs, kh),
             )
             v_shape = (l, b, kh, lo.chunks, cs * dh)
+        if v_placeholder:
+            v_shape = v_shape[:3] + (0,) + v_shape[4:]
         return cls(
             u=jnp.zeros(u_shape, store_dt),
             sv=jnp.zeros((l, b, kh, lo.rank_pad, dh), dt),

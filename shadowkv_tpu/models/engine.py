@@ -80,6 +80,8 @@ class Engine:
         self.sin_table = sin
         self.v_store = None
         self._host_v = None  # pinned-host V store (ring offload mode)
+        self._host_v_np = None  # numpy mirror of _host_v (admission)
+        self._host_dus = None  # cached host-space dus capability probe
         self._cache = None  # persisted across generate() for cont=True
         # Multi-chip: RuntimeConfig.dp/tp > 1 builds the (dp, tp) mesh
         # (parallel/mesh.py — B on dp, GQA KV heads + factors +
@@ -232,11 +234,38 @@ class Engine:
         def sample_fn(logits, key, temperature, top_k, top_p):
             return _sample(logits, key, temperature, top_k, top_p)
 
+        # Write a sub-batch shadow cache's slots into the full-batch
+        # cache at (traced) batch offset b0. Used by the incremental
+        # offload prefill and by continuous-batching admission in
+        # offload mode; v_full is NOT merged (the big cache keeps a
+        # zero-chunk placeholder — the real store lives host-side).
+        @partial(jax.jit, donate_argnums=(0,))
+        def merge_slots_fn(big, small, b0):
+            def put(dst, src):
+                idx = (0, b0) + (0,) * (dst.ndim - 2)
+                return jax.lax.dynamic_update_slice(
+                    dst, src.astype(dst.dtype), idx
+                )
+
+            updates = dict(
+                u=put(big.u, small.u),
+                sv=put(big.sv, small.sv),
+                landmarks=put(big.landmarks, small.landmarks),
+                landmark_mask=put(big.landmark_mask, small.landmark_mask),
+                k_buf=put(big.k_buf, small.k_buf),
+                v_buf=put(big.v_buf, small.v_buf),
+                cached_ids=put(big.cached_ids, small.cached_ids),
+            )
+            if big.lm_scale is not None:
+                updates["lm_scale"] = put(big.lm_scale, small.lm_scale)
+            return big.replace(**updates)
+
         self._prefill_full = prefill_full_fn
         self._prefill_shadow = prefill_shadow_fn
         self._decode_full = decode_full_fn
         self._decode_shadow = decode_shadow_fn
         self._sample = sample_fn
+        self._merge_slots = merge_slots_fn
 
     @property
     def is_shadow(self) -> bool:
@@ -267,14 +296,27 @@ class Engine:
                 self.cache_cfg, s,
                 kernel_store=self.use_pallas or self.ring_gather,
             )
-            cache = self._shard_cache(ShadowCache.init(self.model, layout, b))
-            for b0 in range(0, b, t):
-                lg, cache = self._prefill_shadow(
-                    self.params, cache, input_ids[b0 : b0 + t], b0
+            if self.cache_cfg.mode == "shadow_offload" and self.mesh is None:
+                # Incremental offload: each sub-batch's V store is
+                # evicted to host DRAM as soon as that sub-batch's
+                # prefill produces it, so peak HBM holds ONE sub-batch
+                # of V, never the full batch (the reference's async
+                # V->pinned-CPU copy during prefill, kv_cache.py:825-828
+                # — a full-batch 122K V store is larger than the chip).
+                cache = self._prefill_offload_incremental(
+                    input_ids, layout, t, logits_parts
                 )
-                logits_parts.append(lg)
-            if self.cache_cfg.mode == "shadow_offload":
-                cache = self._offload_v(cache)
+            else:
+                cache = self._shard_cache(
+                    ShadowCache.init(self.model, layout, b)
+                )
+                for b0 in range(0, b, t):
+                    lg, cache = self._prefill_shadow(
+                        self.params, cache, input_ids[b0 : b0 + t], b0
+                    )
+                    logits_parts.append(lg)
+                if self.cache_cfg.mode == "shadow_offload":
+                    cache = self._offload_v(cache)
         else:
             cache = self._shard_cache(
                 FullCache.init(self.model, self.cache_cfg, b)
@@ -291,6 +333,165 @@ class Engine:
         )
         self._cache = cache  # save_state()-able before any decode
         return logits, cache
+
+    def _host_space_update_supported(self) -> bool:
+        """Probe: can this platform run a jitted dynamic_update_slice
+        whose inputs AND output live in pinned host memory? True means
+        the offloaded V store can be assembled/updated entirely on the
+        device host (no staging through local numpy — which, through a
+        remote-TPU tunnel, would round-trip the multi-GB store over the
+        network). CPU lacks the output-side device-placement annotation
+        (see _commit_host_v), so this returns False there."""
+        if self._host_dus is not None:
+            return self._host_dus
+        try:
+            dev = jax.devices()[0]
+            pinned = jax.sharding.SingleDeviceSharding(
+                dev, memory_kind="pinned_host"
+            )
+            big = jax.jit(
+                lambda: jnp.zeros((2, 8, 128), jnp.bfloat16),
+                out_shardings=pinned,
+            )()
+            part = jax.device_put(
+                jnp.ones((1, 8, 128), jnp.bfloat16), pinned
+            )
+            upd = jax.jit(
+                lambda a, b: jax.lax.dynamic_update_slice(a, b, (1, 0, 0)),
+                donate_argnums=(0,),
+                out_shardings=pinned,
+            )(big, part)
+            ok = (
+                upd.sharding.memory_kind == "pinned_host"
+                and bool(jnp.all(upd[1] == 1))
+            )
+        except Exception:
+            ok = False
+        self._host_dus = ok
+        return ok
+
+    def _pinned_sharding(self):
+        if self.mesh is not None:
+            return jax.sharding.NamedSharding(
+                self.mesh,
+                jax.sharding.PartitionSpec(None, "dp", "tp"),
+                memory_kind="pinned_host",
+            )
+        return jax.sharding.SingleDeviceSharding(
+            jax.devices()[0], memory_kind="pinned_host"
+        )
+
+    def _host_v_write(self, v_sub, b0: int, total_b: int):
+        """Write a sub-batch's device-resident chunk-major V store into
+        the pinned-host full-batch store at batch offset ``b0``,
+        allocating the store on first use — all on the device host (no
+        local staging; see _host_space_update_supported)."""
+        pinned = self._pinned_sharding()
+        shape = v_sub.shape[:1] + (total_b,) + v_sub.shape[2:]
+        if self._host_v is None or self._host_v.shape != shape:
+            self._host_v = jax.jit(
+                lambda: jnp.zeros(shape, v_sub.dtype),
+                out_shardings=pinned,
+            )()
+        part = jax.device_put(v_sub, pinned)
+        self._host_v = jax.jit(
+            lambda a, p, o: jax.lax.dynamic_update_slice(
+                a, p, (0, o) + (0,) * (a.ndim - 2)
+            ),
+            donate_argnums=(0,),
+            out_shardings=pinned,
+        )(self._host_v, part, b0)
+
+    def _prefill_offload_incremental(
+        self, input_ids, layout, t: int, logits_parts: list
+    ) -> ShadowCache:
+        """Sub-batch prefill for the offloaded-V modes: each sub-batch
+        prefills into a small REAL cache, its V store is evicted to
+        host DRAM immediately, and the V-less slices merge into the
+        full-batch cache (whose v_full is a zero-chunk placeholder).
+        Peak HBM holds one sub-batch of V, never the full batch — the
+        TPU shape of the reference's async V->pinned-CPU copy during
+        prefill (kv_cache.py:825-828)."""
+        b, s = input_ids.shape
+        cache = ShadowCache.init(
+            self.model, layout, b, v_placeholder=True
+        )
+        pinned_path = self.ring_host and self._host_space_update_supported()
+        v_np = None
+        for b0 in range(0, b, t):
+            tt = min(t, b - b0)
+            small = ShadowCache.init(self.model, layout, tt)
+            lg, small = self._prefill_shadow(
+                self.params, small, input_ids[b0 : b0 + tt], 0
+            )
+            logits_parts.append(lg)
+            if pinned_path:
+                self._host_v_write(small.v_full, b0, b)
+            else:
+                v_sub = np.asarray(small.v_full)
+                if v_np is None:
+                    v_np = np.empty(
+                        v_sub.shape[:1] + (b,) + v_sub.shape[2:],
+                        v_sub.dtype,
+                    )
+                v_np[:, b0 : b0 + tt] = v_sub
+            small = small.replace(v_full=_v_placeholder(small.v_full))
+            cache = self._merge_slots(cache, small, b0)
+        if self.ring_host:
+            if pinned_path:
+                self._host_v_np = None  # pinned store is authoritative
+            else:
+                self._host_v_np = v_np
+                self._host_v = jax.device_put(
+                    v_np, self._pinned_sharding()
+                )
+        else:
+            from shadowkv_tpu.cache.offload import HostVStore
+
+            self._host_v_np = None
+            if self.v_store is None:
+                self.v_store = HostVStore(v_np)
+            else:
+                self.v_store.update(v_np)
+        return cache
+
+    def admit_slot(self, cache: ShadowCache, input_ids_row, slot: int):
+        """Prefill ONE request into batch slot ``slot`` of a live cache
+        (continuous-batching admission, serving.ContinuousBatcher).
+
+        Shadow (HBM) mode prefills directly into the donated cache.
+        Offload modes prefill a 1-slot cache, merge its V-less slices,
+        and overwrite the host store's slot: in-place numpy rows for
+        the io_callback path, a pinned-host slot write (or numpy-mirror
+        repin fallback) for the ring/fused-kernel paths. Returns
+        (last-token logits [1, 1, V], cache)."""
+        ids = jnp.asarray(input_ids_row, jnp.int32)[None]
+        if self.cache_cfg.mode != "shadow_offload":
+            return self._prefill_shadow(self.params, cache, ids, slot)
+        layout = cache.layout
+        small = ShadowCache.init(self.model, layout, 1)
+        lg, small = self._prefill_shadow(self.params, small, ids, 0)
+        if self.ring_host:
+            if self._host_v_np is None and self._host_space_update_supported():
+                self._host_v_write(
+                    small.v_full, slot, self._host_v.shape[1]
+                )
+            else:
+                if self._host_v_np is None:
+                    # one-time mirror pull (engine came from load_state
+                    # or a platform losing host-dus support mid-run)
+                    self._host_v_np = np.asarray(self._host_v)
+                self._host_v_np[:, slot : slot + 1] = np.asarray(
+                    small.v_full
+                )
+                self._host_v = jax.device_put(
+                    self._host_v_np, self._pinned_sharding()
+                )
+        else:
+            self.v_store.update_slot(slot, np.asarray(small.v_full))
+        small = small.replace(v_full=_v_placeholder(small.v_full))
+        cache = self._merge_slots(cache, small, slot)
+        return lg, cache
 
     def _offload_v(self, cache: ShadowCache) -> ShadowCache:
         """Move the chunk-major V store to host DRAM.
@@ -337,6 +538,9 @@ class Engine:
                 jax.devices()[0], memory_kind="pinned_host"
             )
         self._host_v = jax.device_put(v_data, sharding)
+        # keep the numpy mirror when one exists (serving admission
+        # updates a slot in it and repins)
+        self._host_v_np = v_data if isinstance(v_data, np.ndarray) else None
         return cache.replace(v_full=_v_placeholder(self._host_v))
 
     # -- prefilled-state checkpointing --------------------------------------

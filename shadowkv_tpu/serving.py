@@ -18,9 +18,12 @@ gen-region appends go to per-slot rows (cache/shadow.py
 are bit-identical to running its request alone (tests/test_serving.py
 asserts greedy-token equality against isolated runs).
 
-Scope notes (v1):
-- Shadow (HBM) cache mode. Offload mode needs per-slot host-store
-  updates at admission — not wired yet.
+Scope notes:
+- Shadow (HBM) AND offloaded-V cache modes: offload admission prefills
+  a 1-slot cache, merges its V-less slices into the live cache, and
+  overwrites the host store's slot (Engine.admit_slot — in-place numpy
+  rows for the io_callback path, a pinned-host slot write or
+  mirror-repin for the ring/fused-kernel paths).
 - All requests share one prompt length (the ShadowLayout is static per
   prefill length; serving traffic is length-bucketed upstream exactly
   like the evaluation datasets, data/dataset.py).
@@ -99,9 +102,8 @@ class ContinuousBatcher:
         stop_ids: tuple[int, ...] = (),
         seed: int = 0,
     ):
-        assert engine.cache_cfg.mode == "shadow", (
-            "continuous batching currently serves the shadow (HBM) "
-            "cache mode"
+        assert engine.cache_cfg.mode in ("shadow", "shadow_offload"), (
+            "continuous batching serves the shadow cache modes"
         )
         self.engine = engine
         self.slots = slots or engine.rt.batch_size
@@ -177,10 +179,10 @@ class ContinuousBatcher:
             while queue and slot_req[i] is None:
                 r = queue.pop(0)
                 t1 = time.perf_counter()
-                lg, cache = eng._prefill_shadow(
-                    eng.params, cache,
-                    jnp.asarray(r.input_ids, jnp.int32)[None], i,
-                )
+                # HBM mode prefills into the live cache at slot i;
+                # offload modes additionally overwrite the host V
+                # store's slot (Engine.admit_slot).
+                lg, cache = eng.admit_slot(cache, r.input_ids, i)
                 cache = cache.replace(
                     gen_len=cache.gen_len.at[i].set(0)
                 )

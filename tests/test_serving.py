@@ -105,6 +105,45 @@ def test_idle_slot_drain(serve_setup):
     np.testing.assert_array_equal(results[1], want)
 
 
+@pytest.mark.parametrize("ring", [False, True])
+def test_continuous_batching_offload(serve_setup, ring):
+    """Offload-mode continuous batching: admissions must overwrite the
+    host V store's slot (io_callback rows in place; ring store repin)
+    and reproduce each request's isolated offload run exactly. The
+    initial prefill runs the incremental per-sub-batch V eviction path
+    (prefill_sub_batch=1 forces multiple merge steps)."""
+    cfg, params, _ = serve_setup
+    cache_cfg = CacheConfig(
+        mode="shadow_offload", max_length=512, sparse_budget=64,
+        rank=32, outlier_chunks=4, gen_capacity=32,
+    )
+    s = 256
+    rng = np.random.RandomState(13)
+    n_req = 4
+    prompts = rng.randint(0, cfg.vocab_size, (n_req, s))
+    gen_lens = [5, 8, 4, 6]
+    requests = [
+        Request(uid=i, input_ids=prompts[i], gen_len=gen_lens[i])
+        for i in range(n_req)
+    ]
+    rt = RuntimeConfig(
+        batch_size=2, ring_gather=ring, prefill_sub_batch=1
+    )
+    eng = Engine(cfg, cache_cfg, rt, params)
+    results, stats = ContinuousBatcher(eng, slots=2).run(requests)
+    assert stats.completed_requests == n_req
+    assert stats.admissions == n_req - 2
+    for i in range(n_req):
+        e2 = Engine(
+            cfg, cache_cfg, RuntimeConfig(ring_gather=ring), params
+        )
+        want, _ = e2.generate(prompts[i][None], gen_len=gen_lens[i])
+        np.testing.assert_array_equal(
+            results[i], want[0],
+            err_msg=f"offload request {i} diverged (ring={ring})",
+        )
+
+
 def test_continuous_batching_sharded_mesh():
     """Continuous batching over a (dp, tp) mesh: slot admissions into
     the dp/tp-sharded cache must reproduce the unsharded CB tokens."""
