@@ -164,6 +164,14 @@ class RuntimeConfig:
     # reference's minference_parttern JSON (models/llama.py:242-247),
     # uniform across layers. None = all heads vertical_and_slash.
     minference_patterns: Optional[tuple] = None
+    # Optional PER-LAYER pattern table: a tuple of num_layers entries,
+    # each a per-head table as above (kinds limited to
+    # {vertical_and_slash, stream_llm, dense}) — full parity with the
+    # reference's layer-indexed JSONs (models/base.py:291). The table
+    # rides the prefill layer-scan as traced arrays
+    # (core/minference.py::minference_prefill_dynamic). Takes
+    # precedence over minference_patterns when both are set.
+    minference_layer_patterns: Optional[tuple] = None
     # Fused Pallas sparse-refresh kernel on the decode path. None/False
     # = the vectorized-XLA gather path (wins below ~75 % hit rate);
     # True = the fused kernel (wins when selection is temporally

@@ -184,6 +184,21 @@ def _scatter_flags(idx: jnp.ndarray, n: int):
     return one_hot.astype(jnp.int32)
 
 
+def meta_from_flags(
+    col_flag: jnp.ndarray, diag_flag: jnp.ndarray
+) -> VSMeta:
+    """Build the kernel metadata (sorted id lists + causal prefix
+    counts) from 0/1 activity flags."""
+    n_blk = col_flag.shape[-1]
+    return VSMeta(
+        col_ids=_compact_flags(col_flag, n_blk),
+        col_cnt=jnp.cumsum(col_flag, axis=-1).astype(jnp.int32),
+        col_flag=col_flag,
+        diag_ids=_compact_flags(diag_flag, n_blk),
+        diag_cnt=jnp.cumsum(diag_flag, axis=-1).astype(jnp.int32),
+    )
+
+
 def build_vs_meta(
     v_idx: jnp.ndarray,  # [BH, Nv] vertical token indices
     s_idx: jnp.ndarray,  # [BH, Ns] slash token distances
@@ -194,6 +209,14 @@ def build_vs_meta(
     metadata (the reference's MInference kernel does the analogous
     conversion on the fly when building its block-sparse CSR)."""
     n_blk = (seq_len + block - 1) // block
+    return meta_from_flags(*vs_flags(v_idx, s_idx, n_blk, block))
+
+
+def vs_flags(
+    v_idx: jnp.ndarray, s_idx: jnp.ndarray, n_blk: int, block: int
+):
+    """Block activity flags from token-granular selections. Entries
+    >= n_blk * block act as padding (no block set)."""
     col_flag = _scatter_flags(v_idx // block, n_blk)
     # A slash at token distance d crosses block-diagonals floor(d/B)
     # and ceil(d/B) (band of width B over the block grid).
@@ -205,21 +228,14 @@ def build_vs_meta(
     # The main block diagonal always attends (holds the causal
     # frontier; the estimation's forced nearest-slashes imply it).
     diag_flag = diag_flag.at[..., 0].set(1)
-    return VSMeta(
-        col_ids=_compact_flags(col_flag, n_blk),
-        col_cnt=jnp.cumsum(col_flag, axis=-1).astype(jnp.int32),
-        col_flag=col_flag,
-        diag_ids=_compact_flags(diag_flag, n_blk),
-        diag_cnt=jnp.cumsum(diag_flag, axis=-1).astype(jnp.int32),
-    )
+    return col_flag, diag_flag
 
 
-def stream_meta(
+def stream_flags(
     bh: int, seq_len: int, block: int, sink: int, window: int
-) -> VSMeta:
-    """The stream_llm (sink + sliding window) pattern expressed as VS
-    block metadata: verticals = the sink blocks, slashes = the window
-    diagonals. Used when per-head patterns mix types in one launch."""
+):
+    """stream_llm (sink + sliding window) as block activity flags:
+    verticals = the sink blocks, slashes = the window diagonals."""
     n_blk = (seq_len + block - 1) // block
     kb = jnp.arange(n_blk, dtype=jnp.int32)
     col_flag = jnp.broadcast_to(
@@ -228,12 +244,16 @@ def stream_meta(
     diag_flag = jnp.broadcast_to(
         (kb * block < window + block).astype(jnp.int32), (bh, n_blk)
     )
-    return VSMeta(
-        col_ids=_compact_flags(col_flag, n_blk),
-        col_cnt=jnp.cumsum(col_flag, axis=-1).astype(jnp.int32),
-        col_flag=col_flag,
-        diag_ids=_compact_flags(diag_flag, n_blk),
-        diag_cnt=jnp.cumsum(diag_flag, axis=-1).astype(jnp.int32),
+    return col_flag, diag_flag
+
+
+def stream_meta(
+    bh: int, seq_len: int, block: int, sink: int, window: int
+) -> VSMeta:
+    """The stream_llm pattern expressed as VS block metadata. Used when
+    per-head patterns mix types in one launch."""
+    return meta_from_flags(
+        *stream_flags(bh, seq_len, block, sink, window)
     )
 
 
@@ -642,3 +662,192 @@ def minference_prefill(
         out = out.at[:, :, bs_heads].set(o_bs.astype(q.dtype))
 
     return out
+
+
+# --------------------------------------------------------------------------
+# Per-layer (traced-pattern) path: the reference's MInference JSONs vary
+# patterns per LAYER (models/base.py:291 indexes minference_parttern by
+# layer_idx). The prefill layer loop here is a lax.scan, so per-layer
+# tables cannot be static — this variant takes the pattern table as
+# TRACED arrays riding the scan xs.
+# --------------------------------------------------------------------------
+
+KIND_IDS = {"vertical_and_slash": 0, "stream_llm": 1, "dense": 2}
+
+
+def patterns_to_arrays(
+    layer_patterns: Sequence,  # [L] entries, each a per-head table
+    num_heads: int,
+    num_layers: int,
+    vertical_size: int,
+    slash_size: int,
+):
+    """Normalize a per-layer pattern table to numpy arrays
+    (kind_ids [L, H], vertical [L, H], slash [L, H]) for the scan xs,
+    plus the static top-k caps (max sizes over the table).
+
+    ``block_sparse`` heads are rejected: the per-layer path unifies
+    patterns through one metadata representation and block_sparse is
+    not expressible in it (arbitrary per-query-block sets). MInference's
+    shipped configs are overwhelmingly vertical_and_slash; calibrate
+    without block_sparse candidates for per-layer tables, or use the
+    uniform-table path (``minference_patterns``) which supports it.
+    """
+    import numpy as _np
+
+    assert len(layer_patterns) == num_layers, (
+        len(layer_patterns), num_layers
+    )
+    kinds = _np.zeros((num_layers, num_heads), _np.int32)
+    vs = _np.zeros((num_layers, num_heads), _np.int32)
+    ss = _np.zeros((num_layers, num_heads), _np.int32)
+    for li, table in enumerate(layer_patterns):
+        pats = resolve_patterns(
+            table, num_heads, vertical_size, slash_size
+        )
+        for hh, (kind, vsize, ssize) in enumerate(pats):
+            if kind == "block_sparse":
+                raise ValueError(
+                    "per-layer pattern tables do not support "
+                    f"block_sparse (layer {li}, head {hh}); see "
+                    "patterns_to_arrays docstring"
+                )
+            kinds[li, hh] = KIND_IDS[kind]
+            vs[li, hh] = vsize
+            ss[li, hh] = ssize
+    vs_heads = kinds == 0
+    v_cap = int(vs[vs_heads].max()) if vs_heads.any() else 30
+    s_cap = int(ss[vs_heads].max()) if vs_heads.any() else 50
+    return kinds, vs, ss, max(v_cap, 30), max(s_cap, 50)
+
+
+def dynamic_vs_flags(
+    vertical: jnp.ndarray,  # [BH, S] scores
+    slash: jnp.ndarray,  # [BH, S]
+    vsize: jnp.ndarray,  # [BH] traced per-head counts
+    ssize: jnp.ndarray,  # [BH]
+    seq_len: int,
+    block: int,
+    grid_len: int,
+    v_cap: int,  # static caps >= any per-head count
+    s_cap: int,
+):
+    """Block activity flags with TRACED per-head top-k counts: top-k to
+    the static cap, then mask entries past each head's dynamic count to
+    the pad id (top-k's prefix property makes top-``n`` of top-``cap``
+    identical to a direct top-``n``). Same clamps as the static path
+    (vertical >= 30, slash >= 50, both <= seq_len)."""
+    n_blk = grid_len // block
+    v_cap = min(seq_len, v_cap)
+    s_cap = min(seq_len, s_cap)
+    _, v_idx = jax.lax.top_k(vertical, v_cap)
+    vs_n = jnp.clip(jnp.maximum(vsize, 30), 0, seq_len)[:, None]
+    v_idx = jnp.where(
+        jnp.arange(v_cap)[None] < vs_n, v_idx, jnp.int32(grid_len)
+    )
+    _, s_idx = jax.lax.top_k(slash, s_cap)
+    sl_n = jnp.clip(jnp.maximum(ssize, 50), 0, seq_len)[:, None]
+    s_idx = jnp.where(
+        jnp.arange(s_cap)[None] < sl_n, s_idx, jnp.int32(grid_len)
+    )
+    return vs_flags(v_idx, s_idx, n_blk, block)
+
+
+def minference_prefill_dynamic(
+    q: jnp.ndarray,  # [B, S, H, Dh] roped queries
+    k: jnp.ndarray,  # [B, S, K, Dh] roped keys
+    v: jnp.ndarray,  # [B, S, K, Dh]
+    kind_ids: jnp.ndarray,  # [H] traced, KIND_IDS values
+    vsize: jnp.ndarray,  # [H] traced
+    ssize: jnp.ndarray,  # [H] traced
+    *,
+    v_cap: int,
+    s_cap: int,
+    block: int = 128,
+    stream_sink: int = 1024,
+    stream_window: int = 8192,
+    use_kernel: bool = True,
+    interpret: bool = False,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Per-head sparse prefill with a TRACED pattern assignment — the
+    per-layer path (this layer's [H] rows ride the prefill scan's xs).
+    All three kinds unify through block activity flags selected per
+    head by kind id; one kernel launch per batch element, exactly like
+    the static path. Estimation runs for every head (kind is traced, so
+    stream/dense heads cannot statically skip it — the per-layer cost
+    of per-layer tables). Returns [B, S, H, Dh]."""
+    b, s, h, dh = q.shape
+    kh = k.shape[2]
+    g = h // kh
+    scale = scale if scale is not None else dh**-0.5
+    s_pad = ((s + block - 1) // block) * block
+    pad = s_pad - s
+    n_blk = s_pad // block
+
+    vertical, slash = estimate_vertical_slash(q, k, scale)  # [B, H, S]
+    vert_f = vertical.reshape(b * h, s)
+    slash_f = slash.reshape(b * h, s)
+    kind_r = jnp.tile(kind_ids, b)[:, None]  # [BH, 1]
+    vs_col, vs_diag = dynamic_vs_flags(
+        vert_f, slash_f, jnp.tile(vsize, b), jnp.tile(ssize, b),
+        s, block, s_pad, v_cap, s_cap,
+    )
+    st_col, st_diag = stream_flags(
+        b * h, s_pad, block, stream_sink, stream_window
+    )
+    col_flag = jnp.where(
+        kind_r == 0, vs_col, jnp.where(kind_r == 1, st_col, 0)
+    )
+    diag_flag = jnp.where(
+        kind_r == 0, vs_diag, jnp.where(kind_r == 1, st_diag, 1)
+    )
+    meta = meta_from_flags(col_flag, diag_flag)
+
+    import numpy as _np
+
+    kv_map = jnp.asarray(
+        (
+            _np.arange(b)[:, None] * kh
+            + (_np.arange(h) // g)[None, :]
+        ).reshape(-1),
+        jnp.int32,
+    )
+    if pad:
+        q_p = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k_p = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v_p = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    else:
+        q_p, k_p, v_p = q, k, v
+    q_f = q_p.transpose(0, 2, 1, 3).reshape(b * h, s_pad, dh)
+    k_f = k_p.transpose(0, 2, 1, 3).reshape(b * kh, s_pad, dh)
+    v_f = v_p.transpose(0, 2, 1, 3).reshape(b * kh, s_pad, dh)
+    if use_kernel:
+        from shadowkv_tpu.kernels.vs_sparse import vs_sparse_attention
+
+        parts = []
+        for b0 in range(b):
+            hs = slice(b0 * h, (b0 + 1) * h)
+            ks_ = slice(b0 * kh, (b0 + 1) * kh)
+            parts.append(
+                vs_sparse_attention(
+                    q_f[hs], k_f[ks_], v_f[ks_],
+                    meta.col_ids[hs], meta.col_cnt[hs],
+                    meta.col_flag[hs], meta.diag_ids[hs],
+                    meta.diag_cnt[hs],
+                    kv_map[hs] - b0 * kh,
+                    block=block, scale=scale, seq_len=s,
+                    interpret=interpret,
+                )
+            )
+        o_f = parts[0] if b == 1 else jnp.concatenate(parts, axis=0)
+    else:
+        o_f = vs_attention_reference(
+            q_f, k_f, v_f, meta, kv_map, block,
+            scale=scale, seq_len=s,
+        )
+    return (
+        o_f.reshape(b, h, s_pad, dh)[:, :, :s]
+        .transpose(0, 2, 1, 3)
+        .astype(q.dtype)
+    )

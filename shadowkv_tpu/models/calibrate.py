@@ -48,13 +48,20 @@ def calibrate_patterns(
     stream_sink: int = 64,
     stream_window: int = 256,
     return_errors: bool = False,
+    per_layer: bool = False,
 ):
     """Search the best pattern per q-head on one calibration prompt.
 
     Returns the per-head tuple table for
     ``RuntimeConfig.minference_patterns`` (optionally with the
-    [n_candidates, H] error matrix).
-    """
+    [n_candidates, H] error matrix). With ``per_layer=True``, winners
+    are chosen per LAYER from the per-layer errors (no averaging) and
+    the result is a [num_layers] tuple of per-head tables for
+    ``RuntimeConfig.minference_layer_patterns`` — full parity with the
+    reference's layer-indexed MInference JSONs (models/base.py:291,
+    llama.py:242-247). Per-layer candidates must avoid block_sparse
+    (unsupported by the traced-pattern path, core/minference.py
+    ``patterns_to_arrays``)."""
     from shadowkv_tpu.core import rope as rope_lib
     from shadowkv_tpu.core.attention import causal_prefill_attention
     from shadowkv_tpu.models.forward import _layer_qkv, _layer_tail
@@ -89,40 +96,72 @@ def calibrate_patterns(
         x_next = _layer_tail(lp, model, x, dense)
         return jnp.stack(outs), x_next
 
+    layer_errs = np.zeros((model.num_layers, len(candidates), h))
     for layer in range(model.num_layers):
         lp = jax.tree_util.tree_map(lambda a: a[layer], params.layers)
         e, x = layer_step(lp, x)
-        errs += np.asarray(e)
+        layer_errs[layer] = np.asarray(e)
+        errs += layer_errs[layer]
     errs /= model.num_layers
 
     # lowest mean error wins; ties (within 1e-6 of the MINIMUM, not of
     # a drifting running best) prefer the LATER candidate (cheaper
     # patterns should be listed later)
-    table = []
-    for hh in range(h):
-        min_err = errs[:, hh].min()
-        best = max(
-            ci for ci in range(len(candidates))
-            if errs[ci, hh] <= min_err + 1e-6
+    def pick(err_ch):  # [n_candidates, H] -> per-head table
+        rows = []
+        for hh in range(h):
+            min_err = err_ch[:, hh].min()
+            best = max(
+                ci for ci in range(len(candidates))
+                if err_ch[ci, hh] <= min_err + 1e-6
+            )
+            rows.append(tuple(candidates[best]))
+        return tuple(rows)
+
+    if per_layer:
+        table = tuple(
+            pick(layer_errs[li]) for li in range(model.num_layers)
         )
-        table.append(tuple(candidates[best]))
-    table = tuple(table)
+        if return_errors:
+            return table, layer_errs
+        return table
+    table = pick(errs)
     if return_errors:
         return table, errs
     return table
 
 
-def save_patterns(table: Sequence[tuple], path: str):
-    """JSON: {head: [kind, vertical_size, slash_size]} (analogue of the
-    reference's MODEL2PATH pattern files)."""
-    with open(path, "w") as f:
-        json.dump({str(i): list(t) for i, t in enumerate(table)}, f)
+def _row_dict(table: Sequence[tuple]) -> dict:
+    return {str(i): list(t) for i, t in enumerate(table)}
 
 
-def load_patterns(path: str) -> tuple:
-    with open(path) as f:
-        raw = json.load(f)
+def _row_tuple(raw: dict) -> tuple:
     return tuple(
         tuple(raw[str(i)][:1]) + tuple(int(v) for v in raw[str(i)][1:3])
         for i in range(len(raw))
     )
+
+
+def save_patterns(table: Sequence, path: str):
+    """JSON: {head: [kind, vertical_size, slash_size]} for uniform
+    tables, or a LIST of such dicts (one per layer) for per-layer
+    tables — the latter is the reference's MInference JSON structure
+    exactly (a layer-indexed list of head dicts, models/llama.py:247).
+    """
+    per_layer = table and isinstance(table[0][0], (tuple, list))
+    with open(path, "w") as f:
+        if per_layer:
+            json.dump([_row_dict(row) for row in table], f)
+        else:
+            json.dump(_row_dict(table), f)
+
+
+def load_patterns(path: str) -> tuple:
+    """Load save_patterns output; a JSON list means a per-layer table
+    (feed to ``RuntimeConfig.minference_layer_patterns``), a dict means
+    a uniform table (``minference_patterns``)."""
+    with open(path) as f:
+        raw = json.load(f)
+    if isinstance(raw, list):
+        return tuple(_row_tuple(row) for row in raw)
+    return _row_tuple(raw)

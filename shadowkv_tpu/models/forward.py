@@ -46,11 +46,29 @@ from shadowkv_tpu.core.layers import (
 )
 
 
-def _minference_ctx(rt: RuntimeConfig, q, k, v, use_flash: bool):
+def _minference_ctx(
+    rt: RuntimeConfig, q, k, v, use_flash: bool, pat_row=None, caps=None
+):
     """MInference per-head dynamic sparse prefill (pattern 'vs'):
-    Pallas kernel on TPU, jnp oracle on CPU (tests)."""
-    from shadowkv_tpu.core.minference import minference_prefill
+    Pallas kernel on TPU, jnp oracle on CPU (tests). ``pat_row`` is
+    this layer's traced (kind_ids, vertical, slash) [H] rows when a
+    per-layer table is configured (rides the prefill scan's xs)."""
+    from shadowkv_tpu.core.minference import (
+        minference_prefill,
+        minference_prefill_dynamic,
+    )
 
+    if pat_row is not None:
+        kinds, vs_r, ss_r = pat_row
+        return minference_prefill_dynamic(
+            q, k, v, kinds, vs_r, ss_r,
+            v_cap=caps[0], s_cap=caps[1],
+            block=rt.vs_block,
+            stream_sink=rt.stream_sink,
+            stream_window=rt.stream_window,
+            use_kernel=use_flash,
+            interpret=False,
+        )
     return minference_prefill(
         q, k, v,
         patterns=rt.minference_patterns,
@@ -64,9 +82,30 @@ def _minference_ctx(rt: RuntimeConfig, q, k, v, use_flash: bool):
     )
 
 
-def _scan_layers(model: ModelConfig, params: ModelParams, x, cache, body):
-    """Scan ``body`` over (layer index, layer params)."""
-    xs = (jnp.arange(model.num_layers), params.layers)
+def _pattern_xs(rt: RuntimeConfig, model: ModelConfig):
+    """Per-layer pattern table -> traced scan-xs arrays [L, H] + static
+    top-k caps; (None, None) when no per-layer table is configured."""
+    if rt.prefill_pattern != "vs" or rt.minference_layer_patterns is None:
+        return None, None
+    from shadowkv_tpu.core.minference import patterns_to_arrays
+
+    kinds, vs, ss, v_cap, s_cap = patterns_to_arrays(
+        rt.minference_layer_patterns, model.num_heads,
+        model.num_layers, rt.vs_vertical_size, rt.vs_slash_size,
+    )
+    return (
+        (jnp.asarray(kinds), jnp.asarray(vs), jnp.asarray(ss)),
+        (v_cap, s_cap),
+    )
+
+
+def _scan_layers(
+    model: ModelConfig, params: ModelParams, x, cache, body, extra_xs=None
+):
+    """Scan ``body`` over (layer index, layer params[, extra per-layer
+    arrays]); ``extra_xs`` leaves must be [L, ...] (None is fine — an
+    empty pytree node contributes no leaf)."""
+    xs = (jnp.arange(model.num_layers), params.layers, extra_xs)
     (x, cache), _ = jax.lax.scan(body, (x, cache), xs)
     return x, cache
 
@@ -124,10 +163,11 @@ def prefill_full(
     cos = jnp.take(cos_table, positions, axis=0)
     sin = jnp.take(sin_table, positions, axis=0)
     end = start_pos + s
+    pat_xs, pat_caps = _pattern_xs(rt, model)
 
     def body(carry, inputs):
         x, cache = carry
-        layer, lp = inputs
+        layer, lp, pat = inputs
         q, k_r, _, v = _layer_qkv(model, lp, x, cos, sin)
         k_cache = jax.lax.dynamic_update_slice(
             cache.k, k_r.transpose(0, 2, 1, 3)[None].astype(cache.k.dtype),
@@ -154,7 +194,7 @@ def prefill_full(
         elif start_pos == 0 and rt.prefill_pattern == "vs":
             ctx = _minference_ctx(
                 rt, q, k_hist.transpose(0, 2, 1, 3),
-                v_hist.transpose(0, 2, 1, 3), use_flash
+                v_hist.transpose(0, 2, 1, 3), use_flash, pat, pat_caps
             )
         elif (
             use_flash
@@ -170,7 +210,7 @@ def prefill_full(
             )
         return (_layer_tail(lp, model, x, ctx), cache), None
 
-    x, cache = _scan_layers(model, params, x, cache, body)
+    x, cache = _scan_layers(model, params, x, cache, body, pat_xs)
     cache = cache.replace(length=jnp.asarray(end, jnp.int32))
     logits = _finalize(model, params, x, last_only=True)
     return logits, cache
@@ -193,7 +233,7 @@ def decode_full(
 
     def body(carry, inputs):
         x, cache = carry
-        layer, lp = inputs
+        layer, lp, _pat = inputs
         q, k_r, _, v = _layer_qkv(model, lp, x, cos, sin)
         k_cache = jax.lax.dynamic_update_slice(
             cache.k, k_r.transpose(0, 2, 1, 3)[None].astype(cache.k.dtype),
@@ -244,7 +284,7 @@ def prefill_shadow(
     sin = jnp.take(sin_table, positions, axis=0)
 
     def body(x, inputs):
-        layer, lp = inputs
+        layer, lp, _pat = inputs
         q, k_r, k_pre, v = _layer_qkv(model, lp, x, cos, sin)
         slices = shadow_prefill_layer(
             model,
@@ -259,7 +299,7 @@ def prefill_shadow(
         )
         return _layer_tail(lp, model, x, ctx), slices
 
-    xs = (jnp.arange(model.num_layers), params.layers)
+    xs = (jnp.arange(model.num_layers), params.layers, None)
     x, layer_slices = jax.lax.scan(body, x, xs)
     from shadowkv_tpu.cache.shadow import assemble_cache
 
@@ -296,10 +336,11 @@ def prefill_shadow_into(
     positions = jnp.arange(s)
     cos = jnp.take(cos_table, positions, axis=0)
     sin = jnp.take(sin_table, positions, axis=0)
+    pat_xs, pat_caps = _pattern_xs(rt, model)
 
     def body(carry, inputs):
         x, cache = carry
-        layer, lp = inputs
+        layer, lp, pat = inputs
         q, k_r, k_pre, v = _layer_qkv(model, lp, x, cos, sin)
         slices = shadow_prefill_layer(
             model, layout, k_pre, k_r, v, q[:, -1:]
@@ -331,7 +372,7 @@ def prefill_shadow_into(
                 q, k_r, v, rt.stream_window, rt.stream_sink
             )
         elif rt.prefill_pattern == "vs":
-            ctx = _minference_ctx(rt, q, k_r, v, use_flash)
+            ctx = _minference_ctx(rt, q, k_r, v, use_flash, pat, pat_caps)
         elif use_flash and rt.prefill_pattern == "dense-splash":
             ctx = causal_prefill_splash(q, k_r, v)
         elif use_flash:
@@ -342,7 +383,7 @@ def prefill_shadow_into(
             )
         return (_layer_tail(lp, model, x, ctx), cache), None
 
-    xs = (jnp.arange(model.num_layers), params.layers)
+    xs = (jnp.arange(model.num_layers), params.layers, pat_xs)
     (x, cache), _ = jax.lax.scan(body, (x, cache), xs)
     logits = _finalize(model, params, x, last_only=True)
     return logits, cache

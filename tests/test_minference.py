@@ -306,6 +306,208 @@ def test_engine_vs_prefill_generates():
     assert (np.asarray(out_sparse) >= 0).all()
 
 
+def test_dynamic_matches_static_mixed(rng):
+    """The traced-pattern path (per-layer variant) must reproduce the
+    static per-head dispatch exactly for every supported kind mix —
+    same flags, same metadata, same attention."""
+    b, s, h, kh, dh = 2, 512, 4, 2, 64
+    ks = jax.random.split(rng, 3)
+    q = jax.random.normal(ks[0], (b, s, h, dh), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, kh, dh), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, kh, dh), jnp.float32)
+    patterns = [
+        ("vertical_and_slash", 64, 64),
+        ("vertical_and_slash", 100, 80),
+        "stream_llm",
+        "dense",
+    ]
+    kw = dict(block=128, stream_sink=128, stream_window=128)
+    want = mi.minference_prefill(
+        q, k, v, patterns=patterns, use_kernel=False, **kw
+    )
+    kinds = jnp.asarray([0, 0, 1, 2], jnp.int32)
+    vsz = jnp.asarray([64, 100, 0, 0], jnp.int32)
+    ssz = jnp.asarray([64, 80, 0, 0], jnp.int32)
+    got = mi.minference_prefill_dynamic(
+        q, k, v, kinds, vsz, ssz, v_cap=100, s_cap=80,
+        use_kernel=False, **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+    # kernel path (interpret) agrees too
+    got_k = mi.minference_prefill_dynamic(
+        q, k, v, kinds, vsz, ssz, v_cap=100, s_cap=80,
+        use_kernel=True, interpret=True, **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_k), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_patterns_to_arrays():
+    kinds, vs, ss, v_cap, s_cap = mi.patterns_to_arrays(
+        (
+            (("vertical_and_slash", 64, 64), "dense"),
+            (("vertical_and_slash", 128, 90), "stream_llm"),
+        ),
+        num_heads=2, num_layers=2, vertical_size=1000, slash_size=6144,
+    )
+    np.testing.assert_array_equal(kinds, [[0, 2], [0, 1]])
+    assert v_cap == 128 and s_cap == 90
+    with pytest.raises(ValueError, match="block_sparse"):
+        mi.patterns_to_arrays(
+            (("block_sparse",),), num_heads=1, num_layers=1,
+            vertical_size=10, slash_size=10,
+        )
+
+
+def test_per_layer_table_through_engine():
+    """A per-layer pattern table whose rows are all identical must be
+    bit-exact with the uniform static table through the full engine
+    (the table rides the prefill layer scan as traced xs); a table with
+    genuinely different rows matches a per-layer Python-loop oracle."""
+    from shadowkv_tpu.config import CacheConfig, RuntimeConfig
+    from shadowkv_tpu.models.engine import Engine
+    from shadowkv_tpu.models.params import init_synthetic_params
+    from shadowkv_tpu.models.registry import toy_config
+
+    cfg = toy_config(dtype=jnp.float32)
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
+    cache_cfg = CacheConfig(
+        mode="shadow", max_length=512, sparse_budget=64, rank=32,
+        outlier_chunks=4,
+    )
+    ids = np.random.RandomState(3).randint(0, cfg.vocab_size, (1, 256))
+    h = cfg.num_heads
+    row = tuple(
+        ("vertical_and_slash", 64, 64) if i % 2 else "stream_llm"
+        for i in range(h)
+    )
+    kw = dict(vs_block=64, stream_sink=64, stream_window=128)
+
+    eng_static = Engine(
+        cfg, cache_cfg,
+        RuntimeConfig(prefill_pattern="vs", minference_patterns=row, **kw),
+        params,
+    )
+    out_static, _ = eng_static.generate(ids, gen_len=6)
+
+    table = tuple(row for _ in range(cfg.num_layers))
+    eng_dyn = Engine(
+        cfg, cache_cfg,
+        RuntimeConfig(
+            prefill_pattern="vs", minference_layer_patterns=table, **kw
+        ),
+        params,
+    )
+    out_dyn, _ = eng_dyn.generate(ids, gen_len=6)
+    np.testing.assert_array_equal(
+        np.asarray(out_dyn), np.asarray(out_static)
+    )
+
+
+def test_per_layer_table_matches_layer_loop_oracle(rng):
+    """Different rows per layer: the scanned traced-pattern prefill
+    must match a Python loop that applies each layer's STATIC table."""
+    from shadowkv_tpu.core import rope as rope_lib
+    from shadowkv_tpu.models.forward import (
+        _finalize, _layer_qkv, _layer_tail, _minference_ctx, _pattern_xs,
+    )
+    from shadowkv_tpu.config import RuntimeConfig
+    from shadowkv_tpu.models.params import init_synthetic_params
+    from shadowkv_tpu.models.registry import toy_config
+
+    cfg = toy_config(dtype=jnp.float32, num_layers=2)
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(1), scale=0.2)
+    s = 256
+    ids = jnp.asarray(
+        np.random.RandomState(7).randint(0, cfg.vocab_size, (1, s))
+    )
+    h = cfg.num_heads
+    row_a = tuple(("vertical_and_slash", 40, 60) for _ in range(h))
+    row_b = ("dense",) * (h // 2) + ("stream_llm",) * (h - h // 2)
+    table = (row_a, row_b)
+    kw = dict(vs_block=64, stream_sink=64, stream_window=128)
+    rt = RuntimeConfig(
+        prefill_pattern="vs", minference_layer_patterns=table, **kw
+    )
+
+    cos_t, sin_t = rope_lib.compute_cos_sin(cfg, s, dtype=jnp.float32)
+    cos, sin = cos_t[:s], sin_t[:s]
+
+    # oracle: python loop, static per-layer tables
+    x = jnp.take(params.embed, ids, axis=0).astype(cfg.dtype)
+    for li, tbl in enumerate(table):
+        lp = jax.tree_util.tree_map(lambda a: a[li], params.layers)
+        q, k_r, _, v = _layer_qkv(cfg, lp, x, cos, sin)
+        ctx = mi.minference_prefill(
+            q, k_r, v, patterns=tbl, block=64,
+            stream_sink=64, stream_window=128, use_kernel=False,
+        )
+        x = _layer_tail(lp, cfg, x, ctx)
+    want = _finalize(cfg, params, x, last_only=True)
+
+    # scanned traced-pattern path
+    pat_xs, caps = _pattern_xs(rt, cfg)
+    x = jnp.take(params.embed, ids, axis=0).astype(cfg.dtype)
+
+    def body(x, inputs):
+        _layer, lp, pat = inputs
+        q, k_r, _, v = _layer_qkv(cfg, lp, x, cos, sin)
+        ctx = _minference_ctx(rt, q, k_r, v, False, pat, caps)
+        return _layer_tail(lp, cfg, x, ctx), None
+
+    xs = (jnp.arange(cfg.num_layers), params.layers, pat_xs)
+    x, _ = jax.lax.scan(body, x, xs)
+    got = _finalize(cfg, params, x, last_only=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_calibration_per_layer_and_roundtrip(tmp_path):
+    """per_layer=True emits one table per layer (per-layer winners, no
+    averaging) that round-trips the reference-shaped JSON (a
+    layer-indexed list of head dicts) and drives the engine."""
+    from shadowkv_tpu.config import CacheConfig, RuntimeConfig
+    from shadowkv_tpu.models.calibrate import (
+        calibrate_patterns, load_patterns, save_patterns,
+    )
+    from shadowkv_tpu.models.engine import Engine
+    from shadowkv_tpu.models.params import init_synthetic_params
+    from shadowkv_tpu.models.registry import toy_config
+
+    cfg = toy_config(dtype=jnp.float32)
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
+    ids = np.random.RandomState(5).randint(0, cfg.vocab_size, (256,))
+    table = calibrate_patterns(
+        cfg, params, ids, block=64, stream_sink=64, stream_window=256,
+        per_layer=True,
+    )
+    assert len(table) == cfg.num_layers
+    assert all(len(row) == cfg.num_heads for row in table)
+
+    p = tmp_path / "patterns_layer.json"
+    save_patterns(table, str(p))
+    assert load_patterns(str(p)) == table
+
+    eng = Engine(
+        cfg,
+        CacheConfig(
+            mode="shadow", max_length=512, sparse_budget=64, rank=32,
+            outlier_chunks=4,
+        ),
+        RuntimeConfig(
+            prefill_pattern="vs", minference_layer_patterns=table,
+            vs_block=64, stream_sink=64, stream_window=256,
+        ),
+        params,
+    )
+    out, _ = eng.generate(ids[None], gen_len=4)
+    assert out.shape == (1, 4)
+
+
 def test_calibration_search_and_roundtrip(tmp_path):
     """The offline pattern search returns a usable per-head table; when
     a cheap pattern already covers the context (short prompt inside the
