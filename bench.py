@@ -83,7 +83,7 @@ def _run_engine(mode, cfg, cache_cfg, rt, params, datalen, batch, steps):
     return stats.decode_tokens_per_second
 
 
-def run_serve(cfg, rt, params, datalen, slots, steps, quant):
+def run_serve(cfg, rt, params, datalen, slots, steps, quant, cache_mode):
     """Continuous-batching throughput vs the static-batch baseline on
     a variable-gen-length request stream."""
     from shadowkv_tpu.config import CacheConfig
@@ -95,7 +95,7 @@ def run_serve(cfg, rt, params, datalen, slots, steps, quant):
     # context lengths that cannot hold them
     budget = 2048 if datalen >= 8192 else max(64, datalen // 4)
     cache_cfg = CacheConfig(
-        mode="shadow", max_length=datalen + 128, sparse_budget=budget,
+        mode=cache_mode, max_length=datalen + 128, sparse_budget=budget,
         rank=160 if datalen >= 8192 else 32, chunk_size=8,
         kv_quant=quant, gen_capacity=max(256, steps + 8),
     )
@@ -204,7 +204,8 @@ def main():
     jax.block_until_ready(params)
 
     if bench_mode == "serve":
-        run_serve(cfg, rt, params, datalen, shadow_batch, steps, quant)
+        run_serve(cfg, rt, params, datalen, shadow_batch, steps, quant,
+                  cache_mode)
         return
 
     full_tps = None

@@ -10,12 +10,16 @@ resumable: the tunnel dying mid-session loses only the current stage.
 
 Stages:
   probe_host     probe_host_dma.py — pinned_host + Pallas HOST operands
+  probe_hostdus  probe_host_dus.py — host-space jit dus + pin bandwidths
+                 (offload admission / incremental-prefill strategy)
   bench_xla      bench.py default (122K, int8, b1 full vs b4 shadow)
   bench_ring     bench.py BENCH_RING=1 (ring-DMA chunk gather)
   bench_pallas   bench.py BENCH_USE_PALLAS=1 (fused refresh kernel)
   bench_vs       bench.py BENCH_PREFILL=vs (MInference dynamic sparse
                  prefill — prefill-time comparison vs dense-splash)
   bench_serve    bench.py BENCH_MODE=serve (continuous batching)
+  bench_serve_offload  serve + shadow_offload + ring gather (host V
+                 store with admission slot updates)
   kernel_tests   SHADOWKV_TPU_TESTS=1 pytest tests/test_kernel_tpu.py
 """
 
@@ -34,6 +38,11 @@ RESULTS = os.path.join(ROOT, "benchmarks", "tpu_session_results.jsonl")
 STAGES = {
     "probe_host": {
         "cmd": [sys.executable, "benchmarks/probe_host_dma.py"],
+        "env": {},
+        "timeout": 1800,
+    },
+    "probe_hostdus": {
+        "cmd": [sys.executable, "benchmarks/probe_host_dus.py"],
         "env": {},
         "timeout": 1800,
     },
@@ -61,6 +70,16 @@ STAGES = {
         "cmd": [sys.executable, "bench.py"],
         "env": {"BENCH_MODE": "serve", "BENCH_DECODE_STEPS": "100"},
         "timeout": 5400,
+    },
+    "bench_serve_offload": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "serve",
+            "BENCH_CACHE_MODE": "shadow_offload",
+            "BENCH_RING": "1",
+            "BENCH_DECODE_STEPS": "100",
+        },
+        "timeout": 7200,
     },
     "kernel_tests": {
         "cmd": [
