@@ -131,24 +131,54 @@ def calibrate_patterns(
     return table
 
 
-def _row_dict(table: Sequence[tuple]) -> dict:
-    return {str(i): list(t) for i, t in enumerate(table)}
+def _row_dict(table: Sequence) -> dict:
+    # bare kind strings serialize as [kind] (list("dense") would
+    # explode the string into characters)
+    return {
+        str(i): ([t] if isinstance(t, str) else list(t))
+        for i, t in enumerate(table)
+    }
 
 
 def _row_tuple(raw: dict) -> tuple:
-    return tuple(
-        tuple(raw[str(i)][:1]) + tuple(int(v) for v in raw[str(i)][1:3])
-        for i in range(len(raw))
+    out = []
+    for i in range(len(raw)):
+        e = raw[str(i)]
+        if len(e) == 1:
+            out.append(e[0])  # bare kind string
+        else:
+            out.append(tuple(e[:1]) + tuple(int(v) for v in e[1:3]))
+    return tuple(out)
+
+
+def _is_head_entry(e) -> bool:
+    """A head entry is a bare kind string or (kind, vertical, slash)."""
+    if isinstance(e, str):
+        return True
+    return (
+        isinstance(e, (tuple, list))
+        and bool(e)
+        and isinstance(e[0], str)
+        and all(isinstance(x, (int, np.integer)) for x in e[1:3])
     )
 
 
-def save_patterns(table: Sequence, path: str):
+def save_patterns(table: Sequence, path: str, per_layer: Optional[bool] = None):
     """JSON: {head: [kind, vertical_size, slash_size]} for uniform
     tables, or a LIST of such dicts (one per layer) for per-layer
     tables — the latter is the reference's MInference JSON structure
     exactly (a layer-indexed list of head dicts, models/llama.py:247).
+
+    Auto-detection: a table whose every element is a head entry is
+    uniform, otherwise per-layer. The one ambiguous case — a per-layer
+    table for a ONE-head model whose rows are 1-tuples of bare kind
+    strings, e.g. (("dense",), ("stream_llm",)) — reads as uniform;
+    pass ``per_layer=True`` explicitly there.
     """
-    per_layer = table and isinstance(table[0][0], (tuple, list))
+    if per_layer is None:
+        per_layer = bool(table) and not all(
+            _is_head_entry(e) for e in table
+        )
     with open(path, "w") as f:
         if per_layer:
             json.dump([_row_dict(row) for row in table], f)

@@ -45,6 +45,42 @@ class GenerationStats:
         return self.decode_tokens / self.decode_seconds
 
 
+_HOST_DUS_CAP = None  # process-wide cache of the host-space dus probe
+
+
+def _probe_host_space_dus() -> bool:
+    """One-off capability probe (tiny arrays, two compiles), cached
+    process-wide — every Engine shares the platform's answer."""
+    global _HOST_DUS_CAP
+    if _HOST_DUS_CAP is not None:
+        return _HOST_DUS_CAP
+    try:
+        dev = jax.devices()[0]
+        pinned = jax.sharding.SingleDeviceSharding(
+            dev, memory_kind="pinned_host"
+        )
+        big = jax.jit(
+            lambda: jnp.zeros((2, 8, 128), jnp.bfloat16),
+            out_shardings=pinned,
+        )()
+        part = jax.device_put(
+            jnp.ones((1, 8, 128), jnp.bfloat16), pinned
+        )
+        upd = jax.jit(
+            lambda a, b: jax.lax.dynamic_update_slice(a, b, (1, 0, 0)),
+            donate_argnums=(0,),
+            out_shardings=pinned,
+        )(big, part)
+        ok = (
+            upd.sharding.memory_kind == "pinned_host"
+            and bool(jnp.all(upd[1] == 1))
+        )
+    except Exception:
+        ok = False
+    _HOST_DUS_CAP = ok
+    return ok
+
+
 def _v_placeholder(v_full):
     """Zero-chunk stand-in keeping the cache pytree structure unchanged
     when the real V store lives outside device memory."""
@@ -266,6 +302,20 @@ class Engine:
         self._decode_shadow = decode_shadow_fn
         self._sample = sample_fn
         self._merge_slots = merge_slots_fn
+        # Pinned-host store jits (offload assembly/admission) are built
+        # ONCE so repeat calls hit the jit cache (one compile, not one
+        # ~30 s remote compile per sub-batch/admission).
+        pinned = self._pinned_sharding()
+        self._pinned_zeros = jax.jit(
+            lambda shape, dtype: jnp.zeros(shape, dtype),
+            static_argnums=(0, 1), out_shardings=pinned,
+        )
+        self._pinned_dus = jax.jit(
+            lambda a, p, o: jax.lax.dynamic_update_slice(
+                a, p, (0, o) + (0,) * (a.ndim - 2)
+            ),
+            donate_argnums=(0,), out_shardings=pinned,
+        )
 
     @property
     def is_shadow(self) -> bool:
@@ -342,33 +392,9 @@ class Engine:
         remote-TPU tunnel, would round-trip the multi-GB store over the
         network). CPU lacks the output-side device-placement annotation
         (see _commit_host_v), so this returns False there."""
-        if self._host_dus is not None:
-            return self._host_dus
-        try:
-            dev = jax.devices()[0]
-            pinned = jax.sharding.SingleDeviceSharding(
-                dev, memory_kind="pinned_host"
-            )
-            big = jax.jit(
-                lambda: jnp.zeros((2, 8, 128), jnp.bfloat16),
-                out_shardings=pinned,
-            )()
-            part = jax.device_put(
-                jnp.ones((1, 8, 128), jnp.bfloat16), pinned
-            )
-            upd = jax.jit(
-                lambda a, b: jax.lax.dynamic_update_slice(a, b, (1, 0, 0)),
-                donate_argnums=(0,),
-                out_shardings=pinned,
-            )(big, part)
-            ok = (
-                upd.sharding.memory_kind == "pinned_host"
-                and bool(jnp.all(upd[1] == 1))
-            )
-        except Exception:
-            ok = False
-        self._host_dus = ok
-        return ok
+        if self._host_dus is None:
+            self._host_dus = _probe_host_space_dus()
+        return self._host_dus
 
     def _pinned_sharding(self):
         if self.mesh is not None:
@@ -385,22 +411,15 @@ class Engine:
         """Write a sub-batch's device-resident chunk-major V store into
         the pinned-host full-batch store at batch offset ``b0``,
         allocating the store on first use — all on the device host (no
-        local staging; see _host_space_update_supported)."""
-        pinned = self._pinned_sharding()
+        local staging; see _host_space_update_supported). Uses the
+        engine-cached pinned jits (a fresh jit wrapper per call would
+        re-trace and pay a ~30 s remote compile per sub-batch /
+        admission on this platform)."""
         shape = v_sub.shape[:1] + (total_b,) + v_sub.shape[2:]
         if self._host_v is None or self._host_v.shape != shape:
-            self._host_v = jax.jit(
-                lambda: jnp.zeros(shape, v_sub.dtype),
-                out_shardings=pinned,
-            )()
-        part = jax.device_put(v_sub, pinned)
-        self._host_v = jax.jit(
-            lambda a, p, o: jax.lax.dynamic_update_slice(
-                a, p, (0, o) + (0,) * (a.ndim - 2)
-            ),
-            donate_argnums=(0,),
-            out_shardings=pinned,
-        )(self._host_v, part, b0)
+            self._host_v = self._pinned_zeros(shape, v_sub.dtype)
+        part = jax.device_put(v_sub, self._pinned_sharding())
+        self._host_v = self._pinned_dus(self._host_v, part, b0)
 
     def _prefill_offload_incremental(
         self, input_ids, layout, t: int, logits_parts: list

@@ -492,6 +492,16 @@ def test_calibration_per_layer_and_roundtrip(tmp_path):
     save_patterns(table, str(p))
     assert load_patterns(str(p)) == table
 
+    # per-layer rows mixing bare kind strings with tuples must still be
+    # detected as per-layer (regression: table[0][0]=='dense' is a str)
+    mixed = (
+        ("dense", ("vertical_and_slash", 64, 64)),
+        ("stream_llm", "dense"),
+    )
+    p2 = tmp_path / "patterns_mixed.json"
+    save_patterns(mixed, str(p2))
+    assert load_patterns(str(p2)) == mixed
+
     eng = Engine(
         cfg,
         CacheConfig(
