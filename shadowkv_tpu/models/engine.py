@@ -491,15 +491,23 @@ class Engine:
         small = ShadowCache.init(self.model, layout, 1)
         lg, small = self._prefill_shadow(self.params, small, ids, 0)
         if self.ring_host:
-            if self._host_v_np is None and self._host_space_update_supported():
+            use_pinned = (
+                self._host_v_np is None
+                and self.mesh is None  # a 1-slot part cannot be
+                # dp-sharded; mesh engines take the global-mirror path
+                and self._host_space_update_supported()
+            )
+            if use_pinned:
                 self._host_v_write(
                     small.v_full, slot, self._host_v.shape[1]
                 )
             else:
                 if self._host_v_np is None:
-                    # one-time mirror pull (engine came from load_state
-                    # or a platform losing host-dus support mid-run)
-                    self._host_v_np = np.asarray(self._host_v)
+                    # one-time mirror pull (engine came from load_state,
+                    # a mesh prefill, or a platform without host-dus);
+                    # np.array COPIES — np.asarray of a jax array is a
+                    # read-only view
+                    self._host_v_np = np.array(self._host_v)
                 self._host_v_np[:, slot : slot + 1] = np.asarray(
                     small.v_full
                 )

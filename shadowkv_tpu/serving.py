@@ -105,14 +105,6 @@ class ContinuousBatcher:
         assert engine.cache_cfg.mode in ("shadow", "shadow_offload"), (
             "continuous batching serves the shadow cache modes"
         )
-        assert not (
-            engine.cache_cfg.mode == "shadow_offload"
-            and engine.mesh is not None
-        ), (
-            "sharded (dp/tp) offload admission is not wired: admission "
-            "prefills an unsharded 1-slot cache, which cannot merge "
-            "into a dp-sharded host store (Engine.admit_slot)"
-        )
         self.engine = engine
         self.slots = slots or engine.rt.batch_size
         self.sample_args = (temperature, top_k, top_p)

@@ -225,3 +225,36 @@ def test_full_cache_sharded_decode():
     np.testing.assert_allclose(
         np.asarray(ref_logits), np.asarray(logits_s), rtol=2e-4, atol=2e-4
     )
+
+
+@pytest.mark.parametrize("ring", [False, True])
+def test_engine_mesh_offload_generation_matches_single(ring):
+    """Multi-chip + host-offloaded V: the whole-batch prefill path
+    offloads the dp/tp-sharded store (ring: pinned NamedSharding;
+    io_callback: host rows) and generation must match single-device
+    offload tokens."""
+    from shadowkv_tpu.models.engine import Engine
+
+    cfg = toy_config(
+        num_layers=2, hidden_size=256, num_heads=8, num_kv_heads=4,
+        head_dim=32, intermediate_size=512, vocab_size=512,
+        dtype=jnp.float32,
+    )
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
+    cc = CacheConfig(
+        mode="shadow_offload", max_length=512, sparse_budget=64,
+        rank=32, outlier_chunks=4, gen_capacity=32,
+    )
+    ids = np.random.RandomState(0).randint(0, cfg.vocab_size, (4, 256))
+
+    def run(dp, tp):
+        rt = RuntimeConfig(
+            prefill_block_q=64, dp=dp, tp=tp, ring_gather=ring
+        )
+        eng = Engine(cfg, cc, rt, params)
+        out, _ = eng.generate(ids, gen_len=8)
+        return out
+
+    ref = run(1, 1)
+    got = run(2, 4)
+    np.testing.assert_array_equal(ref, got)

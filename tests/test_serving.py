@@ -144,6 +144,44 @@ def test_continuous_batching_offload(serve_setup, ring):
         )
 
 
+def test_continuous_batching_sharded_offload():
+    """Offload-mode continuous batching over a (dp, tp) mesh: admission
+    merges an unsharded 1-slot prefill into the sharded cache and
+    updates the host V store via the global numpy mirror."""
+    cfg = toy_config(
+        num_layers=2, hidden_size=256, num_heads=8, num_kv_heads=4,
+        head_dim=32, intermediate_size=512, vocab_size=512,
+        dtype=jnp.float32,
+    )
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
+    cc = CacheConfig(
+        mode="shadow_offload", max_length=512, sparse_budget=64,
+        rank=32, outlier_chunks=4, gen_capacity=32,
+    )
+    rng = np.random.RandomState(17)
+    prompts = rng.randint(0, cfg.vocab_size, (4, 256))
+    reqs = lambda: [
+        Request(uid=i, input_ids=prompts[i], gen_len=4 + i)
+        for i in range(4)
+    ]
+
+    eng1 = Engine(
+        cfg, cc, RuntimeConfig(prefill_block_q=64, ring_gather=True),
+        params,
+    )
+    ref, _ = ContinuousBatcher(eng1, slots=2).run(reqs())
+
+    eng2 = Engine(
+        cfg, cc,
+        RuntimeConfig(prefill_block_q=64, dp=2, tp=4, ring_gather=True),
+        params,
+    )
+    got, stats = ContinuousBatcher(eng2, slots=2).run(reqs())
+    assert stats.completed_requests == 4
+    for uid in ref:
+        np.testing.assert_array_equal(got[uid], ref[uid])
+
+
 def test_continuous_batching_sharded_mesh():
     """Continuous batching over a (dp, tp) mesh: slot admissions into
     the dp/tp-sharded cache must reproduce the unsharded CB tokens."""
