@@ -139,6 +139,16 @@ class RuntimeConfig:
     # Mesh axis sizes; dp shards batch, tp shards heads / factors.
     dp: int = 1
     tp: int = 1
+    # Sequence-parallel prefill (context parallelism): sp > 1 adds an
+    # 'sp' mesh axis that shards the PROMPT's sequence dim during the
+    # whole-batch shadow prefill (attention runs per-shard against
+    # all-gathered K/V inside a shard_map; the SVD sketch reduces over
+    # sp via GSPMD psums). At decode the same devices serve the cache
+    # batch-sharded over ("dp", "sp") — sp buys prefill latency and
+    # per-chip prefill HBM, not decode throughput. The reference has no
+    # sequence parallelism at all (SURVEY §5.7); this is the TPU-native
+    # long-context scaling axis. Shadow HBM mode + XLA decode path only.
+    sp: int = 1
     # Prefill attention pattern: 'dense' (flash causal),
     # 'dense-splash' (causal via the splash MQA kernel — same math,
     # GQA K/V consumed natively so the two [B, H, S, Dh] repeats that

@@ -58,6 +58,7 @@ def causal_prefill_attention(
     v: jnp.ndarray,
     scale: float | None = None,
     block_q: int = 512,
+    offset=None,
 ) -> jnp.ndarray:
     """Blockwise causal self-attention for prefill.
 
@@ -66,12 +67,18 @@ def causal_prefill_attention(
     (models/base.py:308): queries are processed in blocks of ``block_q``
     via lax.scan so peak score memory is [B,H,block_q,T] instead of
     [B,H,S,S].
+
+    ``offset`` is the absolute position of q's first row (may be a
+    traced scalar — the sequence-parallel path passes each shard's
+    global row offset). Defaults to t - s (q = the last s rows).
     """
     b, s, h, dh = q.shape
     t = k.shape[1]
     scale = scale if scale is not None else dh**-0.5
+    if offset is None:
+        offset = t - s  # history before this prefill chunk
     if s <= block_q:
-        pos_q = jnp.arange(t - s, t)
+        pos_q = offset + jnp.arange(s)
         pos_k = jnp.arange(t)
         mask = pos_q[:, None] >= pos_k[None, :]
         return mha(q, k, v, mask=mask[None, None, None], scale=scale)
@@ -83,7 +90,6 @@ def causal_prefill_attention(
         q = jnp.pad(q, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
     nblocks = s_pad // block_q
     qb = q.reshape(b, nblocks, block_q, h, dh).transpose(1, 0, 2, 3, 4)
-    offset = t - s  # history before this prefill chunk
 
     def body(carry, inputs):
         i, qi = inputs
@@ -423,3 +429,49 @@ def decode_attention(
     mask = pos_k[None, None, :] <= q_abs[:, :, None]  # [B,S,T]
     mask = mask[:, None, None]  # [B,1,1,S,T]
     return mha(q, k, v, mask=mask, scale=scale)
+
+
+def sp_causal_prefill_attention(
+    mesh,
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    block_q: int = 512,
+) -> jnp.ndarray:
+    """Causal prefill attention with the sequence dim sharded over the
+    mesh's 'sp' axis (sequence/context parallelism).
+
+    The blockwise-scan attention serializes under GSPMD (a lax.scan's
+    loop dim cannot be partitioned), so sequence parallelism needs an
+    explicit island: each sp shard all-gathers K/V over 'sp' (rides
+    ICI) and runs the blockwise causal kernel on its LOCAL 1/sp of the
+    query rows at its global row offset. Per-chip compute drops to
+    S/sp query rows; the K/V gather is one [B, S, K, Dh] per layer —
+    the same working set dense prefill already holds on one chip.
+
+    The reference has no sequence parallelism (SURVEY §2.4 — long
+    context is handled algorithmically only); this is the TPU-native
+    scaling axis for prefill latency (SURVEY §5.7 rebuild note).
+
+    Args:
+      q: [B, S, H, Dh] sharded ('dp', 'sp', 'tp', None).
+      k/v: [B, S, K, Dh] sharded the same way.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def local(qi, ki, vi):
+        s_loc = qi.shape[1]
+        k_all = jax.lax.all_gather(ki, "sp", axis=1, tiled=True)
+        v_all = jax.lax.all_gather(vi, "sp", axis=1, tiled=True)
+        offset = jax.lax.axis_index("sp") * s_loc
+        return causal_prefill_attention(
+            qi, k_all, v_all, scale=scale,
+            block_q=min(block_q, s_loc), offset=offset,
+        )
+
+    spec = P("dp", "sp", "tp", None)
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,  # axis_index-dependent masks carry no vma
+    )(q, k, v)

@@ -126,14 +126,27 @@ class Engine:
         # NamedShardings; the Pallas decode paths additionally get the
         # mesh for their shard_map islands (cache/shadow.py).
         self.mesh = None
-        if rt.dp * rt.tp > 1:
+        self._sp_prefill_jits = {}
+        if rt.dp * rt.tp * rt.sp > 1:
             from shadowkv_tpu.parallel import mesh as mesh_lib
 
-            self.mesh = mesh_lib.build_mesh(rt.dp, rt.tp)
+            self.mesh = mesh_lib.build_mesh(rt.dp, rt.tp, rt.sp)
             assert model.num_kv_heads % rt.tp == 0, (
                 f"tp={rt.tp} must divide num_kv_heads "
                 f"{model.num_kv_heads}"
             )
+            if rt.sp > 1:
+                # Sequence-parallel prefill serves the XLA decode path
+                # over the HBM-resident shadow cache; the Pallas decode
+                # islands and the pinned-host stores keep 2-axis
+                # (dp, tp) specs (see shadow_decode_layer).
+                assert cache_cfg.mode == "shadow", (
+                    "sp > 1 supports cache mode 'shadow' (HBM) only"
+                )
+                assert not (rt.ring_gather or rt.use_pallas), (
+                    "sp > 1 runs the XLA decode path (the Pallas "
+                    "islands' shard_map specs are (dp, tp))"
+                )
             self.params = mesh_lib.shard_pytree(
                 self.mesh, self.params, mesh_lib.param_pspecs(self.params)
             )
@@ -146,9 +159,9 @@ class Engine:
         from shadowkv_tpu.parallel import mesh as mesh_lib
 
         pspecs = (
-            mesh_lib.shadow_cache_pspecs(cache)
+            mesh_lib.shadow_cache_pspecs(cache, self.mesh)
             if isinstance(cache, ShadowCache)
-            else mesh_lib.full_cache_pspecs(cache)
+            else mesh_lib.full_cache_pspecs(cache, self.mesh)
         )
         return mesh_lib.shard_pytree(self.mesh, cache, pspecs)
 
@@ -346,7 +359,16 @@ class Engine:
                 self.cache_cfg, s,
                 kernel_store=self.use_pallas or self.ring_gather,
             )
-            if self.cache_cfg.mode == "shadow_offload" and self.mesh is None:
+            if self.rt.sp > 1:
+                # Sequence-parallel prefill: the WHOLE batch in one
+                # program with the sequence dim sharded over 'sp'
+                # (per-chip activations are [B, S/sp, D] — sp is what
+                # makes whole-batch long-context prefill fit), then the
+                # cache reshards batch-over-(dp, sp) for decode.
+                lg, cache = self._prefill_sp(layout, input_ids)
+                cache = self._shard_cache(cache)
+                logits_parts.append(lg)
+            elif self.cache_cfg.mode == "shadow_offload" and self.mesh is None:
                 # Incremental offload: each sub-batch's V store is
                 # evicted to host DRAM as soon as that sub-batch's
                 # prefill produces it, so peak HBM holds ONE sub-batch
@@ -383,6 +405,40 @@ class Engine:
         )
         self._cache = cache  # save_state()-able before any decode
         return logits, cache
+
+    def _prefill_sp(self, layout, input_ids):
+        """Whole-batch sequence-parallel shadow prefill (RuntimeConfig.sp):
+        ids sharded [B/dp, S/sp] per chip, jitted once per layout (the
+        layout is static — it sizes every cache buffer)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rt = self.rt
+        b, s = input_ids.shape
+        assert s % rt.sp == 0, (
+            f"sp={rt.sp} must divide the prompt length {s} (shard_map "
+            "needs an even sequence split)"
+        )
+        assert b % (rt.dp * rt.sp) == 0, (
+            f"batch {b} must divide dp*sp={rt.dp * rt.sp} (decode "
+            "shards the batch over both axes)"
+        )
+        fn = self._sp_prefill_jits.get(layout)
+        if fn is None:
+            model, mesh = self.model, self.mesh
+
+            @jax.jit
+            def fn(params, ids):
+                return forward.prefill_shadow(
+                    model, rt, layout, params, ids,
+                    self.cos_table, self.sin_table, sp_mesh=mesh,
+                )
+
+            self._sp_prefill_jits[layout] = fn
+        ids = jax.device_put(
+            jnp.asarray(input_ids, jnp.int32),
+            NamedSharding(self.mesh, P("dp", "sp")),
+        )
+        return fn(self.params, ids)
 
     def _host_space_update_supported(self) -> bool:
         """Probe: can this platform run a jitted dynamic_update_slice

@@ -34,6 +34,7 @@ from shadowkv_tpu.core.attention import (
     causal_prefill_flash,
     causal_prefill_splash,
     decode_attention_hm,
+    sp_causal_prefill_attention,
     sparse_prefill_splash,
 )
 from shadowkv_tpu.core.layers import (
@@ -117,7 +118,8 @@ def _finalize(model: ModelConfig, params: ModelParams, x, last_only: bool):
     return jnp.dot(x, params.lm_head, preferred_element_type=jnp.float32)
 
 
-def _layer_qkv(model: ModelConfig, lp: LayerParams, x, cos, sin):
+def _layer_qkv(model: ModelConfig, lp: LayerParams, x, cos, sin,
+               chunked: bool = True):
     """Shared pre-attention compute. Returns (q_roped, k_roped, k_pre, v)."""
     h = rms_norm(x, lp.attn_norm, model.rms_norm_eps)
     q, k, v = qkv_proj(
@@ -125,8 +127,15 @@ def _layer_qkv(model: ModelConfig, lp: LayerParams, x, cos, sin):
     )
     # Chunked form bounds long-prefill RoPE temps; short (decode) and
     # multi-sub-batch shapes fall back to the one-shot rotation inside.
-    q_r = rope_lib.apply_rope_chunked(q, cos, sin, model.rope_style)
-    k_r = rope_lib.apply_rope_chunked(k, cos, sin, model.rope_style)
+    # The sequence-parallel prefill disables chunking: a lax.map over
+    # sequence chunks cannot be partitioned over 'sp' (the loop dim is
+    # sequential), and per-chip temps are already 1/sp-sized.
+    if chunked:
+        q_r = rope_lib.apply_rope_chunked(q, cos, sin, model.rope_style)
+        k_r = rope_lib.apply_rope_chunked(k, cos, sin, model.rope_style)
+    else:
+        q_r = rope_lib.apply_rope(q, cos, sin, model.rope_style)
+        k_r = rope_lib.apply_rope(k, cos, sin, model.rope_style)
     return q_r, k_r, k, v
 
 
@@ -272,20 +281,44 @@ def prefill_shadow(
     input_ids: jnp.ndarray,  # [B, S]
     cos_table: jnp.ndarray,
     sin_table: jnp.ndarray,
+    sp_mesh=None,
 ):
     """Prefill building the shadow cache (reference models/base.py:299-313
     prefill branch: dense attention during prefill, SVD of pre-RoPE K,
-    landmark/outlier registration, budget seeding from the last query)."""
+    landmark/outlier registration, budget seeding from the last query).
+
+    ``sp_mesh``: a mesh with an 'sp' axis enables sequence-parallel
+    (context-parallel) prefill — activations stay sharded [B, S/sp, D]
+    per chip (sharding constraints below), attention runs in a
+    shard_map island (core/attention.py::sp_causal_prefill_attention),
+    and the shadow-cache math (SVD sketch, landmarks, outlier top-k,
+    seed gathers) is partitioned by GSPMD, whose S-contractions become
+    psums over 'sp'. The reference has no sequence parallelism
+    (SURVEY §2.4); this is the TPU-native prefill scaling axis."""
     b, s = input_ids.shape
     assert s == layout.prefill_len
-    x = jnp.take(params.embed, input_ids, axis=0).astype(model.dtype)
+    sp = sp_mesh is not None and sp_mesh.shape.get("sp", 1) > 1
+    if sp:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x_sharding = NamedSharding(sp_mesh, P("dp", "sp", None))
+        constrain = lambda x: jax.lax.with_sharding_constraint(
+            x, x_sharding
+        )
+    else:
+        constrain = lambda x: x
+    x = constrain(
+        jnp.take(params.embed, input_ids, axis=0).astype(model.dtype)
+    )
     positions = jnp.arange(s)
     cos = jnp.take(cos_table, positions, axis=0)
     sin = jnp.take(sin_table, positions, axis=0)
 
     def body(x, inputs):
         layer, lp, _pat = inputs
-        q, k_r, k_pre, v = _layer_qkv(model, lp, x, cos, sin)
+        q, k_r, k_pre, v = _layer_qkv(
+            model, lp, x, cos, sin, chunked=not sp
+        )
         slices = shadow_prefill_layer(
             model,
             layout,
@@ -294,10 +327,15 @@ def prefill_shadow(
             v,
             q[:, -1:],
         )
-        ctx = causal_prefill_attention(
-            q, k_r, v, block_q=min(rt.prefill_block_q, s)
-        )
-        return _layer_tail(lp, model, x, ctx), slices
+        if sp:
+            ctx = sp_causal_prefill_attention(
+                sp_mesh, q, k_r, v, block_q=rt.prefill_block_q
+            )
+        else:
+            ctx = causal_prefill_attention(
+                q, k_r, v, block_q=min(rt.prefill_block_q, s)
+            )
+        return constrain(_layer_tail(lp, model, x, ctx)), slices
 
     xs = (jnp.arange(model.num_layers), params.layers, None)
     x, layer_slices = jax.lax.scan(body, x, xs)

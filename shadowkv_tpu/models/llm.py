@@ -62,6 +62,7 @@ class LLM:
         gen_capacity: int = 256,
         dp: int = 1,  # device-mesh axes (parallel/mesh.py): batch on
         tp: int = 1,  # dp, GQA KV heads + factors + buffers on tp
+        sp: int = 1,  # sequence-parallel prefill shards (shadow mode)
     ):
         mode_alias = {"shadowkv": "shadow", "shadowkv_cpu": "shadow_offload"}
         attn_mode = mode_alias.get(attn_mode, attn_mode)
@@ -95,7 +96,7 @@ class LLM:
         rt = RuntimeConfig(
             batch_size=batch_size, prefill_sub_batch=prefill_sub_batch,
             prefill_pattern=pattern,
-            dp=dp, tp=tp,
+            dp=dp, tp=tp, sp=sp,
         )
         self.engine = Engine(self.config, self.cache_cfg, rt, params)
         self.stop_ids = self._resolve_stop_ids()

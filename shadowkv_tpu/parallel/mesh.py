@@ -25,13 +25,29 @@ from shadowkv_tpu.cache.shadow import ShadowCache
 from shadowkv_tpu.core.layers import LayerParams, ModelParams
 
 
-def build_mesh(dp: int, tp: int, devices=None) -> Mesh:
+def build_mesh(dp: int, tp: int, sp: int = 1, devices=None) -> Mesh:
+    """(dp, tp) mesh; sp > 1 inserts an 'sp' axis between them for
+    sequence-parallel prefill (RuntimeConfig.sp). At decode the cache's
+    batch dim shards over the ("dp", "sp") tuple (see
+    shadow_cache_pspecs), so the same devices serve dp*sp batch shards.
+    """
     devices = devices if devices is not None else jax.devices()
-    assert len(devices) >= dp * tp, (
-        f"need {dp * tp} devices, have {len(devices)}"
-    )
-    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    n = dp * sp * tp
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    if sp > 1:
+        arr = np.asarray(devices[:n]).reshape(dp, sp, tp)
+        return Mesh(arr, ("dp", "sp", "tp"))
+    arr = np.asarray(devices[:n]).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
+
+
+def _batch_axes(mesh: Mesh | None):
+    """The mesh axes the batch dim shards over: ("dp", "sp") when the
+    mesh carries a sequence-parallel axis (decode repurposes sp chips
+    as extra batch shards), else "dp"."""
+    if mesh is not None and "sp" in mesh.axis_names:
+        return ("dp", "sp")
+    return "dp"
 
 
 def param_pspecs(params: ModelParams) -> ModelParams:
@@ -58,27 +74,31 @@ def param_pspecs(params: ModelParams) -> ModelParams:
     )
 
 
-def full_cache_pspecs(cache: FullCache) -> FullCache:
+def full_cache_pspecs(cache: FullCache, mesh: Mesh | None = None) -> FullCache:
+    b = _batch_axes(mesh)
     return FullCache(
-        k=P(None, "dp", "tp", None, None),
-        v=P(None, "dp", "tp", None, None),
+        k=P(None, b, "tp", None, None),
+        v=P(None, b, "tp", None, None),
         length=P(),
     )
 
 
-def shadow_cache_pspecs(cache: ShadowCache) -> ShadowCache:
+def shadow_cache_pspecs(
+    cache: ShadowCache, mesh: Mesh | None = None
+) -> ShadowCache:
+    b = _batch_axes(mesh)
     return ShadowCache(
-        u=P(None, "dp", None, None),  # shared across heads -> tp-replicated
-        sv=P(None, "dp", "tp", None, None),
-        landmarks=P(None, "dp", "tp", None, None),
-        landmark_mask=P(None, "dp", "tp", None),
-        k_buf=P(None, "dp", "tp", None, None),
-        v_buf=P(None, "dp", "tp", None, None),
-        v_full=P(None, "dp", "tp", None, None),
-        cached_ids=P(None, "dp", "tp", None),
+        u=P(None, b, None, None),  # shared across heads -> tp-replicated
+        sv=P(None, b, "tp", None, None),
+        landmarks=P(None, b, "tp", None, None),
+        landmark_mask=P(None, b, "tp", None),
+        k_buf=P(None, b, "tp", None, None),
+        v_buf=P(None, b, "tp", None, None),
+        v_full=P(None, b, "tp", None, None),
+        cached_ids=P(None, b, "tp", None),
         gen_len=P(),
         lm_scale=(
-            None if cache.lm_scale is None else P(None, "dp", "tp", None)
+            None if cache.lm_scale is None else P(None, b, "tp", None)
         ),
         layout=cache.layout,
     )
