@@ -17,6 +17,9 @@ Stages:
   bench_pallas   bench.py BENCH_USE_PALLAS=1 (fused refresh kernel)
   bench_vs       bench.py BENCH_PREFILL=vs (MInference dynamic sparse
                  prefill — prefill-time comparison vs dense-splash)
+  bench_offload_b6_ring    shadow_offload batch 6 + ring gather (host-V
+                 batch enlargement past the b4 HBM ceiling)
+  bench_offload_b6_pallas  shadow_offload batch 6 + fused refresh
   bench_serve    bench.py BENCH_MODE=serve (continuous batching)
   bench_serve_offload  serve + shadow_offload + ring gather (host V
                  store with admission slot updates)
@@ -66,6 +69,32 @@ STAGES = {
         "env": {"BENCH_PREFILL": "vs", "BENCH_MODE": "shadow"},
         "timeout": 3600,
     },
+    # Batch enlargement via host offload (the reference's headline
+    # mechanism, index.html:147): the int8 V store is ~2 GB per batch
+    # element at 122K — moving it to pinned host DRAM frees HBM for
+    # more slots. Net win depends on the measured host->HBM DMA
+    # bandwidth (probe_host) vs the per-step miss traffic
+    # (~2048*128B*8heads*16layers*B at the bench's ~3 % hit rate).
+    "bench_offload_b6_ring": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_CACHE_MODE": "shadow_offload",
+            "BENCH_RING": "1",
+            "BENCH_SHADOW_BATCH": "6",
+        },
+        "timeout": 3600,
+    },
+    "bench_offload_b6_pallas": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_CACHE_MODE": "shadow_offload",
+            "BENCH_USE_PALLAS": "1",
+            "BENCH_SHADOW_BATCH": "6",
+        },
+        "timeout": 3600,
+    },
     "bench_serve": {
         "cmd": [sys.executable, "bench.py"],
         "env": {"BENCH_MODE": "serve", "BENCH_DECODE_STEPS": "100"},
@@ -80,6 +109,11 @@ STAGES = {
             "BENCH_DECODE_STEPS": "100",
         },
         "timeout": 7200,
+    },
+    "prof_prefill_attn": {
+        "cmd": [sys.executable, "benchmarks/prof_prefill_attn.py"],
+        "env": {},
+        "timeout": 3600,
     },
     "kernel_tests": {
         "cmd": [
