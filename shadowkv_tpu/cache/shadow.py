@@ -206,6 +206,15 @@ class ShadowCache(flax.struct.PyTreeNode):
             assert 32 % cs == 0, (
                 f"kv_quant='int8' needs chunk_size dividing 32, got {cs}"
             )
+            # The embedded scale trailer holds 2 U-scale bytes plus
+            # 2 V-scale bytes PER KV HEAD in SCALE_LANES lanes; beyond
+            # 15 heads (e.g. Phi-3's 32 MHA heads) the per-head slices
+            # would silently read rank lanes as scales.
+            assert 2 + 2 * kh <= SCALE_LANES, (
+                f"kv_quant='int8' supports at most "
+                f"{(SCALE_LANES - 2) // 2} kv heads (got {kh}); use "
+                "kv_quant='none' for MHA-style models"
+            )
         pt = 32 // cs if q8 else 1
         if not q8:
             u_shape = (l, b, lo.chunks, cs, lo.rank_pad)

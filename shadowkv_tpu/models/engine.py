@@ -706,6 +706,94 @@ class Engine:
             f"max_length {cc.max_length} (RoPE tables too short)"
         )
 
+    # -- observability ------------------------------------------------------
+
+    def kv_stats(self) -> dict:
+        """Measured cache statistics from the LIVE pytree (reference
+        print_stats / print_kv_stats, kv_cache.py:651-663 +
+        models/base.py:100-107, but exact: every field's real nbytes
+        including quantization, lane padding and the compact-buffer
+        capacity, not an estimate)."""
+        cc, m = self.cache_cfg, self.model
+        out: dict = {"mode": cc.mode, "quant": cc.kv_quant}
+        cache = self._cache
+        if cache is None:
+            return out
+        fields = {
+            name: getattr(cache, name)
+            for name in type(cache).__dataclass_fields__  # flax.struct
+        }
+        bytes_by_field = {
+            k: int(v.nbytes)
+            for k, v in fields.items()
+            if hasattr(v, "nbytes")
+        }
+        out["bytes_by_field"] = bytes_by_field
+        host_bytes = 0
+        if self._host_v is not None:
+            host_bytes = int(self._host_v.nbytes)
+            # the device pytree keeps a zero-chunk placeholder for
+            # v_full in offload mode — don't count it as HBM
+            bytes_by_field.pop("v_full", None)
+        elif self.v_store is not None and getattr(
+            self.v_store, "rows", None
+        ) is not None:
+            host_bytes = int(self.v_store.rows.nbytes)
+            bytes_by_field.pop("v_full", None)
+        out["device_bytes"] = sum(bytes_by_field.values())
+        out["host_bytes"] = host_bytes
+        if self.is_shadow:
+            lo = cache.layout
+            gen = int(jax.device_get(cache.gen_len).max())
+            cached = lo.prefill_len + gen
+            bytes_per = 2 if m.dtype != jnp.float32 else 4
+            full_equiv = (
+                2 * m.num_layers * cache.k_buf.shape[1] * m.num_kv_heads
+                * max(cached, 1) * m.head_dim * bytes_per
+            )
+            out.update(
+                sparse_budget=cc.sparse_budget,
+                chunk_size=cc.chunk_size,
+                rank=cc.rank,
+                cached=cached,
+                local_chunks=cc.local_chunks,
+                outlier_chunks=cc.resolved_outlier_chunks(),
+                full_equivalent_bytes=full_equiv,
+                hbm_reduction=full_equiv / max(1, out["device_bytes"]),
+            )
+        else:
+            out["cached"] = int(jax.device_get(cache.length))
+        return out
+
+    def print_kv_stats(self) -> None:
+        s = self.kv_stats()
+        if not s.get("bytes_by_field"):
+            print(f"[KV] mode={s['mode']}: no live cache (prefill first)")
+            return
+        gib = 2.0**30
+        if self.is_shadow:
+            parts = ", ".join(
+                f"{k} {v / gib:.3f}"
+                for k, v in sorted(
+                    s["bytes_by_field"].items(), key=lambda kv: -kv[1]
+                )
+                if v > 0
+            )
+            print(
+                f"[KV] {s['mode']} | budget {s['sparse_budget']} | chunk "
+                f"{s['chunk_size']} | rank {s['rank']} | cached "
+                f"{s['cached']} | local {s['local_chunks']} | outlier "
+                f"{s['outlier_chunks']} | HBM {s['device_bytes'] / gib:.2f} "
+                f"GiB ({parts}) | host {s['host_bytes'] / gib:.2f} GiB | "
+                f"full-attn equivalent {s['full_equivalent_bytes'] / gib:.2f}"
+                f" GiB ({s['hbm_reduction']:.1f}x HBM reduction)"
+            )
+        else:
+            print(
+                f"[KV] full | cached {s['cached']} | HBM "
+                f"{s['device_bytes'] / gib:.2f} GiB"
+            )
+
     # -- generation ---------------------------------------------------------
 
     def generate(

@@ -237,9 +237,34 @@ class LLM:
     def load_context(self, path: str):
         self.engine.load_state(path)
 
+    def __str__(self) -> str:
+        """One-line summary incl. device memory (reference
+        LLM.__str__, models/base.py:60-68)."""
+        dev = jax.devices()[0]
+        mem = ""
+        try:
+            stats = dev.memory_stats()
+        except Exception:
+            stats = None
+        if stats and "bytes_in_use" in stats:
+            used = stats["bytes_in_use"] / 2**30
+            limit = stats.get("bytes_limit")
+            mem = f", device mem: {used:.2f}"
+            mem += f" / {limit / 2**30:.2f} GB" if limit else " GB"
+        return (
+            f"LLM: {self.model_name}, attn_mode: {self.cache_cfg.mode}, "
+            f"max_length: {self.cache_cfg.max_length}, batch_size: "
+            f"{self.batch_size}, device: {dev.platform}, dtype: "
+            f"{np.dtype(self.config.dtype).name}{mem}"
+        )
+
     def print_kv_stats(self):
         """KV memory accounting (reference models/base.py:101-107,
-        kv_cache.py:651-663)."""
+        kv_cache.py:651-663). Prefers the engine's MEASURED live-cache
+        stats; falls back to the config estimate before any prefill."""
+        if self.engine._cache is not None:
+            self.engine.print_kv_stats()
+            return
         cfg, cc = self.config, self.cache_cfg
         bytes_per = 2 if cfg.dtype != np.float32 else 4
         full = (

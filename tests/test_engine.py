@@ -117,3 +117,43 @@ def test_generate_cont_matches_joint_prefill():
     joint = np.concatenate([ctx, query], axis=1)
     joint_out, _ = eng2.generate(joint, gen_len=8, temperature=0.0)
     np.testing.assert_array_equal(cont_out, joint_out)
+
+
+def test_kv_stats_measured(toy_params, capsys):
+    """kv_stats() reports the LIVE cache's real bytes (reference
+    print_stats/print_kv_stats observability, kv_cache.py:651-663)."""
+    cfg, params = toy_params
+    eng = Engine(
+        cfg,
+        CacheConfig(
+            mode="shadow", max_length=512, sparse_budget=64, rank=32,
+            outlier_chunks=4,
+        ),
+        RuntimeConfig(prefill_block_q=64), params,
+    )
+    assert "bytes_by_field" not in eng.kv_stats()  # before prefill
+    ids = np.random.RandomState(1).randint(0, cfg.vocab_size, (2, 256))
+    eng.generate(ids, gen_len=4)
+    s = eng.kv_stats()
+    assert s["mode"] == "shadow"
+    assert s["cached"] == 256 + 3  # prefill + decode-appended tokens
+    for field in ("u", "sv", "landmarks", "k_buf", "v_buf", "v_full"):
+        assert s["bytes_by_field"][field] > 0
+    assert s["device_bytes"] == sum(s["bytes_by_field"].values())
+    assert s["host_bytes"] == 0
+    eng.print_kv_stats()
+    out = capsys.readouterr().out
+    assert "budget 64" in out and "HBM" in out
+
+
+def test_kv_stats_full_mode(toy_params):
+    cfg, params = toy_params
+    eng = Engine(
+        cfg, CacheConfig(mode="full", max_length=512),
+        RuntimeConfig(prefill_block_q=64), params,
+    )
+    ids = np.random.RandomState(1).randint(0, cfg.vocab_size, (1, 40))
+    eng.generate(ids, gen_len=4)
+    s = eng.kv_stats()
+    assert s["cached"] == 40 + 3
+    assert s["bytes_by_field"]["k"] == s["bytes_by_field"]["v"]
