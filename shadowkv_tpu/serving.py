@@ -105,6 +105,11 @@ class ContinuousBatcher:
         assert engine.cache_cfg.mode in ("shadow", "shadow_offload"), (
             "continuous batching serves the shadow cache modes"
         )
+        assert engine.rt.sp == 1, (
+            "continuous batching over an sp mesh is unsupported: "
+            "admission prefills one slot, but sequence-parallel prefill "
+            "is whole-batch with the cache batch-sharded over (dp, sp)"
+        )
         self.engine = engine
         self.slots = slots or engine.rt.batch_size
         self.sample_args = (temperature, top_k, top_p)
