@@ -19,6 +19,7 @@ Stages:
                  prefill — prefill-time comparison vs dense-splash)
   bench_offload_b6_ring    shadow_offload batch 6 + ring gather (host-V
                  batch enlargement past the b4 HBM ceiling)
+  bench_offload_b8_ring    shadow_offload batch 8 + ring gather
   bench_offload_b6_pallas  shadow_offload batch 6 + fused refresh
   bench_serve    bench.py BENCH_MODE=serve (continuous batching)
   bench_serve_offload  serve + shadow_offload + ring gather (host V
@@ -84,6 +85,16 @@ STAGES = {
             "BENCH_SHADOW_BATCH": "6",
         },
         "timeout": 3600,
+    },
+    "bench_offload_b8_ring": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_CACHE_MODE": "shadow_offload",
+            "BENCH_RING": "1",
+            "BENCH_SHADOW_BATCH": "8",
+        },
+        "timeout": 4200,
     },
     "bench_offload_b6_pallas": {
         "cmd": [sys.executable, "bench.py"],
