@@ -12,8 +12,10 @@ KV-cache-bandwidth-bound full attention vs compact-buffer ShadowKV).
 
 Env overrides: BENCH_DATALEN, BENCH_FULL_BATCH, BENCH_SHADOW_BATCH,
 BENCH_DECODE_STEPS, BENCH_MODE (full|shadow|both|serve), BENCH_QUANT
-(none|int8), BENCH_USE_PALLAS (0|1), BENCH_RING (0|1, ring-DMA chunk
-gather on the decode path), BENCH_CACHE_MODE (shadow|shadow_offload).
+(none|int8, the KV/U/landmark stores), BENCH_WQUANT (none|int8,
+weight-only quantized dense path — core/wquant.py), BENCH_USE_PALLAS
+(0|1), BENCH_RING (0|1, ring-DMA chunk gather on the decode path),
+BENCH_CACHE_MODE (shadow|shadow_offload).
 
 BENCH_MODE=serve measures continuous batching: BENCH_REQUESTS requests
 (default 2x the shadow batch) with generation lengths staggered
@@ -176,8 +178,19 @@ def main():
     # 122K (GQA K/V consumed without the 2x [B, H, S, Dh] repeats).
     prefill_pattern = os.environ.get("BENCH_PREFILL", "dense-splash")
 
-    cfg = toy_config(
-        name="sbench-1.4b",
+    # BENCH_FAMILY=glm swaps in the GLM-4 head layout: 4 KV groups +
+    # partial interleaved RoPE on the first 64 dims + QKV bias —
+    # exercising the GLM variant of the reconstruction kernel and the
+    # interleaved-RoPE decode math e2e (reference glm.py:174,238,261).
+    family = os.environ.get("BENCH_FAMILY", "llama")
+    family_kw = (
+        dict(num_kv_heads=4, rope_style="glm", rope_partial_dim=64,
+             qkv_bias=True)
+        if family == "glm"
+        else {}
+    )
+    cfg_kw = dict(
+        name=f"sbench-1.4b-{family}",
         num_layers=16,
         hidden_size=2048,
         num_heads=16,
@@ -193,6 +206,8 @@ def main():
             else jnp.bfloat16
         ),
     )
+    cfg_kw.update(family_kw)
+    cfg = toy_config(**cfg_kw)
     rt = RuntimeConfig(
         prefill_sub_batch=1, prefill_block_q=256,
         use_pallas=True if use_pallas else None,
@@ -201,6 +216,11 @@ def main():
     )
     log(f"devices: {jax.devices()}")
     params = init_synthetic_params(cfg, jax.random.PRNGKey(0))
+    if os.environ.get("BENCH_WQUANT", "") == "int8":
+        from shadowkv_tpu.core.wquant import quantize_params
+
+        params = jax.jit(quantize_params)(params)
+        log("weights: int8 per-channel (BENCH_WQUANT=int8)")
     jax.block_until_ready(params)
 
     if bench_mode == "serve":

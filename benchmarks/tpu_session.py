@@ -106,6 +106,60 @@ STAGES = {
         },
         "timeout": 3600,
     },
+    # Weight-only int8 dense path (core/wquant.py): halves weight-read
+    # bytes in weight-bound decode and frees ~1.4 GB of HBM on the
+    # bench model — b5 probes whether that buys another batch slot
+    # past the b4 prefill-peak ceiling.
+    "bench_wq8": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {"BENCH_MODE": "shadow", "BENCH_WQUANT": "int8"},
+        "timeout": 3600,
+    },
+    "bench_wq8_b5": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_WQUANT": "int8",
+            "BENCH_SHADOW_BATCH": "5",
+        },
+        "timeout": 3600,
+    },
+    # The reference's e2e table covers 60K/122K/244K (test/e2e.py:35-116,
+    # index.html:180-260). 60K: full fits b2, shadow b6. 244K: full
+    # attention cannot fit AT ALL on a 16 GB chip (bf16 KV alone is
+    # 16 GB at b1) — shadow-only, which IS the story (context length
+    # only shadow enables); int8 weights free headroom for b2.
+    "bench_60k": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_DATALEN": "61440",
+            "BENCH_FULL_BATCH": "2",
+            "BENCH_SHADOW_BATCH": "6",
+        },
+        "timeout": 3600,
+    },
+    "bench_244k": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_DATALEN": "249856",
+            "BENCH_SHADOW_BATCH": "2",
+            "BENCH_WQUANT": "int8",
+        },
+        "timeout": 5400,
+    },
+    # GLM-4 head layout (4 KV groups, partial interleaved RoPE, QKV
+    # bias): half the KV state of the llama shape -> b6; exercises the
+    # GLM reconstruction-kernel variant e2e (reference glm.py).
+    "bench_glm": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_FAMILY": "glm",
+            "BENCH_SHADOW_BATCH": "6",
+        },
+        "timeout": 3600,
+    },
     "bench_serve": {
         "cmd": [sys.executable, "bench.py"],
         "env": {"BENCH_MODE": "serve", "BENCH_DECODE_STEPS": "100"},

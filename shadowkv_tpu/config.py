@@ -185,8 +185,21 @@ class RuntimeConfig:
     # Fused Pallas sparse-refresh kernel on the decode path. None/False
     # = the vectorized-XLA gather path (wins below ~75 % hit rate);
     # True = the fused kernel (wins when selection is temporally
-    # stable), honored on TPU backends only.
-    use_pallas: Optional[bool] = None
+    # stable); 'auto' = measure the LIVE per-step slot hit rate every
+    # pallas_auto_interval steps (slot-stable assignment makes
+    # "cached_ids unchanged" == "hit", core/selection.py) and switch
+    # paths when its EMA crosses pallas_hit_threshold ('shadow' HBM
+    # mode only — offload commits the V store differently per path).
+    use_pallas: Optional[object] = None
+    pallas_hit_threshold: float = 0.75
+    pallas_auto_interval: int = 16
+    # Weight-only quantization of the dense matmul path ('none' or
+    # 'int8': per-output-channel symmetric QTensor leaves,
+    # core/wquant.py). Halves weight-read HBM bytes in weight-bound
+    # decode and is what fits an 8B model's weights (16 GB bf16) on a
+    # 16 GB chip next to the shadow KV state. Beyond-reference (the
+    # reference keeps bf16 weights on an 80 GB A100).
+    weight_quant: str = "none"
     # Ring-DMA chunk gather (kernels/gather.py) replacing the decode
     # step's XLA gathers of U/V chunk rows: a pipelined ring of async
     # HBM DMAs fetching ALL selected chunks (dequant/matmul/RoPE stay

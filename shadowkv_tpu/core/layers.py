@@ -64,6 +64,8 @@ def qkv_proj(
     Returns:
       q: [B, S, H, Dh], k: [B, S, K, Dh], v: [B, S, K, Dh]
     """
+    from shadowkv_tpu.core.wquant import mat, wslice
+
     q_size = num_heads * head_dim
     kv_size = num_kv_heads * head_dim
     b, s = x.shape[:2]
@@ -80,14 +82,13 @@ def qkv_proj(
             (q_size, q_size + kv_size),
             (q_size + kv_size, q_size + 2 * kv_size),
         ):
-            w = jax.lax.slice_in_dim(layer.wqkv, lo_, hi, axis=1)
-            part = jnp.dot(x, w, preferred_element_type=x.dtype)
+            part = mat(x, wslice(layer.wqkv, lo_, hi))
             if layer.bqkv is not None:
                 part = part + layer.bqkv[lo_:hi].astype(part.dtype)
             splits.append(part)
         q, k, v = splits
     else:
-        qkv = jnp.dot(x, layer.wqkv, preferred_element_type=x.dtype)
+        qkv = mat(x, layer.wqkv)
         if layer.bqkv is not None:
             qkv = qkv + layer.bqkv.astype(qkv.dtype)
         q = qkv[..., :q_size]
@@ -102,19 +103,23 @@ def qkv_proj(
 
 def o_proj(attn_out: jnp.ndarray, layer: LayerParams) -> jnp.ndarray:
     """[B, S, H, Dh] -> [B, S, D]."""
+    from shadowkv_tpu.core.wquant import mat
+
     b, s = attn_out.shape[:2]
     flat = attn_out.reshape(b, s, -1)
-    return jnp.dot(flat, layer.wo, preferred_element_type=flat.dtype)
+    return mat(flat, layer.wo)
 
 
 MLP_CHUNK_TOKENS = 16384  # token-block size for the chunked long-prefill MLP
 
 
 def _swiglu(x: jnp.ndarray, layer: LayerParams) -> jnp.ndarray:
-    gate_up = jnp.dot(x, layer.w_gate_up, preferred_element_type=x.dtype)
+    from shadowkv_tpu.core.wquant import mat
+
+    gate_up = mat(x, layer.w_gate_up)
     gate, up = jnp.split(gate_up, 2, axis=-1)
     hidden = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-    return jnp.dot(hidden, layer.w_down, preferred_element_type=x.dtype)
+    return mat(hidden, layer.w_down)
 
 
 def swiglu_mlp(x: jnp.ndarray, layer: LayerParams) -> jnp.ndarray:

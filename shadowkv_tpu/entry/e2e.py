@@ -46,6 +46,11 @@ def parse_args():
     p.add_argument("--baseline_bsz", type=int, default=None)
     p.add_argument("--shadowkv_bsz", type=int, default=None)
     p.add_argument("--gen_len", type=int, default=100)
+    # int8 weight-only dense path (core/wquant.py): on a 16 GB chip an
+    # 8B model's bf16 weights alone fill HBM — int8 weights are what
+    # make the full-attention baseline feasible at all at 60K.
+    p.add_argument("--weight_quant", type=str, default="none",
+                   choices=["none", "int8"])
     return p.parse_args()
 
 
@@ -79,6 +84,7 @@ def main():
         model_name=args.model_name, batch_size=cfg["baseline_bsz"],
         max_length=min_len + args.gen_len + 28, attn_mode="full",
         sparse_budget=cfg["sparse_budget"], model_dir=args.model_dir,
+        weight_quant=args.weight_quant,
     )
     input_ids = make_inputs(llm, cfg["baseline_bsz"])
     _, tps_baseline = llm.batch_generate(
@@ -95,6 +101,7 @@ def main():
         model_name=args.model_name, batch_size=cfg["shadowkv_bsz"],
         max_length=min_len + args.gen_len + 28, attn_mode="shadow",
         sparse_budget=cfg["sparse_budget"], model_dir=args.model_dir,
+        weight_quant=args.weight_quant,
     )
     input_ids = make_inputs(llm, cfg["shadowkv_bsz"])
     _, tps_shadow = llm.batch_generate(

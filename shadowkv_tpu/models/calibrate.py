@@ -73,7 +73,9 @@ def calibrate_patterns(
     cos = cos_t[:s]
     sin = sin_t[:s]
 
-    x = jnp.take(params.embed, ids, axis=0).astype(model.dtype)
+    from shadowkv_tpu.core.wquant import take_rows
+
+    x = take_rows(params.embed, ids, model.dtype)
 
     errs = np.zeros((len(candidates), h), np.float64)
 

@@ -169,7 +169,19 @@ class Engine:
 
     def _build_jits(self):
         model, rt = self.model, self.rt
-        if rt.use_pallas is None:
+        self.pallas_auto = rt.use_pallas == "auto"
+        if self.pallas_auto:
+            # Adaptive path choice: start on the XLA path (safe at any
+            # hit rate), track the measured slot hit rate, and move to
+            # the fused kernel once selection proves temporally stable
+            # (see _auto_observe). The two regimes are real: the kernel
+            # wins above ~75 % hits, the XLA gather below.
+            assert self.cache_cfg.mode == "shadow", (
+                "use_pallas='auto' supports the HBM 'shadow' mode only "
+                "(offload commits the V store per-path)"
+            )
+            self.use_pallas = False
+        elif rt.use_pallas is None:
             # The fused kernel wins when selection is temporally stable
             # (real-model decoding: hits dominate, refresh ~0.5 ms/step
             # vs the XLA path's fixed all-slot gathers). The XLA path
@@ -182,6 +194,12 @@ class Engine:
             # interpret mode there (tests of the engine-level kernel
             # paths).
             self.use_pallas = bool(rt.use_pallas)
+        # Live decode-path state for 'auto' (also reported by kv_stats).
+        self._kernel_now = self.use_pallas
+        self._auto_hit_ema = None
+        self._auto_prev_ids = None
+        self._auto_counter = 0
+        self._auto_switches = 0
         # Ring-DMA gather of selected chunks (kernels/gather.py).
         # Allowed on CPU too (interpret mode) so tests can drive it.
         self.ring_gather = bool(rt.ring_gather)
@@ -247,7 +265,10 @@ class Engine:
             "offload + quantized V store needs ring_gather=True (the "
             "io_callback path serves bf16 rows only)"
         )
-        use_pallas = self.use_pallas
+        assert not (self.pallas_auto and self.ring_gather), (
+            "use_pallas='auto' switches XLA <-> fused kernel; it does "
+            "not compose with ring_gather"
+        )
         ring_gather = self.ring_gather
         ring_host = self.ring_host
         engine = self
@@ -256,12 +277,12 @@ class Engine:
             and jax.devices()[0].platform != "cpu"
         )
 
-        @partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(1,))
+        @partial(jax.jit, static_argnums=(4, 5, 6, 7), donate_argnums=(1,))
         def decode_shadow_jit(params, cache, tokens, key, temperature,
-                              top_k, top_p, *v_host):
+                              top_k, top_p, use_kernel, *v_host):
             logits, cache = forward.decode_shadow(
                 model, params, cache, tokens, self.cos_table,
-                self.sin_table, use_kernel=use_pallas,
+                self.sin_table, use_kernel=use_kernel,
                 v_store=engine.v_store, approx_topk=approx_topk,
                 ring_gather=ring_gather,
                 v_host=v_host[0] if v_host else None,
@@ -274,10 +295,21 @@ class Engine:
             # arg (set by _offload_v after prefill).
             def decode_shadow_fn(params, cache, tokens, key, *sample):
                 return decode_shadow_jit(
-                    params, cache, tokens, key, *sample, engine._host_v
+                    params, cache, tokens, key, *sample,
+                    engine._kernel_now, engine._host_v,
                 )
+        elif self.pallas_auto:
+            def decode_shadow_fn(params, cache, tokens, key, *sample):
+                out = decode_shadow_jit(
+                    params, cache, tokens, key, *sample, engine._kernel_now
+                )
+                engine._auto_observe(out[1])
+                return out
         else:
-            decode_shadow_fn = decode_shadow_jit
+            def decode_shadow_fn(params, cache, tokens, key, *sample):
+                return decode_shadow_jit(
+                    params, cache, tokens, key, *sample, engine._kernel_now
+                )
 
         @partial(jax.jit, static_argnums=(2, 3, 4))
         def sample_fn(logits, key, temperature, top_k, top_p):
@@ -308,6 +340,14 @@ class Engine:
             if big.lm_scale is not None:
                 updates["lm_scale"] = put(big.lm_scale, small.lm_scale)
             return big.replace(**updates)
+
+        # 'auto' decode-path helpers: a device-side copy of cached_ids
+        # (the live buffer is donated by the next step) and the scalar
+        # slot-hit fraction between two snapshots.
+        self._copy_ids = jax.jit(lambda x: x + 0)
+        self._hit_frac = jax.jit(
+            lambda a, b: jnp.mean((a == b).astype(jnp.float32))
+        )
 
         self._prefill_full = prefill_full_fn
         self._prefill_shadow = prefill_shadow_fn
@@ -706,6 +746,46 @@ class Engine:
             f"max_length {cc.max_length} (RoPE tables too short)"
         )
 
+    # -- adaptive decode path (use_pallas='auto') ----------------------------
+
+    def _auto_observe(self, cache) -> None:
+        """Track the measured slot hit rate and switch decode paths.
+
+        Slot-STABLE assignment (core/selection.py::assign_slots_stable)
+        means a slot's chunk id is unchanged between consecutive steps
+        iff that slot was a hit, so the per-step hit rate is exactly
+        ``mean(ids[t] == ids[t+1])``. Sampled one consecutive pair per
+        ``pallas_auto_interval`` steps (one scalar host sync per
+        interval); EMA crossing ``pallas_hit_threshold`` flips between
+        the XLA gather path (miss-heavy) and the fused refresh kernel
+        (hit-heavy) — the regime split measured on v5e (CLAUDE.md /
+        reference index.html:326's ~60 % real-model hit rates).
+        """
+        rt = self.rt
+        phase = self._auto_counter % max(2, rt.pallas_auto_interval)
+        self._auto_counter += 1
+        if phase == 0:
+            self._auto_prev_ids = self._copy_ids(cache.cached_ids)
+        elif phase == 1 and self._auto_prev_ids is not None:
+            frac = float(
+                self._hit_frac(self._auto_prev_ids, cache.cached_ids)
+            )
+            self._auto_prev_ids = None
+            ema = self._auto_hit_ema
+            self._auto_hit_ema = (
+                frac if ema is None else 0.5 * ema + 0.5 * frac
+            )
+            want = self._auto_hit_ema >= rt.pallas_hit_threshold
+            if want != self._kernel_now:
+                self._kernel_now = want
+                self._auto_switches += 1
+
+    def _auto_reset(self) -> None:
+        self._auto_prev_ids = None
+        self._auto_counter = 0
+        if self.pallas_auto:
+            self._kernel_now = False
+
     # -- observability ------------------------------------------------------
 
     def kv_stats(self) -> dict:
@@ -761,6 +841,12 @@ class Engine:
                 full_equivalent_bytes=full_equiv,
                 hbm_reduction=full_equiv / max(1, out["device_bytes"]),
             )
+            if self.pallas_auto:
+                out.update(
+                    auto_hit_ema=self._auto_hit_ema,
+                    auto_kernel_now=self._kernel_now,
+                    auto_switches=self._auto_switches,
+                )
         else:
             out["cached"] = int(jax.device_get(cache.length))
         return out
@@ -923,12 +1009,18 @@ class Engine:
         stats.prefill_tokens = b * s
 
         decode = self._decode_shadow if self.is_shadow else self._decode_full
-        # Warmup (compile + cache steady-state), not timed.
-        for _ in range(warmup_steps):
+        # Warmup (compile + cache steady-state), not timed. In 'auto'
+        # mode alternate paths so BOTH programs compile here, not
+        # mid-timed-loop at the first path switch.
+        for i in range(warmup_steps):
+            if self.pallas_auto and warmup_steps >= 2:
+                self._kernel_now = i % 2 == 1
             key, sub = jax.random.split(key)
             tokens, cache = decode(
                 self.params, cache, tokens[:, None], sub, *sample_args
             )
+        if self.pallas_auto:
+            self._auto_reset()
         jax.block_until_ready(tokens)
 
         out = []
@@ -942,6 +1034,7 @@ class Engine:
         jax.block_until_ready(tokens)
         stats.decode_seconds = time.perf_counter() - t0
         stats.decode_tokens = b * gen_len
+        self._cache = cache  # post-run kv_stats / generate(cont=True)
         return np.stack([np.asarray(t) for t in out], axis=1), stats
 
 

@@ -28,6 +28,7 @@ from shadowkv_tpu.cache.shadow import (
 )
 from shadowkv_tpu.config import CacheConfig, ModelConfig, RuntimeConfig
 from shadowkv_tpu.core import rope as rope_lib
+from shadowkv_tpu.core import wquant
 from shadowkv_tpu.core.attention import (
     causal_prefill_attention,
     causal_prefill_attention_hm,
@@ -115,7 +116,7 @@ def _finalize(model: ModelConfig, params: ModelParams, x, last_only: bool):
     if last_only:
         x = x[:, -1:]
     x = rms_norm(x, params.final_norm, model.rms_norm_eps)
-    return jnp.dot(x, params.lm_head, preferred_element_type=jnp.float32)
+    return wquant.mat(x, params.lm_head, preferred_element_type=jnp.float32)
 
 
 def _layer_qkv(model: ModelConfig, lp: LayerParams, x, cos, sin,
@@ -167,7 +168,7 @@ def prefill_full(
     (reference prefill/prefill_cont + batch_prefill,
     models/base.py:162-204,499-548)."""
     b, s = input_ids.shape
-    x = jnp.take(params.embed, input_ids, axis=0).astype(model.dtype)
+    x = wquant.take_rows(params.embed, input_ids, model.dtype)
     positions = start_pos + jnp.arange(s)
     cos = jnp.take(cos_table, positions, axis=0)
     sin = jnp.take(sin_table, positions, axis=0)
@@ -234,7 +235,7 @@ def decode_full(
     sin_table: jnp.ndarray,
 ):
     b, qn = tokens.shape
-    x = jnp.take(params.embed, tokens, axis=0).astype(model.dtype)
+    x = wquant.take_rows(params.embed, tokens, model.dtype)
     positions = cache.length + jnp.arange(qn)
     cos = jnp.take(cos_table, positions, axis=0)
     sin = jnp.take(sin_table, positions, axis=0)
@@ -308,7 +309,7 @@ def prefill_shadow(
     else:
         constrain = lambda x: x
     x = constrain(
-        jnp.take(params.embed, input_ids, axis=0).astype(model.dtype)
+        wquant.take_rows(params.embed, input_ids, model.dtype)
     )
     positions = jnp.arange(s)
     cos = jnp.take(cos_table, positions, axis=0)
@@ -370,7 +371,7 @@ def prefill_shadow_into(
     b, s = input_ids.shape
     layout = cache.layout
     assert s == layout.prefill_len
-    x = jnp.take(params.embed, input_ids, axis=0).astype(model.dtype)
+    x = wquant.take_rows(params.embed, input_ids, model.dtype)
     positions = jnp.arange(s)
     cos = jnp.take(cos_table, positions, axis=0)
     sin = jnp.take(sin_table, positions, axis=0)
@@ -464,7 +465,7 @@ def decode_shadow(
     from shadowkv_tpu.cache.shadow import split_cache
 
     b, qn = tokens.shape
-    x = jnp.take(params.embed, tokens, axis=0).astype(model.dtype)
+    x = wquant.take_rows(params.embed, tokens, model.dtype)
     # Per-slot generation lengths (continuous batching,
     # serving.ContinuousBatcher): gen_len is a [B] vector and every
     # slot sits at its own position; positions/cos/sin get a batch dim

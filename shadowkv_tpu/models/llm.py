@@ -63,6 +63,8 @@ class LLM:
         dp: int = 1,  # device-mesh axes (parallel/mesh.py): batch on
         tp: int = 1,  # dp, GQA KV heads + factors + buffers on tp
         sp: int = 1,  # sequence-parallel prefill shards (shadow mode)
+        weight_quant: str = "none",  # 'int8': weight-only quantized
+        # dense path (core/wquant.py) — fits 8B weights on a 16 GB chip
     ):
         mode_alias = {"shadowkv": "shadow", "shadowkv_cpu": "shadow_offload"}
         attn_mode = mode_alias.get(attn_mode, attn_mode)
@@ -77,6 +79,12 @@ class LLM:
         )
         self.tokenizer = self._load_tokenizer()
         params = self._load_params()
+        if weight_quant == "int8":
+            from shadowkv_tpu.core.wquant import quantize_params
+
+            params = jax.jit(quantize_params)(params)
+        else:
+            assert weight_quant in ("none", None), weight_quant
 
         self.cache_cfg = CacheConfig(
             mode=attn_mode,
@@ -97,6 +105,7 @@ class LLM:
             batch_size=batch_size, prefill_sub_batch=prefill_sub_batch,
             prefill_pattern=pattern,
             dp=dp, tp=tp, sp=sp,
+            weight_quant=weight_quant or "none",
         )
         self.engine = Engine(self.config, self.cache_cfg, rt, params)
         self.stop_ids = self._resolve_stop_ids()

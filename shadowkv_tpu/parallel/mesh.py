@@ -50,6 +50,22 @@ def _batch_axes(mesh: Mesh | None):
     return "dp"
 
 
+def _wspec(leaf, spec: P, reduce_axis: int = -2):
+    """Spec for a weight leaf: plain arrays keep ``spec``; QTensor
+    leaves (int8 weight-only quantization, core/wquant.py) pair it with
+    the scale's spec — the contracted dim the scale collapsed is
+    dropped. A tp-sharded input dim (wo / w_down) simply vanishes: the
+    per-output scale is replicated, which is exactly what makes the
+    scale-after-psum math exact."""
+    from shadowkv_tpu.core.wquant import QTensor
+
+    if isinstance(leaf, QTensor):
+        dims = list(spec)
+        del dims[reduce_axis]
+        return QTensor(q=spec, s=P(*dims))
+    return spec
+
+
 def param_pspecs(params: ModelParams) -> ModelParams:
     """Megatron-style tensor-parallel PartitionSpecs for the weights.
 
@@ -57,20 +73,21 @@ def param_pspecs(params: ModelParams) -> ModelParams:
     w_down shard their input dim so the following matmul produces a
     partial sum that GSPMD turns into one psum per layer.
     """
+    lay = params.layers
     layer_specs = LayerParams(
         attn_norm=P(None, None),
-        wqkv=P(None, None, "tp"),
-        bqkv=P(None, "tp") if params.layers.bqkv is not None else None,
-        wo=P(None, "tp", None),
+        wqkv=_wspec(lay.wqkv, P(None, None, "tp")),
+        bqkv=P(None, "tp") if lay.bqkv is not None else None,
+        wo=_wspec(lay.wo, P(None, "tp", None)),
         mlp_norm=P(None, None),
-        w_gate_up=P(None, None, "tp"),
-        w_down=P(None, "tp", None),
+        w_gate_up=_wspec(lay.w_gate_up, P(None, None, "tp")),
+        w_down=_wspec(lay.w_down, P(None, "tp", None)),
     )
     return ModelParams(
-        embed=P(None, None),
+        embed=_wspec(params.embed, P(None, None), reduce_axis=-1),
         layers=layer_specs,
         final_norm=P(None),
-        lm_head=P(None, "tp"),
+        lm_head=_wspec(params.lm_head, P(None, "tp")),
     )
 
 

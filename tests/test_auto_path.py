@@ -1,0 +1,96 @@
+"""use_pallas='auto' adaptive decode-path selection (engine.py).
+
+The fused refresh kernel wins above ~75 % slot hit rate, the XLA
+gather path below (measured on v5e, CLAUDE.md); 'auto' measures the
+live hit rate and switches. Synthetic-weight selection churns (~3 %
+hits), so auto must stay on the XLA path by default and flip to the
+kernel when the threshold is degenerate (0.0) — both paths are
+bit-identical, so switching never changes tokens.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shadowkv_tpu.config import CacheConfig, RuntimeConfig
+from shadowkv_tpu.models.engine import Engine
+from shadowkv_tpu.models.params import init_synthetic_params
+from shadowkv_tpu.models.registry import toy_config
+
+
+@pytest.fixture(scope="module")
+def toy():
+    # head_dim=128 per the fused kernel's DMA contract (reconstruct.py)
+    cfg = toy_config(
+        dtype=jnp.float32, head_dim=128, hidden_size=512,
+        num_heads=4, num_kv_heads=2, intermediate_size=1024,
+    )
+    return cfg, init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
+
+
+def _engine(cfg, params, threshold, interval=4):
+    return Engine(
+        cfg,
+        CacheConfig(
+            mode="shadow", max_length=1024, sparse_budget=128, rank=64,
+            outlier_chunks=4, gen_capacity=32,
+        ),
+        RuntimeConfig(
+            prefill_block_q=128, use_pallas="auto",
+            pallas_hit_threshold=threshold, pallas_auto_interval=interval,
+        ),
+        params,
+    )
+
+
+def test_auto_stays_on_xla_when_selection_churns(toy):
+    cfg, params = toy
+    eng = _engine(cfg, params, threshold=0.99)
+    ids = np.random.RandomState(0).randint(1, cfg.vocab_size, (2, 1024))
+    out, _ = eng.batch_generate(ids, gen_len=12, temperature=0.0,
+                                warmup_steps=2)
+    assert out.shape == (2, 12)
+    assert eng._auto_hit_ema is not None  # it did measure
+    assert eng._kernel_now is False
+    stats = eng.kv_stats()
+    assert stats["auto_kernel_now"] is False
+    assert stats["auto_hit_ema"] == eng._auto_hit_ema
+
+
+def test_auto_switches_to_kernel_at_degenerate_threshold(toy):
+    cfg, params = toy
+    eng = _engine(cfg, params, threshold=0.0)
+    ids = np.random.RandomState(1).randint(1, cfg.vocab_size, (2, 1024))
+    out, _ = eng.batch_generate(ids, gen_len=12, temperature=0.0,
+                                warmup_steps=2)
+    assert eng._kernel_now is True
+    assert eng._auto_switches >= 1
+    # Both paths are bit-identical (tests/test_gather_kernel.py), so a
+    # mid-stream switch must not change greedy tokens.
+    eng_x = Engine(
+        cfg,
+        CacheConfig(
+            mode="shadow", max_length=1024, sparse_budget=128, rank=64,
+            outlier_chunks=4, gen_capacity=32,
+        ),
+        RuntimeConfig(prefill_block_q=128),
+        params,
+    )
+    base, _ = eng_x.batch_generate(ids, gen_len=12, temperature=0.0,
+                                   warmup_steps=2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+
+
+def test_auto_rejected_for_offload_mode(toy):
+    cfg, params = toy
+    with pytest.raises(AssertionError):
+        Engine(
+            cfg,
+            CacheConfig(
+                mode="shadow_offload", max_length=1024, sparse_budget=128,
+                rank=64, outlier_chunks=4,
+            ),
+            RuntimeConfig(prefill_block_q=128, use_pallas="auto"),
+            params,
+        )
