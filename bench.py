@@ -93,22 +93,41 @@ def run_serve(cfg, rt, params, datalen, slots, steps, quant, cache_mode):
     from shadowkv_tpu.serving import ContinuousBatcher, Request
 
     n_req = int(os.environ.get("BENCH_REQUESTS", 2 * slots))
+    # BENCH_CONTEXT=1: every request shares ONE long context (the
+    # document) + a short random suffix (the question) — the
+    # shared-prefix snapshot path. The static baseline still pays a
+    # full prefill per request.
+    shared_ctx = os.environ.get("BENCH_CONTEXT", "") == "1"
+    suffix_len = int(os.environ.get("BENCH_SUFFIX", 16)) if shared_ctx else 0
     # canonical sparse settings, scaled down only for smoke-test
     # context lengths that cannot hold them
     budget = 2048 if datalen >= 8192 else max(64, datalen // 4)
     cache_cfg = CacheConfig(
         mode=cache_mode, max_length=datalen + 128, sparse_budget=budget,
         rank=160 if datalen >= 8192 else 32, chunk_size=8,
-        kv_quant=quant, gen_capacity=max(256, steps + 8),
+        kv_quant=quant, gen_capacity=max(256, steps + suffix_len + 8),
     )
     rng = np.random.RandomState(0)
-    ids = rng.randint(1, cfg.vocab_size, (n_req, datalen))
+    if shared_ctx:
+        prefix = rng.randint(1, cfg.vocab_size, datalen)
+        ids = np.stack([
+            np.concatenate(
+                [prefix, rng.randint(1, cfg.vocab_size, suffix_len)]
+            )
+            for _ in range(n_req)
+        ])
+    else:
+        ids = rng.randint(1, cfg.vocab_size, (n_req, datalen))
     gen_lens = [
         steps // 2 + (i * (steps // 2)) // max(1, n_req - 1)
         for i in range(n_req)
     ]
     reqs = [
-        Request(uid=i, input_ids=ids[i], gen_len=gen_lens[i])
+        Request(
+            uid=i, input_ids=ids[i], gen_len=gen_lens[i],
+            context_id=0 if shared_ctx else None,
+            context_len=datalen if shared_ctx else None,
+        )
         for i in range(n_req)
     ]
 
@@ -125,6 +144,12 @@ def run_serve(cfg, rt, params, datalen, slots, steps, quant, cache_mode):
         f"({st.admission_seconds:.1f}s admissions, "
         f"{st.decode_steps} steps) -> {served_tps:.1f} tok/s served, "
         f"{st.decode_tokens_per_second:.1f} tok/s decode-only"
+        + (
+            f"; ctx hits {st.context_hits}/{st.admissions + slots}, "
+            f"{st.forced_tokens} forced suffix toks"
+            if shared_ctx
+            else ""
+        )
     )
     # Static-batch baseline: every request decodes to the LONGEST gen
     # length (batch_generate has no per-slot exit), useful tokens are
@@ -151,7 +176,10 @@ def run_serve(cfg, rt, params, datalen, slots, steps, quant, cache_mode):
     print(
         json.dumps(
             {
-                "metric": f"serve_tokens_per_sec_{datalen // 1024}k",
+                "metric": (
+                    f"serve_tokens_per_sec_{datalen // 1024}k"
+                    + ("_sharedctx" if shared_ctx else "")
+                ),
                 "value": round(served_tps, 1),
                 "unit": "tokens/s",
                 "vs_baseline": round(served_tps / static_tps, 3),

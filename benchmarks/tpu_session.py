@@ -165,6 +165,20 @@ STAGES = {
         "env": {"BENCH_MODE": "serve", "BENCH_DECODE_STEPS": "100"},
         "timeout": 5400,
     },
+    # Shared-context serving (prompt cache): every request = one
+    # shared 122K document + a 16-token suffix; admissions clone the
+    # context snapshot instead of re-prefilling. The static baseline
+    # pays a full prefill per request — the gap IS the feature.
+    "bench_serve_ctx": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "serve",
+            "BENCH_CONTEXT": "1",
+            "BENCH_DECODE_STEPS": "100",
+            "BENCH_SHADOW_BATCH": "3",
+        },
+        "timeout": 7200,
+    },
     "bench_serve_offload": {
         "cmd": [sys.executable, "bench.py"],
         "env": {

@@ -349,6 +349,49 @@ class Engine:
             lambda a, b: jnp.mean((a == b).astype(jnp.float32))
         )
 
+        # merge_slots + the V store: restores a 1-slot snapshot into a
+        # live HBM-mode cache (shared-prefix context reuse, serving.py;
+        # offload engines restore host rows separately).
+        @partial(jax.jit, donate_argnums=(0,))
+        def merge_slots_v_fn(big, small, b0):
+            big = merge_slots_fn(big, small, b0)
+            idx = (0, b0) + (0,) * (big.v_full.ndim - 2)
+            return big.replace(
+                v_full=jax.lax.dynamic_update_slice(
+                    big.v_full, small.v_full.astype(big.v_full.dtype), idx
+                )
+            )
+
+        self._merge_slots_v = merge_slots_v_fn
+
+        # Inverse of merge_slots_fn: copy slot b0's state out of the
+        # full-batch cache into a 1-slot cache pytree (serving's
+        # shared-prefix context snapshots, serving.py).
+        @jax.jit
+        def extract_slot_fn(big, b0):
+            def take(x):
+                idx = (0, b0) + (0,) * (x.ndim - 2)
+                return jax.lax.dynamic_slice(
+                    x, idx, (x.shape[0], 1) + x.shape[2:]
+                )
+
+            updates = dict(
+                u=take(big.u),
+                sv=take(big.sv),
+                landmarks=take(big.landmarks),
+                landmark_mask=take(big.landmark_mask),
+                k_buf=take(big.k_buf),
+                v_buf=take(big.v_buf),
+                v_full=take(big.v_full),
+                cached_ids=take(big.cached_ids),
+                gen_len=jax.lax.dynamic_slice(big.gen_len, (b0,), (1,)),
+            )
+            if big.lm_scale is not None:
+                updates["lm_scale"] = take(big.lm_scale)
+            return big.replace(**updates)
+
+        self._extract_slot = extract_slot_fn
+
         self._prefill_full = prefill_full_fn
         self._prefill_shadow = prefill_shadow_fn
         self._decode_full = decode_full_fn

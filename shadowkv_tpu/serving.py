@@ -50,6 +50,15 @@ class Request:
     uid: int
     input_ids: np.ndarray  # [S] prompt tokens
     gen_len: int  # tokens to generate (incl. the first sampled one)
+    # Shared-prefix (prompt-cache) fields: requests with the same
+    # context_id share their first context_len prompt tokens verbatim
+    # (the long document); the remainder of input_ids is the per-
+    # request suffix (the question). The context is prefilled ONCE and
+    # snapshotted; later admissions clone the snapshot and the suffix
+    # rides the gen region as teacher-forced decode steps interleaved
+    # with the other slots' live decoding (no admission stall).
+    context_id: Optional[int] = None
+    context_len: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -65,6 +74,9 @@ class ServeStats:
     admissions: int = 0  # mid-stream slot refills (not the first batch)
     prefill_seconds: float = 0.0  # initial batch + admissions
     admission_seconds: float = 0.0  # admissions only (inside the loop)
+    context_hits: int = 0  # admissions served from a context snapshot
+    context_prefills: int = 0  # contexts prefilled + snapshotted
+    forced_tokens: int = 0  # suffix tokens teacher-forced in-loop
 
     @property
     def decode_seconds(self) -> float:
@@ -101,6 +113,7 @@ class ContinuousBatcher:
         top_p: float = 0.9,
         stop_ids: tuple[int, ...] = (),
         seed: int = 0,
+        max_contexts: int = 2,
     ):
         assert engine.cache_cfg.mode in ("shadow", "shadow_offload"), (
             "continuous batching serves the shadow cache modes"
@@ -115,6 +128,12 @@ class ContinuousBatcher:
         self.sample_args = (temperature, top_k, top_p)
         self.stop_ids = stop_ids
         self.seed = seed
+        # Shared-prefix snapshots: context_id -> (prefix fingerprint,
+        # last-prefix-token logits [1,1,V], 1-slot cache pytree). Each
+        # snapshot holds one slot's full shadow state (U/SV/landmarks/
+        # buffers/V) in HBM — max_contexts bounds that memory; LRU.
+        self.max_contexts = max_contexts
+        self._ctx: dict = {}
 
     def run(self, requests: Sequence[Request]) -> tuple[dict, ServeStats]:
         """Serve ``requests`` to completion. Returns
@@ -123,24 +142,64 @@ class ContinuousBatcher:
         stats = ServeStats()
         queue = list(requests)
         assert queue, "no requests"
-        s = len(queue[0].input_ids)
-        assert all(len(r.input_ids) == s for r in queue), (
-            "all requests must share one (bucketed) prompt length — the "
-            "shadow layout is static per prefill length"
+
+        def prefix_len(r: Request) -> int:
+            return (
+                r.context_len
+                if r.context_id is not None
+                else len(r.input_ids)
+            )
+
+        def split(r: Request):
+            p = prefix_len(r)
+            return r.input_ids[:p], [int(t) for t in r.input_ids[p:]]
+
+        s = prefix_len(queue[0])
+        assert all(prefix_len(r) == s for r in queue), (
+            "all requests must share one (bucketed) PREFILL length — the "
+            "shadow layout is static per prefill length (for context "
+            "requests that is context_len; suffixes ride the gen region)"
         )
+        if any(r.context_id is not None for r in queue):
+            assert eng.cache_cfg.mode == "shadow", (
+                "shared-prefix context snapshots support the HBM "
+                "'shadow' mode (offload stores V per-path host-side)"
+            )
         cap = eng.cache_cfg.gen_capacity
-        assert all(r.gen_len <= cap for r in queue)
+        assert all(
+            r.gen_len + (len(r.input_ids) - prefix_len(r)) <= cap
+            for r in queue
+        ), "gen_len + suffix length must fit gen_capacity"
         n_slots = min(self.slots, len(queue))
 
         key = jax.random.PRNGKey(self.seed)
         results: dict = {}
         slot_req: list[Optional[Request]] = [None] * n_slots
         slot_tokens: list[list[int]] = [[] for _ in range(n_slots)]
+        # teacher-forced suffix tokens still to consume, per slot
+        slot_forced: list[list[int]] = [[] for _ in range(n_slots)]
+
+        def fingerprint(prefix: np.ndarray):
+            return hash(np.asarray(prefix, np.int32).tobytes())
+
+        def snapshot_context(r: Request, lg_row, cache, i):
+            """LRU-insert slot i's prefilled state for r.context_id."""
+            if r.context_id is None or r.context_id in self._ctx:
+                return
+            if len(self._ctx) >= self.max_contexts:
+                self._ctx.pop(next(iter(self._ctx)))  # evict LRU
+            prefix, _ = split(r)
+            self._ctx[r.context_id] = (
+                fingerprint(prefix),
+                jnp.asarray(lg_row),
+                eng._extract_slot(cache, i),
+            )
+            stats.context_prefills += 1
 
         # --- initial batch prefill (all slots at once) ---
         t0 = time.perf_counter()
         first = [queue.pop(0) for _ in range(n_slots)]
-        ids = np.stack([r.input_ids for r in first])
+        ids = np.stack([split(r)[0] for r in first])
         logits, cache = eng.prefill(ids)
         eng._cache = None  # the decode loop donates the cache
         for i, r in enumerate(first):
@@ -149,6 +208,8 @@ class ContinuousBatcher:
         cache = cache.replace(
             gen_len=jnp.zeros((n_slots,), jnp.int32)
         )
+        for i, r in enumerate(first):
+            snapshot_context(r, logits[i : i + 1], cache, i)
         key, sub = jax.random.split(key)
         tokens = eng._sample(logits, sub, *self.sample_args)  # [B]
         stats.prefill_seconds += time.perf_counter() - t0
@@ -174,38 +235,75 @@ class ContinuousBatcher:
                 return True
             return False
 
+        def start_suffix(i, suffix):
+            """Feed a request's suffix through the decode loop: the
+            first suffix token becomes slot i's next input; the rest
+            wait in slot_forced and override the sampled token step by
+            step (teacher-forcing interleaved with the other slots'
+            live decoding — admission costs no stall). The first
+            GENERATED token is the sampled output of the step that
+            consumes the last suffix token."""
+            nonlocal tokens
+            tokens = tokens.at[i].set(suffix[0])
+            slot_forced[i] = list(suffix[1:])
+            stats.forced_tokens += len(suffix)
+
         def admit(i):
-            """Prefill the next queued request INTO slot i of the live
-            cache (other slots' state untouched — the sub-batch prefill
-            machinery), sample its first token, record it. Loops in the
+            """Prefill (or clone a context snapshot for) the next
+            queued request INTO slot i of the live cache (other slots'
+            state untouched), set up its first input token, record its
+            first generated token when there is no suffix. Loops in the
             degenerate case that a request finishes on its first
             token."""
             nonlocal tokens, cache, key
             while queue and slot_req[i] is None:
                 r = queue.pop(0)
                 t1 = time.perf_counter()
-                # HBM mode prefills into the live cache at slot i;
-                # offload modes additionally overwrite the host V
-                # store's slot (Engine.admit_slot).
-                lg, cache = eng.admit_slot(cache, r.input_ids, i)
+                prefix, suffix = split(r)
+                hit = r.context_id is not None and r.context_id in self._ctx
+                if hit:
+                    fp, lg, small = self._ctx.pop(r.context_id)
+                    assert fp == fingerprint(prefix), (
+                        f"context_id {r.context_id} reused with a "
+                        "different prefix"
+                    )
+                    self._ctx[r.context_id] = (fp, lg, small)  # LRU
+                    cache = eng._merge_slots_v(cache, small, i)
+                    stats.context_hits += 1
+                else:
+                    # HBM mode prefills into the live cache at slot i;
+                    # offload modes additionally overwrite the host V
+                    # store's slot (Engine.admit_slot).
+                    lg, cache = eng.admit_slot(cache, prefix, i)
+                    snapshot_context(r, lg, cache, i)
                 cache = cache.replace(
                     gen_len=cache.gen_len.at[i].set(0)
                 )
-                key, sub = jax.random.split(key)
-                tok = eng._sample(lg, sub, *self.sample_args)  # [1]
-                tokens = tokens.at[i].set(tok[0])
                 slot_req[i] = r
                 stats.admissions += 1
-                span = time.perf_counter() - t1
-                stats.prefill_seconds += span
-                stats.admission_seconds += span
-                record(i, int(np.asarray(tok)[0]))
+                if suffix:
+                    start_suffix(i, suffix)
+                    span = time.perf_counter() - t1
+                    stats.prefill_seconds += span
+                    stats.admission_seconds += span
+                else:
+                    key, sub = jax.random.split(key)
+                    tok = eng._sample(lg, sub, *self.sample_args)  # [1]
+                    tokens = tokens.at[i].set(tok[0])
+                    span = time.perf_counter() - t1
+                    stats.prefill_seconds += span
+                    stats.admission_seconds += span
+                    record(i, int(np.asarray(tok)[0]))
 
         t_loop = time.perf_counter()
-        # record the prefill-sampled first token of the initial batch
+        # first input per initial slot: the prefill-sampled token
+        # (recorded as generated) or the request's first suffix token
         toks0 = np.asarray(tokens)
         for i in range(n_slots):
-            if record(i, int(toks0[i])):
+            _, suffix = split(slot_req[i])
+            if suffix:
+                start_suffix(i, suffix)
+            elif record(i, int(toks0[i])):
                 admit(i)
 
         while any(r is not None for r in slot_req):
@@ -230,11 +328,22 @@ class ContinuousBatcher:
             stats.decode_steps += 1
 
             toks = np.asarray(tokens)
+            overrides = {}
             for i, r in enumerate(slot_req):
                 if r is None:
                     continue
-                if record(i, int(toks[i])):
+                if slot_forced[i]:
+                    # mid-suffix: the sampled token is discarded, the
+                    # next teacher-forced suffix token goes in instead
+                    overrides[i] = slot_forced[i].pop(0)
+                elif record(i, int(toks[i])):
                     admit(i)
+            if overrides:
+                idx = jnp.asarray(list(overrides), jnp.int32)
+                val = jnp.asarray(
+                    [overrides[k] for k in overrides], tokens.dtype
+                )
+                tokens = tokens.at[idx].set(val)
 
         jax.block_until_ready(tokens)
         stats.wall_seconds = time.perf_counter() - t_loop
