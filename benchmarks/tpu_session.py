@@ -205,16 +205,74 @@ STAGES = {
 }
 
 
+# Run order = value-per-tunnel-minute: cheap probes, then the headline
+# decode metric and its likely improvements, then correctness (kernel
+# tests), then the secondary regimes/lengths/serving, profiling last.
+_ORDER = [
+    "probe_host", "probe_hostdus",
+    "bench_xla", "bench_wq8",
+    "bench_offload_b6_ring",
+    "kernel_tests",
+    "bench_ring", "bench_pallas", "bench_vs",
+    "bench_wq8_b5", "bench_offload_b8_ring", "bench_offload_b6_pallas",
+    "bench_60k", "bench_244k", "bench_glm",
+    "bench_serve", "bench_serve_ctx", "bench_serve_offload",
+    "prof_prefill_attn",
+]
+assert set(_ORDER) == set(STAGES), (
+    set(_ORDER) ^ set(STAGES)
+)
+STAGES = {k: STAGES[k] for k in _ORDER}
+
+
+def tpu_up(timeout: int = 300) -> bool:
+    """Quick tunnel probe in a subprocess (a hung jax.devices() must
+    not hang the session)."""
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print('TPU_UP', d)"],
+            capture_output=True, text=True, timeout=timeout,
+        )
+        return "TPU_UP" in p.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_tpu(max_wait: float = float("inf")) -> bool:
+    """Block until the tunnel answers; a stage must not burn its
+    one recorded attempt on a downed tunnel."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        if tpu_up():
+            return True
+        print(f"== tunnel down, waiting (since {round(time.time()-t0)}s)",
+              flush=True)
+        time.sleep(180)
+    return False
+
+
+INFRA_MARKERS = (
+    "UNAVAILABLE", "ABORTED", "DEADLINE_EXCEEDED", "failed to connect",
+    "Connection reset", "TIMEOUT",
+)
+
+
 def done_stages():
+    """Stages with a recorded result. Infra-flap failures (tunnel died
+    mid-stage) do NOT count as done — they retry on the next run."""
     if not os.path.exists(RESULTS):
         return set()
     out = set()
     with open(RESULTS) as f:
         for line in f:
             try:
-                out.add(json.loads(line)["stage"])
+                rec = json.loads(line)
             except Exception:
-                pass
+                continue
+            if not rec.get("ok") and rec.get("infra"):
+                continue
+            out.add(rec["stage"])
     return out
 
 
@@ -238,6 +296,7 @@ def main():
             continue
         spec = STAGES[name]
         env = dict(os.environ, **spec["env"])
+        wait_for_tpu()
         print(f"== {name}: {' '.join(spec['cmd'])} {spec['env']}",
               flush=True)
         t0 = time.time()
@@ -258,6 +317,10 @@ def main():
             "ok": ok,
             "seconds": round(time.time() - t0, 1),
             "tail": tail,
+            "infra": (
+                not ok
+                and any(m in ln for ln in tail for m in INFRA_MARKERS)
+            ),
         }
         with open(RESULTS, "a") as f:
             f.write(json.dumps(rec) + "\n")
