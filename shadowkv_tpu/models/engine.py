@@ -412,6 +412,15 @@ class Engine:
             ),
             donate_argnums=(0,), out_shardings=pinned,
         )
+        # one batch slot's rows OUT of the pinned store, staying in
+        # pinned host memory (context snapshots never cross the tunnel)
+        self._pinned_slice = jax.jit(
+            lambda a, o: jax.lax.dynamic_slice(
+                a, (0, o) + (0,) * (a.ndim - 2),
+                (a.shape[0], 1) + a.shape[2:],
+            ),
+            out_shardings=pinned,
+        )
 
     @property
     def is_shadow(self) -> bool:
@@ -559,6 +568,55 @@ class Engine:
             self._host_v = self._pinned_zeros(shape, v_sub.dtype)
         part = jax.device_put(v_sub, self._pinned_sharding())
         self._host_v = self._pinned_dus(self._host_v, part, b0)
+
+    def _pinned_host_direct(self) -> bool:
+        """True when slot snapshots/restores can stay entirely in the
+        device's pinned host memory (no numpy staging across the
+        tunnel) — same conditions as admit_slot's pinned path."""
+        return (
+            self._host_v_np is None
+            and self.mesh is None
+            and self._host_space_update_supported()
+        )
+
+    def host_slot_rows(self, slot: int):
+        """Copy one batch slot's chunk-major V rows out of the host
+        store (serving's shared-prefix context snapshots). Returns a
+        pinned-host jax array when the platform supports host-space
+        slicing, else a local numpy copy."""
+        assert self.cache_cfg.mode == "shadow_offload"
+        if self.ring_host:
+            if self._pinned_host_direct():
+                return self._pinned_slice(self._host_v, slot)
+            src = (
+                self._host_v_np
+                if self._host_v_np is not None
+                else np.asarray(self._host_v)
+            )
+            return np.array(src[:, slot : slot + 1])
+        l, b, k, c, cs, dh = self.v_store.shape
+        return np.array(
+            self.v_store.rows.reshape(l, b, k, c, cs, dh)[
+                :, slot : slot + 1
+            ]
+        )
+
+    def set_host_slot_rows(self, rows, slot: int) -> None:
+        """Restore one slot's host-side V rows (context snapshot
+        reuse); the same write paths as admit_slot."""
+        assert self.cache_cfg.mode == "shadow_offload"
+        if self.ring_host:
+            if isinstance(rows, jax.Array) and self._pinned_host_direct():
+                self._host_v = self._pinned_dus(self._host_v, rows, slot)
+                return
+            if self._host_v_np is None:
+                self._host_v_np = np.array(self._host_v)
+            self._host_v_np[:, slot : slot + 1] = np.asarray(rows)
+            self._host_v = jax.device_put(
+                self._host_v_np, self._pinned_sharding()
+            )
+            return
+        self.v_store.update_slot(slot, np.asarray(rows))
 
     def _prefill_offload_incremental(
         self, input_ids, layout, t: int, logits_parts: list

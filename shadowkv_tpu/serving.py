@@ -160,11 +160,7 @@ class ContinuousBatcher:
             "shadow layout is static per prefill length (for context "
             "requests that is context_len; suffixes ride the gen region)"
         )
-        if any(r.context_id is not None for r in queue):
-            assert eng.cache_cfg.mode == "shadow", (
-                "shared-prefix context snapshots support the HBM "
-                "'shadow' mode (offload stores V per-path host-side)"
-            )
+        offload = eng.cache_cfg.mode == "shadow_offload"
         cap = eng.cache_cfg.gen_capacity
         assert all(
             r.gen_len + (len(r.input_ids) - prefix_len(r)) <= cap
@@ -183,7 +179,9 @@ class ContinuousBatcher:
             return hash(np.asarray(prefix, np.int32).tobytes())
 
         def snapshot_context(r: Request, lg_row, cache, i):
-            """LRU-insert slot i's prefilled state for r.context_id."""
+            """LRU-insert slot i's prefilled state for r.context_id.
+            In offload mode the slot's host-side V rows ride along
+            (the device pytree carries only a placeholder)."""
             if r.context_id is None or r.context_id in self._ctx:
                 return
             if len(self._ctx) >= self.max_contexts:
@@ -193,6 +191,7 @@ class ContinuousBatcher:
                 fingerprint(prefix),
                 jnp.asarray(lg_row),
                 eng._extract_slot(cache, i),
+                eng.host_slot_rows(i) if offload else None,
             )
             stats.context_prefills += 1
 
@@ -262,13 +261,19 @@ class ContinuousBatcher:
                 prefix, suffix = split(r)
                 hit = r.context_id is not None and r.context_id in self._ctx
                 if hit:
-                    fp, lg, small = self._ctx.pop(r.context_id)
+                    fp, lg, small, host_rows = self._ctx.pop(r.context_id)
                     assert fp == fingerprint(prefix), (
                         f"context_id {r.context_id} reused with a "
                         "different prefix"
                     )
-                    self._ctx[r.context_id] = (fp, lg, small)  # LRU
-                    cache = eng._merge_slots_v(cache, small, i)
+                    self._ctx[r.context_id] = (fp, lg, small, host_rows)
+                    if offload:
+                        # the device pytree's v_full is a placeholder;
+                        # the slot's real V rows restore host-side
+                        cache = eng._merge_slots(cache, small, i)
+                        eng.set_host_slot_rows(host_rows, i)
+                    else:
+                        cache = eng._merge_slots_v(cache, small, i)
                     stats.context_hits += 1
                 else:
                     # HBM mode prefills into the live cache at slot i;

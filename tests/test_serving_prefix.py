@@ -32,26 +32,28 @@ def setup():
     return cfg, params
 
 
-def _cache_cfg():
+def _cache_cfg(mode="shadow"):
     return CacheConfig(
-        mode="shadow", max_length=PREFIX_LEN, sparse_budget=64, rank=32,
+        mode=mode, max_length=PREFIX_LEN, sparse_budget=64, rank=32,
         outlier_chunks=4, gen_capacity=32,
     )
 
 
-def _engine(cfg, params, batch):
+def _engine(cfg, params, batch, mode="shadow", ring=None):
     return Engine(
-        cfg, _cache_cfg(),
-        RuntimeConfig(prefill_block_q=64, batch_size=batch), params,
+        cfg, _cache_cfg(mode),
+        RuntimeConfig(prefill_block_q=64, batch_size=batch,
+                      ring_gather=ring), params,
     )
 
 
-def _oracle(cfg, params, prefix, suffix, gen_len):
+def _oracle(cfg, params, prefix, suffix, gen_len, mode="shadow",
+            ring=None):
     """generate(prefix) -> generate(suffix, cont=True): the engine's
     multi-turn continuation path (prefix prefill + suffix through
     decode steps — the same math as a prefix-cache admission)."""
     assert len(suffix) > 0
-    eng = _engine(cfg, params, 1)
+    eng = _engine(cfg, params, 1, mode, ring)
     eng.generate(prefix[None], gen_len=1, temperature=0.0)
     out, _ = eng.generate(suffix[None], gen_len=gen_len, temperature=0.0,
                           cont=True)
@@ -59,7 +61,12 @@ def _oracle(cfg, params, prefix, suffix, gen_len):
     return out[0]
 
 
-def test_prefix_cache_matches_multiturn_oracle(setup):
+@pytest.mark.parametrize(
+    "mode,ring",
+    [("shadow", None), ("shadow_offload", True), ("shadow_offload", None)],
+    ids=["hbm", "offload-ring", "offload-callback"],
+)
+def test_prefix_cache_matches_multiturn_oracle(setup, mode, ring):
     cfg, params = setup
     rng = np.random.RandomState(0)
     prefix = rng.randint(1, cfg.vocab_size, PREFIX_LEN).astype(np.int32)
@@ -77,7 +84,7 @@ def test_prefix_cache_matches_multiturn_oracle(setup):
         )
         for i, suf in enumerate(suffixes)
     ]
-    eng = _engine(cfg, params, 2)
+    eng = _engine(cfg, params, 2, mode, ring)
     cb = ContinuousBatcher(eng, slots=2, temperature=0.0)
     results, stats = cb.run(reqs)
     assert stats.completed_requests == 4
@@ -87,7 +94,7 @@ def test_prefix_cache_matches_multiturn_oracle(setup):
     assert stats.context_prefills >= 1
     assert stats.forced_tokens == 4 * SUF
     for i, suf in enumerate(suffixes):
-        want = _oracle(cfg, params, prefix, suf, GEN)
+        want = _oracle(cfg, params, prefix, suf, GEN, mode, ring)
         np.testing.assert_array_equal(
             results[i], np.asarray(want), err_msg=f"request {i}"
         )
