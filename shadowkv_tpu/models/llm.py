@@ -78,13 +78,8 @@ class LLM:
             "SHADOWKV_MODEL_DIR", ""
         )
         self.tokenizer = self._load_tokenizer()
-        params = self._load_params()
-        if weight_quant == "int8":
-            from shadowkv_tpu.core.wquant import quantize_params
-
-            params = jax.jit(quantize_params)(params)
-        else:
-            assert weight_quant in ("none", None), weight_quant
+        assert weight_quant in ("none", "int8", None), weight_quant
+        params = self._load_params(weight_quant or "none")
 
         self.cache_cfg = CacheConfig(
             mode=attn_mode,
@@ -131,15 +126,25 @@ class LLM:
         )
         return None
 
-    def _load_params(self):
+    def _load_params(self, weight_quant: str = "none"):
         if self.model_dir and os.path.isdir(self.model_dir):
-            return load_hf_params(self.model_dir, self.config)
+            # quantization happens host-side inside the loader: the
+            # device peak is the FINAL params (quantize-after-load
+            # would stage bf16 + int8 copies of an 8B model at once)
+            return load_hf_params(
+                self.model_dir, self.config, weight_quant=weight_quant
+            )
         print(
             f"[LLM] no checkpoint dir for {self.model_name}; using "
             "synthetic weights (throughput benchmarking only)",
             file=sys.stderr,
         )
-        return init_synthetic_params(self.config, jax.random.PRNGKey(0))
+        params = init_synthetic_params(self.config, jax.random.PRNGKey(0))
+        if weight_quant == "int8":
+            from shadowkv_tpu.core.wquant import quantize_params
+
+            params = jax.jit(quantize_params)(params)
+        return params
 
     def _resolve_stop_ids(self) -> tuple[int, ...]:
         if self.tokenizer is None:

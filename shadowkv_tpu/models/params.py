@@ -82,7 +82,20 @@ def _open_shards(model_dir: str):
     return get, shard_of
 
 
-def load_hf_params(model_dir: str, cfg: ModelConfig) -> ModelParams:
+def _quantize_np(w: np.ndarray, reduce_axis: int = -2):
+    """Host-side mirror of core/wquant.quantize_weight (same math so
+    loader-quantized and jit-quantized params are bit-identical)."""
+    amax = np.max(np.abs(w), axis=reduce_axis)
+    s = np.maximum(amax, 1e-8) / 127.0
+    q = np.clip(
+        np.round(w / np.expand_dims(s, reduce_axis)), -127, 127
+    ).astype(np.int8)
+    return q, s.astype(np.float32)
+
+
+def load_hf_params(
+    model_dir: str, cfg: ModelConfig, weight_quant: str = "none"
+) -> ModelParams:
     """Load an HF safetensors checkpoint into stacked params.
 
     Handles the reference model zoo's weight layouts (reference
@@ -94,17 +107,30 @@ def load_hf_params(model_dir: str, cfg: ModelConfig) -> ModelParams:
 
     HF stores projections as [out, in]; we transpose to [in, out] for
     x @ W matmuls and fuse along the output dim.
+
+    All staging happens in HOST numpy: per-layer tensors convert to
+    their final dtype (cfg.dtype, or int8 QTensors when
+    ``weight_quant='int8'``) before anything touches the device, so
+    the device peak is the final params — quantize-after-load would
+    put bf16 AND int8 copies of an 8B model on a 16 GB chip at once,
+    and the old per-layer f32 device staging alone was 2x the model.
     """
+    from shadowkv_tpu.core.wquant import QTensor
+
     get, shard_of = _open_shards(model_dir)
-    dt = cfg.dtype
+    np_dt = np.dtype(cfg.dtype)
+    q8 = weight_quant == "int8"
+    assert weight_quant in ("none", "int8"), weight_quant
 
     def t(name):
-        return jnp.asarray(
-            get(name).astype(np.float32), dtype=jnp.float32
-        )
+        return get(name).astype(np.float32)
 
     def has(name):
         return name in shard_of
+
+    def w_final(w: np.ndarray):
+        """f32 [in, out] host weight -> final-dtype host leaf."""
+        return _quantize_np(w) if q8 else w.astype(np_dt)
 
     layers = []
     for i in range(cfg.num_layers):
@@ -117,7 +143,7 @@ def load_hf_params(model_dir: str, cfg: ModelConfig) -> ModelParams:
                 else None
             )
         else:
-            wqkv = jnp.concatenate(
+            wqkv = np.concatenate(
                 [
                     t(p + "self_attn.q_proj.weight").T,
                     t(p + "self_attn.k_proj.weight").T,
@@ -127,7 +153,7 @@ def load_hf_params(model_dir: str, cfg: ModelConfig) -> ModelParams:
             )
             bqkv = None
             if cfg.qkv_bias and has(p + "self_attn.q_proj.bias"):
-                bqkv = jnp.concatenate(
+                bqkv = np.concatenate(
                     [
                         t(p + "self_attn.q_proj.bias"),
                         t(p + "self_attn.k_proj.bias"),
@@ -138,7 +164,7 @@ def load_hf_params(model_dir: str, cfg: ModelConfig) -> ModelParams:
         if has(p + "mlp.gate_up_proj.weight"):  # phi3/glm fused
             w_gate_up = t(p + "mlp.gate_up_proj.weight").T
         else:
-            w_gate_up = jnp.concatenate(
+            w_gate_up = np.concatenate(
                 [
                     t(p + "mlp.gate_proj.weight").T,
                     t(p + "mlp.up_proj.weight").T,
@@ -147,27 +173,49 @@ def load_hf_params(model_dir: str, cfg: ModelConfig) -> ModelParams:
             )
         layers.append(
             LayerParams(
-                attn_norm=t(p + "input_layernorm.weight"),
-                wqkv=wqkv,
-                bqkv=bqkv,
-                wo=t(p + "self_attn.o_proj.weight").T,
-                mlp_norm=t(p + "post_attention_layernorm.weight"),
-                w_gate_up=w_gate_up,
-                w_down=t(p + "mlp.down_proj.weight").T,
+                attn_norm=t(p + "input_layernorm.weight").astype(np_dt),
+                wqkv=w_final(wqkv),
+                bqkv=None if bqkv is None else bqkv.astype(np_dt),
+                mlp_norm=t(
+                    p + "post_attention_layernorm.weight"
+                ).astype(np_dt),
+                wo=w_final(t(p + "self_attn.o_proj.weight").T),
+                w_gate_up=w_final(w_gate_up),
+                w_down=w_final(t(p + "mlp.down_proj.weight").T),
             )
         )
 
+    # stack per-leaf on host ((q, s) tuples stack leaf-wise), then one
+    # device transfer per leaf
     stacked = jax.tree.map(
-        lambda *xs: jnp.stack(xs).astype(dt), *layers
+        lambda *xs: jnp.asarray(np.stack(xs)), *layers
     )
-    embed = t("model.embed_tokens.weight").astype(dt)
+    if q8:
+        stacked = LayerParams(
+            attn_norm=stacked.attn_norm,
+            wqkv=QTensor(*stacked.wqkv),
+            bqkv=stacked.bqkv,
+            wo=QTensor(*stacked.wo),
+            mlp_norm=stacked.mlp_norm,
+            w_gate_up=QTensor(*stacked.w_gate_up),
+            w_down=QTensor(*stacked.w_down),
+        )
+    embed_np = t("model.embed_tokens.weight")
     if cfg.tie_word_embeddings or not has("lm_head.weight"):
-        lm_head = embed.T
+        lm_head_np = embed_np.T
     else:
-        lm_head = t("lm_head.weight").T.astype(dt)
+        lm_head_np = t("lm_head.weight").T
+    if q8:
+        embed = QTensor(
+            *map(jnp.asarray, _quantize_np(embed_np, reduce_axis=-1))
+        )
+        lm_head = QTensor(*map(jnp.asarray, _quantize_np(lm_head_np)))
+    else:
+        embed = jnp.asarray(embed_np.astype(np_dt))
+        lm_head = jnp.asarray(lm_head_np.astype(np_dt))
     return ModelParams(
         embed=embed,
         layers=stacked,
-        final_norm=t("model.norm.weight").astype(dt),
+        final_norm=jnp.asarray(t("model.norm.weight").astype(np_dt)),
         lm_head=lm_head,
     )

@@ -165,3 +165,39 @@ def test_quantized_params_shard_over_mesh(toy_params):
     )
     out, _ = eng.generate(ids, gen_len=8)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
+
+
+def test_loader_quantization_matches_jit_quantization(tmp_path):
+    """load_hf_params(weight_quant='int8') (host-side numpy quantize,
+    the memory-safe path for real 8B checkpoints) must produce
+    bit-identical QTensors to quantize_params on the bf16-loaded
+    params."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from shadowkv_tpu.config import ModelConfig
+    from shadowkv_tpu.models.params import load_hf_params
+
+    hf_cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, rope_theta=10000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False,
+        attention_bias=False,
+    )
+    LlamaForCausalLM(hf_cfg).eval().save_pretrained(
+        tmp_path, safe_serialization=True
+    )
+    cfg = ModelConfig(
+        name="tiny-llama", num_layers=2, hidden_size=64, num_heads=4,
+        num_kv_heads=2, head_dim=16, intermediate_size=112,
+        vocab_size=128, rope_theta=10000.0, dtype=jnp.float32,
+    )
+    base = load_hf_params(str(tmp_path), cfg)
+    want = quantize_params(base)
+    got = load_hf_params(str(tmp_path), cfg, weight_quant="int8")
+
+    def leaves(t):
+        return jax.tree.leaves(t)
+
+    for a, b in zip(leaves(got), leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
