@@ -217,23 +217,43 @@ def main():
         if family == "glm"
         else {}
     )
-    cfg_kw = dict(
-        name=f"sbench-1.4b-{family}",
-        num_layers=16,
-        hidden_size=2048,
-        num_heads=16,
-        num_kv_heads=8,
-        head_dim=128,
-        intermediate_size=5632,
-        vocab_size=32768,
-        rope_theta=500000.0,
-        # f32 escape hatch for CPU smoke tests (CPU XLA lacks bf16 dots)
-        dtype=(
-            jnp.float32
-            if os.environ.get("BENCH_DTYPE") == "f32"
-            else jnp.bfloat16
-        ),
-    )
+    # BENCH_MODEL=8b: the EXACT Llama-3.1-8B dims (the north-star
+    # metric's model) with synthetic values. bf16 weights alone are
+    # 16 GB, so this shape requires the int8 weight path (forced) and
+    # host-side init — ShadowKV + int8 weights is what makes 8B@122K
+    # runnable on a 16 GB chip at all.
+    model_size = os.environ.get("BENCH_MODEL", "1.4b")
+    if model_size == "8b":
+        cfg_kw = dict(
+            name=f"sbench-8b-{family}",
+            num_layers=32,
+            hidden_size=4096,
+            num_heads=32,
+            num_kv_heads=8,
+            head_dim=128,
+            intermediate_size=14336,
+            vocab_size=128256,
+            rope_theta=500000.0,
+            dtype=jnp.bfloat16,
+        )
+    else:
+        cfg_kw = dict(
+            name=f"sbench-1.4b-{family}",
+            num_layers=16,
+            hidden_size=2048,
+            num_heads=16,
+            num_kv_heads=8,
+            head_dim=128,
+            intermediate_size=5632,
+            vocab_size=32768,
+            rope_theta=500000.0,
+            # f32 escape hatch for CPU smoke tests (CPU lacks bf16 dots)
+            dtype=(
+                jnp.float32
+                if os.environ.get("BENCH_DTYPE") == "f32"
+                else jnp.bfloat16
+            ),
+        )
     cfg_kw.update(family_kw)
     cfg = toy_config(**cfg_kw)
     rt = RuntimeConfig(
@@ -243,12 +263,21 @@ def main():
         prefill_pattern=prefill_pattern,
     )
     log(f"devices: {jax.devices()}")
-    params = init_synthetic_params(cfg, jax.random.PRNGKey(0))
-    if os.environ.get("BENCH_WQUANT", "") == "int8":
-        from shadowkv_tpu.core.wquant import quantize_params
+    wquant = os.environ.get("BENCH_WQUANT", "")
+    if model_size == "8b":
+        # host-side init + forced int8: a device bf16 8B init would
+        # fill HBM before quantization could run
+        from shadowkv_tpu.models.params import init_synthetic_params_host
 
-        params = jax.jit(quantize_params)(params)
-        log("weights: int8 per-channel (BENCH_WQUANT=int8)")
+        params = init_synthetic_params_host(cfg, weight_quant="int8")
+        log("weights: 8B shape, int8 per-channel (host-side init)")
+    else:
+        params = init_synthetic_params(cfg, jax.random.PRNGKey(0))
+        if wquant == "int8":
+            from shadowkv_tpu.core.wquant import quantize_params
+
+            params = jax.jit(quantize_params)(params)
+            log("weights: int8 per-channel (BENCH_WQUANT=int8)")
     jax.block_until_ready(params)
 
     if bench_mode == "serve":

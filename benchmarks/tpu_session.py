@@ -148,6 +148,19 @@ STAGES = {
         },
         "timeout": 5400,
     },
+    # THE north-star metric's model: exact Llama-3.1-8B dims at 122K
+    # on one chip. bf16 weights alone are 16 GB — int8 weights + the
+    # shadow cache are what make this runnable at all (full attention
+    # has no feasible batch). Shadow-only, b1.
+    "bench_8b": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_MODEL": "8b",
+            "BENCH_SHADOW_BATCH": "1",
+        },
+        "timeout": 7200,
+    },
     # GLM-4 head layout (4 KV groups, partial interleaved RoPE, QKV
     # bias): half the KV state of the llama shape -> b6; exercises the
     # GLM reconstruction-kernel variant e2e (reference glm.py).
@@ -210,7 +223,7 @@ STAGES = {
 # tests), then the secondary regimes/lengths/serving, profiling last.
 _ORDER = [
     "probe_host", "probe_hostdus",
-    "bench_xla", "bench_wq8",
+    "bench_xla", "bench_wq8", "bench_8b",
     "bench_offload_b6_ring",
     "kernel_tests",
     "bench_ring", "bench_pallas", "bench_vs",

@@ -82,6 +82,47 @@ def _open_shards(model_dir: str):
     return get, shard_of
 
 
+def init_synthetic_params_host(
+    cfg: ModelConfig, seed: int = 0, weight_quant: str = "none",
+    scale: float = 0.02,
+) -> ModelParams:
+    """Synthetic weights staged in HOST numpy, each leaf converted to
+    its final dtype (cfg.dtype or int8 QTensor) before touching the
+    device — required for 8B-scale bench models, where a device bf16
+    init would fill the 16 GB chip before quantization could run."""
+    from shadowkv_tpu.core.wquant import QTensor
+
+    rng = np.random.default_rng(seed)
+    np_dt = np.dtype(cfg.dtype)
+    q8 = weight_quant == "int8"
+    l, d = cfg.num_layers, cfg.hidden_size
+    qkv_out = (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim
+
+    def w(shape, reduce_axis=-2):
+        x = (rng.standard_normal(shape, np.float32) * scale)
+        if q8:
+            return QTensor(*map(
+                jnp.asarray, _quantize_np(x, reduce_axis=reduce_axis)
+            ))
+        return jnp.asarray(x.astype(np_dt))
+
+    layers = LayerParams(
+        attn_norm=jnp.ones((l, d), cfg.dtype),
+        wqkv=w((l, d, qkv_out)),
+        bqkv=jnp.zeros((l, qkv_out), cfg.dtype) if cfg.qkv_bias else None,
+        wo=w((l, cfg.q_size, d)),
+        mlp_norm=jnp.ones((l, d), cfg.dtype),
+        w_gate_up=w((l, d, 2 * cfg.intermediate_size)),
+        w_down=w((l, cfg.intermediate_size, d)),
+    )
+    return ModelParams(
+        embed=w((cfg.vocab_size, d), reduce_axis=-1),
+        layers=layers,
+        final_norm=jnp.ones((d,), cfg.dtype),
+        lm_head=w((d, cfg.vocab_size)),
+    )
+
+
 def _quantize_np(w: np.ndarray, reduce_axis: int = -2):
     """Host-side mirror of core/wquant.quantize_weight (same math so
     loader-quantized and jit-quantized params are bit-identical)."""
