@@ -50,6 +50,27 @@ STAGES = {
         "env": {},
         "timeout": 1800,
     },
+    # Compile-only HBM-fit probes (AOT memory_analysis): ~1-2 min each
+    # vs a failed 20-min bench. Run before their bench stages.
+    "probe_mem_8b": {
+        "cmd": [sys.executable, "benchmarks/probe_memory.py"],
+        "env": {"BENCH_MODEL": "8b", "BENCH_SHADOW_BATCH": "1"},
+        "timeout": 2400,
+    },
+    "probe_mem_wq8_b5": {
+        "cmd": [sys.executable, "benchmarks/probe_memory.py"],
+        "env": {"BENCH_WQUANT": "int8", "BENCH_SHADOW_BATCH": "5"},
+        "timeout": 2400,
+    },
+    "probe_mem_244k": {
+        "cmd": [sys.executable, "benchmarks/probe_memory.py"],
+        "env": {
+            "BENCH_DATALEN": "249856",
+            "BENCH_SHADOW_BATCH": "2",
+            "BENCH_WQUANT": "int8",
+        },
+        "timeout": 2400,
+    },
     "bench_xla": {
         "cmd": [sys.executable, "bench.py"],
         "env": {},
@@ -223,6 +244,7 @@ STAGES = {
 # tests), then the secondary regimes/lengths/serving, profiling last.
 _ORDER = [
     "probe_host", "probe_hostdus",
+    "probe_mem_8b", "probe_mem_wq8_b5", "probe_mem_244k",
     "bench_xla", "bench_wq8", "bench_8b",
     "bench_offload_b6_ring",
     "kernel_tests",
