@@ -121,3 +121,29 @@ def test_sp_rejects_unsupported_modes():
     with pytest.raises(AssertionError, match="XLA decode"):
         Engine(cfg, cc, RuntimeConfig(sp=2, tp=4, ring_gather=True),
                params)
+
+
+def test_engine_sp_generation_with_int8_weights():
+    """QTensor weights (core/wquant.py) under the (dp, sp, tp) mesh:
+    sp-sharded generation must reproduce the single-device engine's
+    greedy tokens with the same quantized params."""
+    from shadowkv_tpu.core.wquant import quantize_params
+
+    cfg = _toy()
+    params = quantize_params(
+        init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
+    )
+    cc = CacheConfig(
+        mode="shadow", max_length=512, sparse_budget=64,
+        rank=32, outlier_chunks=4, gen_capacity=32,
+    )
+    ids = np.random.RandomState(2).randint(0, cfg.vocab_size, (4, 256))
+
+    def run(rt):
+        eng = Engine(cfg, cc, rt, params)
+        out, _ = eng.generate(ids, gen_len=8)
+        return out
+
+    ref = run(RuntimeConfig(prefill_block_q=64))
+    got = run(RuntimeConfig(prefill_block_q=64, dp=1, tp=2, sp=2))
+    np.testing.assert_array_equal(ref, got)
