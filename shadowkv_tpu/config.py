@@ -149,6 +149,13 @@ class RuntimeConfig:
     # sequence parallelism at all (SURVEY §5.7); this is the TPU-native
     # long-context scaling axis. Shadow HBM mode + XLA decode path only.
     sp: int = 1
+    # Pipeline parallelism: pp > 1 shards the LAYER axis over a 'pp'
+    # mesh — each stage holds L/pp layers' weights, factors, landmarks,
+    # buffers and V store (per-chip memory 1/pp of everything
+    # layer-shaped); decode runs a circular microbatch pipeline with
+    # ppermute handoffs (parallel/pipeline.py). v1: composes with no
+    # other axis; HBM shadow mode + XLA decode path.
+    pp: int = 1
     # Prefill attention pattern: 'dense' (flash causal),
     # 'dense-splash' (causal via the splash MQA kernel — same math,
     # GQA K/V consumed natively so the two [B, H, S, Dh] repeats that

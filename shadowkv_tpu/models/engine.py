@@ -127,7 +127,32 @@ class Engine:
         # mesh for their shard_map islands (cache/shadow.py).
         self.mesh = None
         self._sp_prefill_jits = {}
-        if rt.dp * rt.tp * rt.sp > 1:
+        self.pp = rt.pp
+        if rt.pp > 1:
+            # Pipeline parallelism: layers shard their leading L axis
+            # over a 'pp' mesh; decode runs the circular microbatch
+            # pipeline (parallel/pipeline.py). v1 composes with no
+            # other axis and serves the HBM shadow mode + XLA path.
+            from shadowkv_tpu.parallel import mesh as mesh_lib
+
+            assert rt.dp == rt.tp == rt.sp == 1, (
+                "pp composes with no other mesh axis (v1)"
+            )
+            assert cache_cfg.mode == "shadow", (
+                "pp > 1 supports cache mode 'shadow' (HBM) only"
+            )
+            assert not (rt.ring_gather or rt.use_pallas), (
+                "pp > 1 runs the XLA decode path"
+            )
+            assert model.num_layers % rt.pp == 0, (
+                f"pp={rt.pp} must divide num_layers {model.num_layers}"
+            )
+            self.mesh = mesh_lib.build_mesh_pp(rt.pp)
+            self.params = mesh_lib.shard_pytree(
+                self.mesh, self.params,
+                mesh_lib.param_pspecs_pp(self.params),
+            )
+        elif rt.dp * rt.tp * rt.sp > 1:
             from shadowkv_tpu.parallel import mesh as mesh_lib
 
             self.mesh = mesh_lib.build_mesh(rt.dp, rt.tp, rt.sp)
@@ -158,11 +183,12 @@ class Engine:
             return cache
         from shadowkv_tpu.parallel import mesh as mesh_lib
 
-        pspecs = (
-            mesh_lib.shadow_cache_pspecs(cache, self.mesh)
-            if isinstance(cache, ShadowCache)
-            else mesh_lib.full_cache_pspecs(cache, self.mesh)
-        )
+        if self.pp > 1:
+            pspecs = mesh_lib.shadow_cache_pspecs_pp(cache)
+        elif isinstance(cache, ShadowCache):
+            pspecs = mesh_lib.shadow_cache_pspecs(cache, self.mesh)
+        else:
+            pspecs = mesh_lib.full_cache_pspecs(cache, self.mesh)
         return mesh_lib.shard_pytree(self.mesh, cache, pspecs)
 
     # -- jit construction ---------------------------------------------------
@@ -310,6 +336,19 @@ class Engine:
                 return decode_shadow_jit(
                     params, cache, tokens, key, *sample, engine._kernel_now
                 )
+
+        if self.pp > 1:
+            # layer-pipelined decode (parallel/pipeline.py)
+            from shadowkv_tpu.parallel.pipeline import decode_shadow_pp
+
+            @partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(1,))
+            def decode_shadow_fn(params, cache, tokens, key, temperature,
+                                 top_k, top_p):
+                logits, cache = decode_shadow_pp(
+                    model, params, cache, tokens, self.cos_table,
+                    self.sin_table, engine.mesh, approx_topk=approx_topk,
+                )
+                return _sample(logits, key, temperature, top_k, top_p), cache
 
         @partial(jax.jit, static_argnums=(2, 3, 4))
         def sample_fn(logits, key, temperature, top_k, top_p):
@@ -545,7 +584,7 @@ class Engine:
         return self._host_dus
 
     def _pinned_sharding(self):
-        if self.mesh is not None:
+        if self.mesh is not None and "dp" in self.mesh.axis_names:
             return jax.sharding.NamedSharding(
                 self.mesh,
                 jax.sharding.PartitionSpec(None, "dp", "tp"),

@@ -63,6 +63,8 @@ class LLM:
         dp: int = 1,  # device-mesh axes (parallel/mesh.py): batch on
         tp: int = 1,  # dp, GQA KV heads + factors + buffers on tp
         sp: int = 1,  # sequence-parallel prefill shards (shadow mode)
+        pp: int = 1,  # pipeline stages: layer axis sharded, decode =
+        # circular microbatch pipeline (parallel/pipeline.py)
         weight_quant: str = "none",  # 'int8': weight-only quantized
         # dense path (core/wquant.py) — fits 8B weights on a 16 GB chip
     ):
@@ -99,7 +101,7 @@ class LLM:
         rt = RuntimeConfig(
             batch_size=batch_size, prefill_sub_batch=prefill_sub_batch,
             prefill_pattern=pattern,
-            dp=dp, tp=tp, sp=sp,
+            dp=dp, tp=tp, sp=sp, pp=pp,
             weight_quant=weight_quant or "none",
         )
         self.engine = Engine(self.config, self.cache_cfg, rt, params)

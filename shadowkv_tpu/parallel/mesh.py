@@ -41,6 +41,60 @@ def build_mesh(dp: int, tp: int, sp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ("dp", "tp"))
 
 
+def build_mesh_pp(pp: int, devices=None) -> Mesh:
+    """1-axis 'pp' mesh for layer-pipelined decode
+    (parallel/pipeline.py). v1 composes with no other axis."""
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= pp, f"need {pp} devices, have {len(devices)}"
+    return Mesh(np.asarray(devices[:pp]), ("pp",))
+
+
+def _pp0(leaf):
+    return P("pp", *([None] * (leaf.ndim - 1)))
+
+
+def param_pspecs_pp(params: ModelParams) -> ModelParams:
+    """Layer-stacked leaves shard their leading L axis over pp; the
+    embedding/head/final-norm are replicated (QTensor-aware)."""
+    lay = params.layers
+    layer_specs = LayerParams(
+        attn_norm=P("pp", None),
+        wqkv=_wspec(lay.wqkv, P("pp", None, None)),
+        bqkv=P("pp", None) if lay.bqkv is not None else None,
+        wo=_wspec(lay.wo, P("pp", None, None)),
+        mlp_norm=P("pp", None),
+        w_gate_up=_wspec(lay.w_gate_up, P("pp", None, None)),
+        w_down=_wspec(lay.w_down, P("pp", None, None)),
+    )
+    return ModelParams(
+        embed=_wspec(params.embed, P(None, None), reduce_axis=-1),
+        layers=layer_specs,
+        final_norm=P(None),
+        lm_head=_wspec(params.lm_head, P(None, None)),
+    )
+
+
+def shadow_cache_pspecs_pp(cache: ShadowCache) -> ShadowCache:
+    """Every [L, ...] cache leaf shards its layer axis over pp (each
+    pipeline stage holds its own layers' factors, landmarks, buffers
+    and V store)."""
+    return ShadowCache(
+        u=_pp0(cache.u),
+        sv=_pp0(cache.sv),
+        landmarks=_pp0(cache.landmarks),
+        landmark_mask=_pp0(cache.landmark_mask),
+        k_buf=_pp0(cache.k_buf),
+        v_buf=_pp0(cache.v_buf),
+        v_full=_pp0(cache.v_full),
+        cached_ids=_pp0(cache.cached_ids),
+        gen_len=P() if cache.gen_len.ndim == 0 else P(None),
+        lm_scale=(
+            None if cache.lm_scale is None else _pp0(cache.lm_scale)
+        ),
+        layout=cache.layout,
+    )
+
+
 def _batch_axes(mesh: Mesh | None):
     """The mesh axes the batch dim shards over: ("dp", "sp") when the
     mesh carries a sequence-parallel axis (decode repurposes sp chips

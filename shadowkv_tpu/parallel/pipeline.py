@@ -1,0 +1,208 @@
+"""Pipeline-parallel (pp) sparse decode: layers sharded over a 'pp'
+mesh axis, activations flowing chip-to-chip through a circular
+microbatch pipeline.
+
+The reference has no model parallelism at all (SURVEY §2.4); tensor
+(tp) and sequence (sp) sharding are implemented in mesh.py/forward.py.
+pp completes the set for models whose WEIGHTS outgrow one chip: chip p
+holds layers [p*L/pp, (p+1)*L/pp) — weights, low-rank factors,
+landmarks, compact buffers and the V store all shard their leading L
+axis, so per-chip memory is 1/pp of everything layer-shaped.
+
+Schedule (GPipe-style circular pipeline, the standard TPU inference
+pipelining recipe): the batch splits into M microbatches; at clock
+tick t chip p runs its local layers on microbatch (t - p) and
+`ppermute`s the activation to chip p+1. All chips stay busy once the
+pipeline fills; the fill/drain bubble is (pp-1)/(M+pp-1) of the step.
+
+Decode-path scope (v1): the XLA gather path over the HBM shadow cache
+(the Pallas ring/refresh kernels and host-offload stores keep their
+(dp, tp) shard_map islands; composing them with pp is future work).
+Greedy tokens are bit-identical to the single-device engine
+(tests/test_pp.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from shadowkv_tpu.cache.shadow import (
+    ShadowCache,
+    shadow_decode_layer,
+    split_cache,
+)
+from shadowkv_tpu.config import ModelConfig
+from shadowkv_tpu.core import wquant
+from shadowkv_tpu.core.attention import decode_attention_hm
+from shadowkv_tpu.core.layers import ModelParams
+
+
+def _slice_b(tree, lo, size, axis):
+    """dynamic_slice a microbatch out of every leaf's batch axis."""
+    def f(x):
+        return jax.lax.dynamic_slice_in_dim(x, lo, size, axis=axis)
+
+    return jax.tree.map(f, tree)
+
+
+def _unslice_b(full, part, lo, axis):
+    def f(a, b):
+        idx = [0] * a.ndim
+        idx[axis] = lo
+        return jax.lax.dynamic_update_slice(a, b.astype(a.dtype), idx)
+
+    return jax.tree.map(f, full, part)
+
+
+def decode_shadow_pp(
+    model: ModelConfig,
+    params: ModelParams,
+    cache: ShadowCache,
+    tokens: jnp.ndarray,  # [B, 1]
+    cos_table: jnp.ndarray,
+    sin_table: jnp.ndarray,
+    mesh,
+    approx_topk: bool = False,
+):
+    """One sparse decode step with layers pipelined over mesh axis
+    'pp'. Math identical to forward.decode_shadow's XLA path — the
+    layer body is the same; only the execution schedule differs."""
+    from shadowkv_tpu.core.layers import rms_norm
+    from shadowkv_tpu.models.forward import _layer_qkv, _layer_tail
+
+    pp = mesh.shape["pp"]
+    b, qn = tokens.shape
+    assert qn == 1, "pp decode steps one token at a time"
+    n_micro = pp if b % pp == 0 else (b if b < pp else None)
+    assert n_micro is not None, (
+        f"batch {b} must be divisible by pp={pp} (or smaller than it)"
+    )
+    ub = b // n_micro
+    n_layers = model.num_layers
+    assert n_layers % pp == 0, (n_layers, pp)
+    lp_n = n_layers // pp
+
+    x = wquant.take_rows(params.embed, tokens, model.dtype)  # [B, 1, D]
+    # per-slot positions (continuous batching keeps gen_len as a [B]
+    # vector; normalize so microbatch slicing is uniform)
+    gen_vec = (
+        cache.gen_len
+        if cache.gen_len.ndim == 1
+        else jnp.broadcast_to(cache.gen_len, (b,))
+    )
+    kv_len = cache.layout.prefill_len + gen_vec  # [B]
+    positions = kv_len[:, None] + jnp.arange(qn)[None]
+    cos_all = jnp.take(cos_table, positions, axis=0)  # [B, 1, half]
+    sin_all = jnp.take(sin_table, positions, axis=0)
+    static, mut = split_cache(cache)
+    layout = cache.layout
+
+    x_parts = x.reshape(n_micro, ub, qn, -1)
+    ticks = n_micro + pp - 1
+    perm = [(i, (i + 1) % pp) for i in range(pp)]
+
+    def pp0(x):
+        return P("pp", *([None] * (x.ndim - 1)))
+
+    def rep(x):
+        return P(*([None] * x.ndim))
+
+    lay_spec = jax.tree.map(pp0, params.layers)
+    static_spec = jax.tree.map(pp0, static)
+    mut_spec = jax.tree.map(pp0, mut)
+    head = (params.final_norm, params.lm_head)
+    head_spec = jax.tree.map(rep, head)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(lay_spec, static_spec, mut_spec, P(None, None, None),
+                  P(None, None, None), P(None, None, None), P(None),
+                  head_spec, P(None, None), P(None, None)),
+        out_specs=(P(None, None, None), mut_spec),
+        check_vma=False,  # axis_index-gated writes carry no vma
+    )
+    def run(layers_local, static_local, mut_local, x_parts, cos_all,
+            sin_all, gen_vec, head, cos_table, sin_table):
+        p = jax.lax.axis_index("pp")
+
+        def run_stage(x_in, m, mut_local):
+            lo = m * ub
+            mut_m = _slice_b(mut_local, lo, ub, axis=1)
+            static_m = _slice_b(static_local, lo, ub, axis=1)
+            gen_m = jax.lax.dynamic_slice(gen_vec, (lo,), (ub,))
+            cos_m = jax.lax.dynamic_slice_in_dim(cos_all, lo, ub, axis=0)
+            sin_m = jax.lax.dynamic_slice_in_dim(sin_all, lo, ub, axis=0)
+
+            def body(carry, inputs):
+                xx, mm = carry
+                layer, lpar = inputs
+                q, k_r, _, v = _layer_qkv(model, lpar, xx, cos_m, sin_m)
+                k_view, v_view, valid_len, mm = shadow_decode_layer(
+                    model, layout, static_m, mm, gen_m, layer, q, k_r, v,
+                    cos_table, sin_table, approx_topk=approx_topk,
+                )
+                ctx = decode_attention_hm(q, k_view, v_view, valid_len)
+                return (_layer_tail(lpar, model, xx, ctx), mm), None
+
+            xs = (jnp.arange(lp_n), layers_local)
+            (y, mut_m), _ = jax.lax.scan(body, (x_in, mut_m), xs)
+            return y, _unslice_b(mut_local, mut_m, lo, axis=1)
+
+        def tick(carry, t):
+            x_cur, mut_local, outs = carry
+            m = t - p
+            valid = jnp.logical_and(m >= 0, m < n_micro)
+            mc = jnp.clip(m, 0, n_micro - 1)
+            x_in = jnp.where(
+                p == 0,
+                jax.lax.dynamic_slice_in_dim(
+                    x_parts, jnp.clip(t, 0, n_micro - 1), 1, axis=0
+                )[0],
+                x_cur,
+            )
+
+            y, mut_new = jax.lax.cond(
+                valid,
+                lambda ops: run_stage(*ops),
+                lambda ops: (ops[0], ops[2]),
+                (x_in, mc, mut_local),
+            )
+            written = jax.lax.dynamic_update_slice(
+                outs, y[None].astype(outs.dtype), (mc, 0, 0, 0)
+            )
+            outs = jnp.where(
+                jnp.logical_and(valid, p == pp - 1), written, outs
+            )
+            x_next = jax.lax.ppermute(y, "pp", perm)
+            return (x_next, mut_new, outs), None
+
+        outs0 = jnp.zeros((n_micro, ub, qn, x_parts.shape[-1]),
+                          x_parts.dtype)
+        (_, mut_local, outs), _ = jax.lax.scan(
+            tick, (x_parts[0], mut_local, outs0), jnp.arange(ticks)
+        )
+        hidden = outs.reshape(b, qn, -1)
+        final_norm, lm_head = head
+        hidden = rms_norm(hidden, final_norm, model.rms_norm_eps)
+        logits = wquant.mat(
+            hidden, lm_head, preferred_element_type=jnp.float32
+        )
+        logits = jnp.where(p == pp - 1, logits, jnp.zeros_like(logits))
+        return jax.lax.psum(logits, "pp"), mut_local
+
+    logits, mut = run(
+        params.layers, static, mut, x_parts, cos_all, sin_all,
+        gen_vec.astype(jnp.int32), head, cos_table, sin_table,
+    )
+    cache = cache.replace(
+        k_buf=mut.k_buf,
+        v_buf=mut.v_buf,
+        cached_ids=mut.cached_ids,
+        gen_len=cache.gen_len + qn,
+    )
+    return logits, cache
