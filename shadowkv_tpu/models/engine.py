@@ -338,8 +338,11 @@ class Engine:
                 )
 
         if self.pp > 1:
-            # layer-pipelined decode (parallel/pipeline.py)
-            from shadowkv_tpu.parallel.pipeline import decode_shadow_pp
+            # layer-pipelined decode + prefill (parallel/pipeline.py)
+            from shadowkv_tpu.parallel.pipeline import (
+                decode_shadow_pp,
+                prefill_shadow_pp,
+            )
 
             @partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(1,))
             def decode_shadow_fn(params, cache, tokens, key, temperature,
@@ -349,6 +352,15 @@ class Engine:
                     self.sin_table, engine.mesh, approx_topk=approx_topk,
                 )
                 return _sample(logits, key, temperature, top_k, top_p), cache
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def prefill_pp_fn(params, cache, input_ids):
+                return prefill_shadow_pp(
+                    model, rt, params, cache, input_ids, self.cos_table,
+                    self.sin_table, engine.mesh, use_flash=use_flash,
+                )
+
+            self._prefill_pp = prefill_pp_fn
 
         @partial(jax.jit, static_argnums=(2, 3, 4))
         def sample_fn(logits, key, temperature, top_k, top_p):
@@ -490,7 +502,17 @@ class Engine:
                 self.cache_cfg, s,
                 kernel_store=self.use_pallas or self.ring_gather,
             )
-            if self.rt.sp > 1:
+            if self.pp > 1:
+                # Layer-pipelined whole-batch prefill: each pipeline
+                # stage prefills its local layers' cache slices;
+                # microbatching bounds activations like sub-batching
+                # (parallel/pipeline.py).
+                cache = self._shard_cache(
+                    ShadowCache.init(self.model, layout, b)
+                )
+                lg, cache = self._prefill_pp(self.params, cache, input_ids)
+                logits_parts.append(lg)
+            elif self.rt.sp > 1:
                 # Sequence-parallel prefill: the WHOLE batch in one
                 # program with the sequence dim sharded over 'sp'
                 # (per-chip activations are [B, S/sp, D] — sp is what

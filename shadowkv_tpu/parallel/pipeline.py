@@ -15,11 +15,14 @@ tick t chip p runs its local layers on microbatch (t - p) and
 `ppermute`s the activation to chip p+1. All chips stay busy once the
 pipeline fills; the fill/drain bubble is (pp-1)/(M+pp-1) of the step.
 
-Decode-path scope (v1): the XLA gather path over the HBM shadow cache
-(the Pallas ring/refresh kernels and host-offload stores keep their
-(dp, tp) shard_map islands; composing them with pp is future work).
-Greedy tokens are bit-identical to the single-device engine
-(tests/test_pp.py).
+Scope (v1): HBM shadow cache, XLA gather decode path (the Pallas
+ring/refresh kernels and host-offload stores keep their (dp, tp)
+shard_map islands; composing them with pp is future work). BOTH phases
+are pipelined: prefill_shadow_pp stages the prefill layer body (each
+stage writes its local cache slices; embedding happens inside stage 0
+so whole-batch [B, S, D] activations never materialize), and
+decode_shadow_pp pipelines the decode step. Greedy tokens are
+bit-identical to the single-device engine (tests/test_pp.py).
 """
 
 from __future__ import annotations
@@ -56,6 +59,210 @@ def _unslice_b(full, part, lo, axis):
         return jax.lax.dynamic_update_slice(a, b.astype(a.dtype), idx)
 
     return jax.tree.map(f, full, part)
+
+
+def prefill_shadow_pp(
+    model: ModelConfig,
+    rt,
+    params: ModelParams,
+    cache: ShadowCache,
+    input_ids: jnp.ndarray,  # [B, S]
+    cos_table: jnp.ndarray,
+    sin_table: jnp.ndarray,
+    mesh,
+    use_flash: bool = False,
+):
+    """Whole-batch shadow prefill with layers pipelined over 'pp'.
+
+    Same circular schedule as decode_shadow_pp; each stage runs the
+    prefill layer body (SVD, landmarks, outliers, seeding —
+    forward.prefill_shadow_into) for its local layers and writes the
+    LOCAL cache slices in place. Microbatching doubles as the
+    activation bound (the reference's sub-batch prefill,
+    models/base.py:533-543): each stage holds one microbatch's
+    [uB, S, D] activations. Embedding happens inside stage 0 on the
+    replicated (int8-quantizable) table so the [B, S, D] activations
+    are never materialized whole-batch.
+    """
+    from shadowkv_tpu.cache.shadow import shadow_prefill_layer
+    from shadowkv_tpu.core.attention import (
+        causal_prefill_attention,
+        causal_prefill_flash,
+        causal_prefill_splash,
+        sparse_prefill_splash,
+    )
+    from shadowkv_tpu.core.layers import rms_norm
+    from shadowkv_tpu.models.forward import (
+        _layer_qkv,
+        _layer_tail,
+        _minference_ctx,
+    )
+
+    pp = mesh.shape["pp"]
+    b, s = input_ids.shape
+    layout = cache.layout
+    assert s == layout.prefill_len
+    assert rt.minference_layer_patterns is None, (
+        "per-layer MInference tables are not supported under pp (v1)"
+    )
+    n_micro = pp if b % pp == 0 else (b if b < pp else None)
+    assert n_micro is not None, (
+        f"batch {b} must be divisible by pp={pp} (or smaller than it)"
+    )
+    ub = b // n_micro
+    n_layers = model.num_layers
+    assert n_layers % pp == 0, (n_layers, pp)
+    lp_n = n_layers // pp
+
+    positions = jnp.arange(s)
+    cos = jnp.take(cos_table, positions, axis=0)
+    sin = jnp.take(sin_table, positions, axis=0)
+    ticks = n_micro + pp - 1
+    perm = [(i, (i + 1) % pp) for i in range(pp)]
+
+    def pp0(x):
+        return P("pp", *([None] * (x.ndim - 1)))
+
+    def rep(x):
+        return P(*([None] * x.ndim))
+
+    lay_spec = jax.tree.map(pp0, params.layers)
+    cache_spec = ShadowCache(
+        u=pp0(cache.u),
+        sv=pp0(cache.sv),
+        landmarks=pp0(cache.landmarks),
+        landmark_mask=pp0(cache.landmark_mask),
+        k_buf=pp0(cache.k_buf),
+        v_buf=pp0(cache.v_buf),
+        v_full=pp0(cache.v_full),
+        cached_ids=pp0(cache.cached_ids),
+        gen_len=P() if cache.gen_len.ndim == 0 else P(None),
+        lm_scale=None if cache.lm_scale is None else pp0(cache.lm_scale),
+        layout=cache.layout,
+    )
+    embed_head = (params.embed, params.final_norm, params.lm_head)
+    eh_spec = jax.tree.map(rep, embed_head)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(lay_spec, cache_spec, P(None, None), P(None, None),
+                  P(None, None), eh_spec),
+        out_specs=(P(None, None, None), cache_spec),
+        check_vma=False,  # axis_index-gated writes carry no vma
+    )
+    def run(layers_local, cache_local, input_ids, cos, sin, embed_head):
+        p = jax.lax.axis_index("pp")
+        embed_tbl, final_norm, lm_head = embed_head
+        d = model.hidden_size
+
+        def run_stage(x_cur, m, cache_local):
+            lo = m * ub
+
+            def from_embed():
+                ids_m = jax.lax.dynamic_slice(
+                    input_ids, (lo, 0), (ub, s)
+                )
+                return wquant.take_rows(embed_tbl, ids_m, model.dtype)
+
+            x_in = jax.lax.cond(
+                p == 0, from_embed, lambda: x_cur
+            )
+
+            def body(carry, inputs):
+                xx, cache_l = carry
+                layer, lpar = inputs
+                q, k_r, k_pre, v = _layer_qkv(model, lpar, xx, cos, sin)
+                slices = shadow_prefill_layer(
+                    model, layout, k_pre, k_r, v, q[:, -1:]
+                )
+
+                def put(dst, src):
+                    idx = (layer, lo) + (0,) * (dst.ndim - 2)
+                    return jax.lax.dynamic_update_slice(
+                        dst, src[None].astype(dst.dtype), idx
+                    )
+
+                updates = dict(
+                    u=put(cache_l.u, slices["u"]),
+                    sv=put(cache_l.sv, slices["sv"]),
+                    landmarks=put(cache_l.landmarks, slices["landmarks"]),
+                    landmark_mask=put(
+                        cache_l.landmark_mask, slices["landmark_mask"]
+                    ),
+                    k_buf=put(cache_l.k_buf, slices["k_buf"]),
+                    v_buf=put(cache_l.v_buf, slices["v_buf"]),
+                    v_full=put(cache_l.v_full, slices["v_full"]),
+                    cached_ids=put(
+                        cache_l.cached_ids, slices["cached_ids"]
+                    ),
+                )
+                if layout.quant == "int8":
+                    updates.update(
+                        lm_scale=put(cache_l.lm_scale, slices["lm_scale"])
+                    )
+                cache_l = cache_l.replace(**updates)
+                if use_flash and rt.prefill_pattern == "stream":
+                    ctx = sparse_prefill_splash(
+                        q, k_r, v, rt.stream_window, rt.stream_sink
+                    )
+                elif rt.prefill_pattern == "vs":
+                    ctx = _minference_ctx(rt, q, k_r, v, use_flash)
+                elif use_flash and rt.prefill_pattern == "dense-splash":
+                    ctx = causal_prefill_splash(q, k_r, v)
+                elif use_flash:
+                    ctx = causal_prefill_flash(q, k_r, v)
+                else:
+                    ctx = causal_prefill_attention(
+                        q, k_r, v, block_q=min(rt.prefill_block_q, s)
+                    )
+                return (_layer_tail(lpar, model, xx, ctx), cache_l), None
+
+            xs = (jnp.arange(lp_n), layers_local)
+            (y, cache_local), _ = jax.lax.scan(
+                body, (x_in, cache_local), xs
+            )
+            return y, cache_local
+
+        def tick(carry, t):
+            x_cur, cache_local, outs = carry
+            m = t - p
+            valid = jnp.logical_and(m >= 0, m < n_micro)
+            mc = jnp.clip(m, 0, n_micro - 1)
+            y, cache_new = jax.lax.cond(
+                valid,
+                lambda ops: run_stage(*ops),
+                lambda ops: (ops[0], ops[2]),
+                (x_cur, mc, cache_local),
+            )
+            last = y[:, -1:]  # only the final token's hidden leaves
+            written = jax.lax.dynamic_update_slice(
+                outs, last[None].astype(outs.dtype), (mc, 0, 0, 0)
+            )
+            outs = jnp.where(
+                jnp.logical_and(valid, p == pp - 1), written, outs
+            )
+            x_next = jax.lax.ppermute(y, "pp", perm)
+            return (x_next, cache_new, outs), None
+
+        x0 = jnp.zeros((ub, s, d), model.dtype)
+        outs0 = jnp.zeros((n_micro, ub, 1, d), model.dtype)
+        (_, cache_local, outs), _ = jax.lax.scan(
+            tick, (x0, cache_local, outs0), jnp.arange(ticks)
+        )
+        hidden = outs.reshape(b, 1, d)
+        hidden = rms_norm(hidden, final_norm, model.rms_norm_eps)
+        logits = wquant.mat(
+            hidden, lm_head, preferred_element_type=jnp.float32
+        )
+        logits = jnp.where(p == pp - 1, logits, jnp.zeros_like(logits))
+        return jax.lax.psum(logits, "pp"), cache_local
+
+    logits, cache = run(
+        params.layers, cache, jnp.asarray(input_ids, jnp.int32),
+        cos, sin, embed_head,
+    )
+    return logits, cache
 
 
 def decode_shadow_pp(
