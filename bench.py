@@ -154,6 +154,11 @@ def run_serve(cfg, rt, params, datalen, slots, steps, quant, cache_mode):
     # Static-batch baseline: every request decodes to the LONGEST gen
     # length (batch_generate has no per-slot exit), useful tokens are
     # only each request's gen_len.
+    # Free the batcher's context snapshots (one slot's full shadow
+    # state in HBM) and the serve engine before the baseline prefills —
+    # the prefill peak is tuned to the chip ceiling.
+    cb._ctx.clear()
+    del cb, eng
     gc.collect()
     eng2 = Engine(cfg, cache_cfg, rt, params)
     useful = 0.0

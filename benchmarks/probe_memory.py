@@ -104,16 +104,22 @@ def main():
     def report(name, lowered):
         compiled = lowered.compile()
         ma = compiled.memory_analysis()
+        # donated buffers (the cache) appear in BOTH argument and
+        # output sizes; alias_size_in_bytes is that overlap — without
+        # subtracting it a multi-GB donated cache double-counts and
+        # the probe reports fits_16g=false for configs that fit
         peak = (
             ma.argument_size_in_bytes
             + ma.output_size_in_bytes
             + ma.temp_size_in_bytes
+            - ma.alias_size_in_bytes
         )
         print(json.dumps({
             "program": name,
             "argument_bytes": int(ma.argument_size_in_bytes),
             "output_bytes": int(ma.output_size_in_bytes),
             "temp_bytes": int(ma.temp_size_in_bytes),
+            "alias_bytes": int(ma.alias_size_in_bytes),
             "peak_bytes": int(peak),
             "fits_16g": bool(peak < 15.5e9),
         }), flush=True)

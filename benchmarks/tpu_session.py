@@ -289,8 +289,13 @@ def wait_for_tpu(max_wait: float = float("inf")) -> bool:
 
 INFRA_MARKERS = (
     "UNAVAILABLE", "ABORTED", "DEADLINE_EXCEEDED", "failed to connect",
-    "Connection reset", "TIMEOUT",
+    "Connection reset",
 )
+# NOTE: a subprocess TIMEOUT is deliberately NOT an infra marker — a
+# stage that deterministically exceeds its budget must not be retried
+# on every session run (each retry would kill python mid-TPU-op after
+# hours, the exact CLAUDE.md hazard). Delete its line from the results
+# file to re-run it after raising the timeout.
 
 
 def done_stages():

@@ -195,6 +195,10 @@ class Engine:
 
     def _build_jits(self):
         model, rt = self.model, self.rt
+        assert rt.use_pallas in (None, True, False, "auto"), (
+            f"use_pallas must be None/True/False/'auto', got "
+            f"{rt.use_pallas!r}"
+        )
         self.pallas_auto = rt.use_pallas == "auto"
         if self.pallas_auto:
             # Adaptive path choice: start on the XLA path (safe at any
@@ -500,7 +504,12 @@ class Engine:
             # gathers flat rows (core/quant.py module docstring).
             layout = ShadowLayout.build(
                 self.cache_cfg, s,
-                kernel_store=self.use_pallas or self.ring_gather,
+                # 'auto' may flip to the fused kernel mid-decode: it
+                # needs the tiled int8 store from the start (one tiled
+                # format serves BOTH paths at ~equal XLA-gather speed).
+                kernel_store=(
+                    self.use_pallas or self.ring_gather or self.pallas_auto
+                ),
             )
             if self.pp > 1:
                 # Layer-pipelined whole-batch prefill: each pipeline

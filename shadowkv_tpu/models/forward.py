@@ -377,6 +377,34 @@ def prefill_shadow_into(
     sin = jnp.take(sin_table, positions, axis=0)
     pat_xs, pat_caps = _pattern_xs(rt, model)
 
+    body = make_shadow_prefill_body(
+        model, rt, layout, cos, sin, use_flash, batch_start, pat_caps
+    )
+    xs = (jnp.arange(model.num_layers), params.layers, pat_xs)
+    (x, cache), _ = jax.lax.scan(body, (x, cache), xs)
+    logits = _finalize(model, params, x, last_only=True)
+    return logits, cache
+
+
+def make_shadow_prefill_body(
+    model: ModelConfig,
+    rt: RuntimeConfig,
+    layout: ShadowLayout,
+    cos: jnp.ndarray,  # [S, half]
+    sin: jnp.ndarray,
+    use_flash: bool,
+    batch_offset,  # traced: where this sub/micro-batch's slices land
+    pat_caps=None,
+):
+    """The shadow prefill LAYER body, shared between the sub-batch
+    scan (prefill_shadow_into) and the pp pipeline's per-stage scan
+    (parallel/pipeline.py::prefill_shadow_pp): per layer, compute
+    QKV + RoPE, build the shadow slices (SVD/landmarks/outliers/seed),
+    write them into the carried cache at (layer, batch_offset), and
+    run the configured prefill attention. ``inputs`` is
+    (layer_idx, layer_params, pattern_row-or-None)."""
+    s = cos.shape[0]
+
     def body(carry, inputs):
         x, cache = carry
         layer, lp, pat = inputs
@@ -386,7 +414,7 @@ def prefill_shadow_into(
         )
 
         def put(dst, src):
-            idx = (layer, batch_start) + (0,) * (dst.ndim - 2)
+            idx = (layer, batch_offset) + (0,) * (dst.ndim - 2)
             return jax.lax.dynamic_update_slice(
                 dst, src[None].astype(dst.dtype), idx
             )
@@ -422,10 +450,7 @@ def prefill_shadow_into(
             )
         return (_layer_tail(lp, model, x, ctx), cache), None
 
-    xs = (jnp.arange(model.num_layers), params.layers, pat_xs)
-    (x, cache), _ = jax.lax.scan(body, (x, cache), xs)
-    logits = _finalize(model, params, x, last_only=True)
-    return logits, cache
+    return body
 
 
 def decode_shadow(

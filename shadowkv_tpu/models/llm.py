@@ -141,12 +141,17 @@ class LLM:
             "synthetic weights (throughput benchmarking only)",
             file=sys.stderr,
         )
-        params = init_synthetic_params(self.config, jax.random.PRNGKey(0))
         if weight_quant == "int8":
-            from shadowkv_tpu.core.wquant import quantize_params
+            # host-side init + per-leaf quantize: a device bf16 init of
+            # an 8B-shape model fills HBM before quantization could run
+            from shadowkv_tpu.models.params import (
+                init_synthetic_params_host,
+            )
 
-            params = jax.jit(quantize_params)(params)
-        return params
+            return init_synthetic_params_host(
+                self.config, weight_quant="int8"
+            )
+        return init_synthetic_params(self.config, jax.random.PRNGKey(0))
 
     def _resolve_stop_ids(self) -> tuple[int, ...]:
         if self.tokenizer is None:

@@ -84,19 +84,9 @@ def prefill_shadow_pp(
     replicated (int8-quantizable) table so the [B, S, D] activations
     are never materialized whole-batch.
     """
-    from shadowkv_tpu.cache.shadow import shadow_prefill_layer
-    from shadowkv_tpu.core.attention import (
-        causal_prefill_attention,
-        causal_prefill_flash,
-        causal_prefill_splash,
-        sparse_prefill_splash,
-    )
     from shadowkv_tpu.core.layers import rms_norm
-    from shadowkv_tpu.models.forward import (
-        _layer_qkv,
-        _layer_tail,
-        _minference_ctx,
-    )
+    from shadowkv_tpu.models.forward import make_shadow_prefill_body
+    from shadowkv_tpu.parallel import mesh as mesh_lib
 
     pp = mesh.shape["pp"]
     b, s = input_ids.shape
@@ -127,19 +117,7 @@ def prefill_shadow_pp(
         return P(*([None] * x.ndim))
 
     lay_spec = jax.tree.map(pp0, params.layers)
-    cache_spec = ShadowCache(
-        u=pp0(cache.u),
-        sv=pp0(cache.sv),
-        landmarks=pp0(cache.landmarks),
-        landmark_mask=pp0(cache.landmark_mask),
-        k_buf=pp0(cache.k_buf),
-        v_buf=pp0(cache.v_buf),
-        v_full=pp0(cache.v_full),
-        cached_ids=pp0(cache.cached_ids),
-        gen_len=P() if cache.gen_len.ndim == 0 else P(None),
-        lm_scale=None if cache.lm_scale is None else pp0(cache.lm_scale),
-        layout=cache.layout,
-    )
+    cache_spec = mesh_lib.shadow_cache_pspecs_pp(cache)
     embed_head = (params.embed, params.final_norm, params.lm_head)
     eh_spec = jax.tree.map(rep, embed_head)
 
@@ -169,56 +147,13 @@ def prefill_shadow_pp(
                 p == 0, from_embed, lambda: x_cur
             )
 
-            def body(carry, inputs):
-                xx, cache_l = carry
-                layer, lpar = inputs
-                q, k_r, k_pre, v = _layer_qkv(model, lpar, xx, cos, sin)
-                slices = shadow_prefill_layer(
-                    model, layout, k_pre, k_r, v, q[:, -1:]
-                )
-
-                def put(dst, src):
-                    idx = (layer, lo) + (0,) * (dst.ndim - 2)
-                    return jax.lax.dynamic_update_slice(
-                        dst, src[None].astype(dst.dtype), idx
-                    )
-
-                updates = dict(
-                    u=put(cache_l.u, slices["u"]),
-                    sv=put(cache_l.sv, slices["sv"]),
-                    landmarks=put(cache_l.landmarks, slices["landmarks"]),
-                    landmark_mask=put(
-                        cache_l.landmark_mask, slices["landmark_mask"]
-                    ),
-                    k_buf=put(cache_l.k_buf, slices["k_buf"]),
-                    v_buf=put(cache_l.v_buf, slices["v_buf"]),
-                    v_full=put(cache_l.v_full, slices["v_full"]),
-                    cached_ids=put(
-                        cache_l.cached_ids, slices["cached_ids"]
-                    ),
-                )
-                if layout.quant == "int8":
-                    updates.update(
-                        lm_scale=put(cache_l.lm_scale, slices["lm_scale"])
-                    )
-                cache_l = cache_l.replace(**updates)
-                if use_flash and rt.prefill_pattern == "stream":
-                    ctx = sparse_prefill_splash(
-                        q, k_r, v, rt.stream_window, rt.stream_sink
-                    )
-                elif rt.prefill_pattern == "vs":
-                    ctx = _minference_ctx(rt, q, k_r, v, use_flash)
-                elif use_flash and rt.prefill_pattern == "dense-splash":
-                    ctx = causal_prefill_splash(q, k_r, v)
-                elif use_flash:
-                    ctx = causal_prefill_flash(q, k_r, v)
-                else:
-                    ctx = causal_prefill_attention(
-                        q, k_r, v, block_q=min(rt.prefill_block_q, s)
-                    )
-                return (_layer_tail(lpar, model, xx, ctx), cache_l), None
-
-            xs = (jnp.arange(lp_n), layers_local)
+            # the SAME layer body as the sub-batch prefill
+            # (forward.make_shadow_prefill_body) — new prefill
+            # patterns / cache slices stay in sync automatically
+            body = make_shadow_prefill_body(
+                model, rt, layout, cos, sin, use_flash, lo
+            )
+            xs = (jnp.arange(lp_n), layers_local, None)
             (y, cache_local), _ = jax.lax.scan(
                 body, (x_in, cache_local), xs
             )
@@ -339,8 +274,17 @@ def decode_shadow_pp(
 
         def run_stage(x_in, m, mut_local):
             lo = m * ub
-            mut_m = _slice_b(mut_local, lo, ub, axis=1)
-            static_m = _slice_b(static_local, lo, ub, axis=1)
+            one = n_micro == 1  # static: whole batch is one microbatch
+            # NOTE: per-tick slices of the read-only static state (u /
+            # sv / landmarks / v_full) lean on XLA fusing the slice
+            # into the downstream per-chunk gathers; with a single
+            # microbatch no slice exists at all. If profiling shows
+            # materialized slices, thread a batch offset through
+            # shadow_decode_layer instead.
+            mut_m = mut_local if one else _slice_b(mut_local, lo, ub, 1)
+            static_m = (
+                static_local if one else _slice_b(static_local, lo, ub, 1)
+            )
             gen_m = jax.lax.dynamic_slice(gen_vec, (lo,), (ub,))
             cos_m = jax.lax.dynamic_slice_in_dim(cos_all, lo, ub, axis=0)
             sin_m = jax.lax.dynamic_slice_in_dim(sin_all, lo, ub, axis=0)
@@ -358,6 +302,8 @@ def decode_shadow_pp(
 
             xs = (jnp.arange(lp_n), layers_local)
             (y, mut_m), _ = jax.lax.scan(body, (x_in, mut_m), xs)
+            if one:
+                return y, mut_m
             return y, _unslice_b(mut_local, mut_m, lo, axis=1)
 
         def tick(carry, t):

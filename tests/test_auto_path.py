@@ -94,3 +94,27 @@ def test_auto_rejected_for_offload_mode(toy):
             RuntimeConfig(prefill_block_q=128, use_pallas="auto"),
             params,
         )
+
+
+def test_auto_with_int8_stores(toy):
+    """auto + kv_quant='int8' must build the TILED store up front (the
+    fused kernel cannot read flat rows) — regression for the crash at
+    the first path flip; both paths serve the tiled format."""
+    cfg, params = toy
+    eng = Engine(
+        cfg,
+        CacheConfig(
+            mode="shadow", max_length=1024, sparse_budget=128, rank=64,
+            outlier_chunks=4, gen_capacity=32, kv_quant="int8",
+        ),
+        RuntimeConfig(
+            prefill_block_q=128, use_pallas="auto",
+            pallas_hit_threshold=0.0, pallas_auto_interval=4,
+        ),
+        params,
+    )
+    ids = np.random.RandomState(3).randint(1, cfg.vocab_size, (2, 1024))
+    out, _ = eng.batch_generate(ids, gen_len=10, temperature=0.0,
+                                warmup_steps=2)
+    assert out.shape == (2, 10)
+    assert eng._kernel_now is True  # degenerate threshold -> flipped
