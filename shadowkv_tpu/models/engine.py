@@ -1064,6 +1064,7 @@ class Engine:
         stop_ids: tuple[int, ...] = (),
         benchmark: bool = False,
         cont: bool = False,
+        cont_chunk: int = 16,
     ) -> tuple[np.ndarray, GenerationStats]:
         """Autoregressive generation for a batch of equal-length prompts.
 
@@ -1111,12 +1112,24 @@ class Engine:
                 )
             prompt = jnp.asarray(input_ids, jnp.int32)
             tokens = None
-            for t in range(s):
+            # Teacher-force the follow-up turn in MULTI-TOKEN decode
+            # steps: the decode path takes [B, Qn] (row-space causal
+            # mask in decode_attention_hm; selection sums scores over
+            # the q positions, the reference's multi-q semantics,
+            # kv_cache.py:431). cont_chunk-sized steps cut a 500-token
+            # turn from 500 decode dispatches to ~32+4 (two compiled
+            # programs: Qn=cont_chunk and Qn=1). The pp pipeline is
+            # decode-qn=1 only (parallel/pipeline.py asserts).
+            chunk = max(1, cont_chunk) if self.pp == 1 else 1
+            t = 0
+            while t < s:
+                step = chunk if (s - t) >= chunk else 1
                 key, sub = jax.random.split(key)
                 tokens, cache = decode(
-                    self.params, cache, prompt[:, t : t + 1], sub,
+                    self.params, cache, prompt[:, t : t + step], sub,
                     *sample_args,
                 )
+                t += step
         else:
             logits, cache = self.prefill(input_ids)
             self._cache = None  # about to be donated (see cont branch)

@@ -157,3 +157,28 @@ def test_kv_stats_full_mode(toy_params):
     s = eng.kv_stats()
     assert s["cached"] == 40 + 3
     assert s["bytes_by_field"]["k"] == s["bytes_by_field"]["v"]
+
+
+def test_cont_chunked_teacher_forcing(toy_params):
+    """generate(cont=True) consumes the follow-up turn in multi-token
+    decode steps (cont_chunk). With a full-coverage budget (selection
+    == everything) the chunked and per-token paths are bit-identical;
+    selection differences only appear under real sparsity, where the
+    chunked form is the reference's own multi-query semantics
+    (kv_cache.py:431 sum over q positions)."""
+    cfg, params = toy_params
+    cc = CacheConfig(
+        mode="shadow", max_length=512, sparse_budget=160, rank=64,
+        outlier_chunks=4, gen_capacity=64,
+    )
+    prefix = np.random.RandomState(11).randint(0, cfg.vocab_size, (2, 256))
+    suffix = np.random.RandomState(12).randint(0, cfg.vocab_size, (2, 37))
+
+    def run(chunk):
+        eng = Engine(cfg, cc, RuntimeConfig(prefill_block_q=64), params)
+        eng.generate(prefix, gen_len=1)
+        out, _ = eng.generate(suffix, gen_len=8, cont=True,
+                              cont_chunk=chunk)
+        return out
+
+    np.testing.assert_array_equal(run(1), run(16))
