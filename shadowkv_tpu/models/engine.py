@@ -135,8 +135,14 @@ class Engine:
             # other axis and serves the HBM shadow mode + XLA path.
             from shadowkv_tpu.parallel import mesh as mesh_lib
 
-            assert rt.dp == rt.tp == rt.sp == 1, (
-                "pp composes with no other mesh axis (v1)"
+            assert rt.dp == rt.sp == 1 and rt.tp == 1, (
+                "pp composes with no other mesh axis: partial-manual "
+                "shard_map (pp manual, tp auto) deadlocks today — the "
+                "pipeline's ppermute and GSPMD's Megatron psums inside "
+                "the tick scan get divergent collective instance ids "
+                "across tp ranks (XLA rendezvous timeout, verified on "
+                "the CPU backend). Revisit when partial-manual "
+                "collective sequencing lands."
             )
             assert cache_cfg.mode == "shadow", (
                 "pp > 1 supports cache mode 'shadow' (HBM) only"
@@ -147,10 +153,10 @@ class Engine:
             assert model.num_layers % rt.pp == 0, (
                 f"pp={rt.pp} must divide num_layers {model.num_layers}"
             )
-            self.mesh = mesh_lib.build_mesh_pp(rt.pp)
+            self.mesh = mesh_lib.build_mesh_pp(rt.pp, rt.tp)
             self.params = mesh_lib.shard_pytree(
                 self.mesh, self.params,
-                mesh_lib.param_pspecs_pp(self.params),
+                mesh_lib.param_pspecs_pp(self.params, tp=rt.tp > 1),
             )
         elif rt.dp * rt.tp * rt.sp > 1:
             from shadowkv_tpu.parallel import mesh as mesh_lib
@@ -184,7 +190,9 @@ class Engine:
         from shadowkv_tpu.parallel import mesh as mesh_lib
 
         if self.pp > 1:
-            pspecs = mesh_lib.shadow_cache_pspecs_pp(cache)
+            pspecs = mesh_lib.shadow_cache_pspecs_pp(
+                cache, tp=self.rt.tp > 1
+            )
         elif isinstance(cache, ShadowCache):
             pspecs = mesh_lib.shadow_cache_pspecs(cache, self.mesh)
         else:

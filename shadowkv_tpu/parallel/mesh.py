@@ -41,11 +41,18 @@ def build_mesh(dp: int, tp: int, sp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ("dp", "tp"))
 
 
-def build_mesh_pp(pp: int, devices=None) -> Mesh:
-    """1-axis 'pp' mesh for layer-pipelined decode
-    (parallel/pipeline.py). v1 composes with no other axis."""
+def build_mesh_pp(pp: int, tp: int = 1, devices=None) -> Mesh:
+    """('pp',) or ('pp', 'tp') mesh for layer-pipelined decode
+    (parallel/pipeline.py). pp is the MANUAL shard_map axis; tp stays
+    an auto (GSPMD) axis inside the pipeline body — the same Megatron
+    head/factor sharding as the (dp, tp) engine, per pipeline stage."""
     devices = devices if devices is not None else jax.devices()
-    assert len(devices) >= pp, f"need {pp} devices, have {len(devices)}"
+    n = pp * tp
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    if tp > 1:
+        return Mesh(
+            np.asarray(devices[:n]).reshape(pp, tp), ("pp", "tp")
+        )
     return Mesh(np.asarray(devices[:pp]), ("pp",))
 
 
@@ -53,43 +60,58 @@ def _pp0(leaf):
     return P("pp", *([None] * (leaf.ndim - 1)))
 
 
-def param_pspecs_pp(params: ModelParams) -> ModelParams:
+def param_pspecs_pp(params: ModelParams, tp: bool = False) -> ModelParams:
     """Layer-stacked leaves shard their leading L axis over pp; the
-    embedding/head/final-norm are replicated (QTensor-aware)."""
+    embedding/head/final-norm are replicated (QTensor-aware). With a
+    tp axis present, the Megatron dims shard over tp exactly as in
+    param_pspecs — GSPMD partitions them inside the pipeline body."""
+    t = "tp" if tp else None
     lay = params.layers
     layer_specs = LayerParams(
         attn_norm=P("pp", None),
-        wqkv=_wspec(lay.wqkv, P("pp", None, None)),
-        bqkv=P("pp", None) if lay.bqkv is not None else None,
-        wo=_wspec(lay.wo, P("pp", None, None)),
+        wqkv=_wspec(lay.wqkv, P("pp", None, t)),
+        bqkv=P("pp", t) if lay.bqkv is not None else None,
+        wo=_wspec(lay.wo, P("pp", t, None)),
         mlp_norm=P("pp", None),
-        w_gate_up=_wspec(lay.w_gate_up, P("pp", None, None)),
-        w_down=_wspec(lay.w_down, P("pp", None, None)),
+        w_gate_up=_wspec(lay.w_gate_up, P("pp", None, t)),
+        w_down=_wspec(lay.w_down, P("pp", t, None)),
     )
     return ModelParams(
         embed=_wspec(params.embed, P(None, None), reduce_axis=-1),
         layers=layer_specs,
         final_norm=P(None),
-        lm_head=_wspec(params.lm_head, P(None, None)),
+        lm_head=_wspec(params.lm_head, P(None, t)),
     )
 
 
-def shadow_cache_pspecs_pp(cache: ShadowCache) -> ShadowCache:
+def shadow_cache_pspecs_pp(
+    cache: ShadowCache, tp: bool = False
+) -> ShadowCache:
     """Every [L, ...] cache leaf shards its layer axis over pp (each
     pipeline stage holds its own layers' factors, landmarks, buffers
-    and V store)."""
+    and V store); with tp, the KV-head dims shard over tp exactly as
+    in shadow_cache_pspecs (U stays tp-replicated — shared across
+    heads)."""
+    t = "tp" if tp else None
+
+    def hd(leaf, head_axis):
+        dims = [None] * leaf.ndim
+        dims[0] = "pp"
+        dims[head_axis] = t
+        return P(*dims)
+
     return ShadowCache(
-        u=_pp0(cache.u),
-        sv=_pp0(cache.sv),
-        landmarks=_pp0(cache.landmarks),
-        landmark_mask=_pp0(cache.landmark_mask),
-        k_buf=_pp0(cache.k_buf),
-        v_buf=_pp0(cache.v_buf),
-        v_full=_pp0(cache.v_full),
-        cached_ids=_pp0(cache.cached_ids),
+        u=_pp0(cache.u),  # shared across heads -> tp-replicated
+        sv=hd(cache.sv, 2),
+        landmarks=hd(cache.landmarks, 2),
+        landmark_mask=hd(cache.landmark_mask, 2),
+        k_buf=hd(cache.k_buf, 2),
+        v_buf=hd(cache.v_buf, 2),
+        v_full=hd(cache.v_full, 2),
+        cached_ids=hd(cache.cached_ids, 2),
         gen_len=P() if cache.gen_len.ndim == 0 else P(None),
         lm_scale=(
-            None if cache.lm_scale is None else _pp0(cache.lm_scale)
+            None if cache.lm_scale is None else hd(cache.lm_scale, 2)
         ),
         layout=cache.layout,
     )

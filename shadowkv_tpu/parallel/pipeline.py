@@ -117,7 +117,7 @@ def prefill_shadow_pp(
         return P(*([None] * x.ndim))
 
     lay_spec = jax.tree.map(pp0, params.layers)
-    cache_spec = mesh_lib.shadow_cache_pspecs_pp(cache)
+    cache_spec = mesh_lib.shadow_cache_pspecs_pp(cache)  # pp-only (manual)
     embed_head = (params.embed, params.final_norm, params.lm_head)
     eh_spec = jax.tree.map(rep, embed_head)
 
@@ -127,6 +127,9 @@ def prefill_shadow_pp(
         in_specs=(lay_spec, cache_spec, P(None, None), P(None, None),
                   P(None, None), eh_spec),
         out_specs=(P(None, None, None), cache_spec),
+        axis_names=frozenset({"pp"}),  # tp (if present) stays an
+        # auto axis: GSPMD partitions the stage body over it exactly
+        # like the (dp, tp) engine path
         check_vma=False,  # axis_index-gated writes carry no vma
     )
     def run(layers_local, cache_local, input_ids, cos, sin, embed_head):
@@ -266,6 +269,9 @@ def decode_shadow_pp(
                   P(None, None, None), P(None, None, None), P(None),
                   head_spec, P(None, None), P(None, None)),
         out_specs=(P(None, None, None), mut_spec),
+        axis_names=frozenset({"pp"}),  # tp (if present) stays an
+        # auto axis: GSPMD partitions the stage body over it exactly
+        # like the (dp, tp) engine path
         check_vma=False,  # axis_index-gated writes carry no vma
     )
     def run(layers_local, static_local, mut_local, x_parts, cos_all,

@@ -96,3 +96,15 @@ def test_pp_rejects_unsupported_modes():
                params)
     with pytest.raises(AssertionError):  # pp must divide num_layers
         Engine(cfg, _cc(), RuntimeConfig(prefill_block_q=64, pp=3), params)
+
+
+def test_pp_tp_composition_rejected():
+    """pp x tp is rejected with a diagnostic: partial-manual shard_map
+    (pp manual + auto-tp GSPMD psums inside the tick scan) deadlocks in
+    XLA's collective rendezvous today (divergent instance ids across
+    tp ranks — reproduced as a hard abort on the CPU backend)."""
+    cfg = _toy()
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
+    with pytest.raises(AssertionError, match="partial-manual"):
+        Engine(cfg, _cc(), RuntimeConfig(prefill_block_q=64, pp=2, tp=2),
+               params)
