@@ -135,13 +135,14 @@ class Engine:
             # other axis and serves the HBM shadow mode + XLA path.
             from shadowkv_tpu.parallel import mesh as mesh_lib
 
-            assert rt.dp == rt.sp == 1 and rt.tp == 1, (
-                "pp composes with no other mesh axis: partial-manual "
-                "shard_map (pp manual, tp auto) deadlocks today — the "
-                "pipeline's ppermute and GSPMD's Megatron psums inside "
-                "the tick scan get divergent collective instance ids "
-                "across tp ranks (XLA rendezvous timeout, verified on "
-                "the CPU backend). Revisit when partial-manual "
+            assert rt.sp == 1 and rt.tp == 1, (
+                "pp composes with dp only: partial-manual shard_map "
+                "(pp manual, tp auto) deadlocks today — the pipeline's "
+                "ppermute and GSPMD's Megatron psums inside the tick "
+                "scan get divergent collective instance ids across tp "
+                "ranks (XLA rendezvous timeout, verified on the CPU "
+                "backend). dp rides as a second MANUAL axis (batch "
+                "rows fully local). Revisit tp when partial-manual "
                 "collective sequencing lands."
             )
             assert cache_cfg.mode == "shadow", (
@@ -153,10 +154,10 @@ class Engine:
             assert model.num_layers % rt.pp == 0, (
                 f"pp={rt.pp} must divide num_layers {model.num_layers}"
             )
-            self.mesh = mesh_lib.build_mesh_pp(rt.pp, rt.tp)
+            self.mesh = mesh_lib.build_mesh_pp(rt.pp, dp=rt.dp)
             self.params = mesh_lib.shard_pytree(
                 self.mesh, self.params,
-                mesh_lib.param_pspecs_pp(self.params, tp=rt.tp > 1),
+                mesh_lib.param_pspecs_pp(self.params),
             )
         elif rt.dp * rt.tp * rt.sp > 1:
             from shadowkv_tpu.parallel import mesh as mesh_lib
@@ -191,7 +192,7 @@ class Engine:
 
         if self.pp > 1:
             pspecs = mesh_lib.shadow_cache_pspecs_pp(
-                cache, tp=self.rt.tp > 1
+                cache, dp=self.rt.dp > 1
             )
         elif isinstance(cache, ShadowCache):
             pspecs = mesh_lib.shadow_cache_pspecs(cache, self.mesh)
@@ -623,7 +624,11 @@ class Engine:
         return self._host_dus
 
     def _pinned_sharding(self):
-        if self.mesh is not None and "dp" in self.mesh.axis_names:
+        if (
+            self.mesh is not None
+            and "dp" in self.mesh.axis_names
+            and "tp" in self.mesh.axis_names
+        ):
             return jax.sharding.NamedSharding(
                 self.mesh,
                 jax.sharding.PartitionSpec(None, "dp", "tp"),

@@ -41,14 +41,22 @@ def build_mesh(dp: int, tp: int, sp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ("dp", "tp"))
 
 
-def build_mesh_pp(pp: int, tp: int = 1, devices=None) -> Mesh:
-    """('pp',) or ('pp', 'tp') mesh for layer-pipelined decode
-    (parallel/pipeline.py). pp is the MANUAL shard_map axis; tp stays
-    an auto (GSPMD) axis inside the pipeline body — the same Megatron
-    head/factor sharding as the (dp, tp) engine, per pipeline stage."""
+def build_mesh_pp(
+    pp: int, tp: int = 1, dp: int = 1, devices=None
+) -> Mesh:
+    """('pp',) / ('pp', 'dp') mesh for layer-pipelined decode
+    (parallel/pipeline.py) — both axes are MANUAL in the pipeline's
+    shard_map (dp shards the batch; every microbatch slice is local).
+    The ('pp', 'tp') form exists for when partial-manual collective
+    sequencing works (see the engine's pp x tp guard)."""
     devices = devices if devices is not None else jax.devices()
-    n = pp * tp
+    n = pp * tp * dp
+    assert tp == 1 or dp == 1
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    if dp > 1:
+        return Mesh(
+            np.asarray(devices[:n]).reshape(pp, dp), ("pp", "dp")
+        )
     if tp > 1:
         return Mesh(
             np.asarray(devices[:n]).reshape(pp, tp), ("pp", "tp")
@@ -85,23 +93,32 @@ def param_pspecs_pp(params: ModelParams, tp: bool = False) -> ModelParams:
 
 
 def shadow_cache_pspecs_pp(
-    cache: ShadowCache, tp: bool = False
+    cache: ShadowCache, tp: bool = False, dp: bool = False
 ) -> ShadowCache:
     """Every [L, ...] cache leaf shards its layer axis over pp (each
     pipeline stage holds its own layers' factors, landmarks, buffers
     and V store); with tp, the KV-head dims shard over tp exactly as
     in shadow_cache_pspecs (U stays tp-replicated — shared across
     heads)."""
+    assert not (tp and dp)
     t = "tp" if tp else None
+    b = "dp" if dp else None
 
     def hd(leaf, head_axis):
         dims = [None] * leaf.ndim
         dims[0] = "pp"
+        dims[1] = b
         dims[head_axis] = t
         return P(*dims)
 
+    def pb(leaf):  # pp on layers, dp on batch, heads unsharded
+        dims = [None] * leaf.ndim
+        dims[0] = "pp"
+        dims[1] = b
+        return P(*dims)
+
     return ShadowCache(
-        u=_pp0(cache.u),  # shared across heads -> tp-replicated
+        u=pb(cache.u),  # shared across heads -> tp-replicated
         sv=hd(cache.sv, 2),
         landmarks=hd(cache.landmarks, 2),
         landmark_mask=hd(cache.landmark_mask, 2),
@@ -109,7 +126,11 @@ def shadow_cache_pspecs_pp(
         v_buf=hd(cache.v_buf, 2),
         v_full=hd(cache.v_full, 2),
         cached_ids=hd(cache.cached_ids, 2),
-        gen_len=P() if cache.gen_len.ndim == 0 else P(None),
+        gen_len=(
+            P()
+            if cache.gen_len.ndim == 0
+            else (P("dp") if dp else P(None))
+        ),
         lm_scale=(
             None if cache.lm_scale is None else hd(cache.lm_scale, 2)
         ),

@@ -89,17 +89,22 @@ def prefill_shadow_pp(
     from shadowkv_tpu.parallel import mesh as mesh_lib
 
     pp = mesh.shape["pp"]
+    dp = mesh.shape["dp"] if "dp" in mesh.axis_names else 1
+    assert "tp" not in mesh.axis_names, "pp x tp unsupported (engine guard)"
     b, s = input_ids.shape
     layout = cache.layout
     assert s == layout.prefill_len
     assert rt.minference_layer_patterns is None, (
         "per-layer MInference tables are not supported under pp (v1)"
     )
-    n_micro = pp if b % pp == 0 else (b if b < pp else None)
+    assert b % dp == 0, (b, dp)
+    b_l = b // dp  # per-dp-shard batch; the pipeline is fully local
+    n_micro = pp if b_l % pp == 0 else (b_l if b_l < pp else None)
     assert n_micro is not None, (
-        f"batch {b} must be divisible by pp={pp} (or smaller than it)"
+        f"per-dp-shard batch {b_l} must be divisible by pp={pp} "
+        "(or smaller than it)"
     )
-    ub = b // n_micro
+    ub = b_l // n_micro
     n_layers = model.num_layers
     assert n_layers % pp == 0, (n_layers, pp)
     lp_n = n_layers // pp
@@ -116,20 +121,20 @@ def prefill_shadow_pp(
     def rep(x):
         return P(*([None] * x.ndim))
 
+    bdim = "dp" if dp > 1 else None
     lay_spec = jax.tree.map(pp0, params.layers)
-    cache_spec = mesh_lib.shadow_cache_pspecs_pp(cache)  # pp-only (manual)
+    cache_spec = mesh_lib.shadow_cache_pspecs_pp(cache, dp=dp > 1)
     embed_head = (params.embed, params.final_norm, params.lm_head)
     eh_spec = jax.tree.map(rep, embed_head)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(lay_spec, cache_spec, P(None, None), P(None, None),
+        in_specs=(lay_spec, cache_spec, P(bdim, None), P(None, None),
                   P(None, None), eh_spec),
-        out_specs=(P(None, None, None), cache_spec),
-        axis_names=frozenset({"pp"}),  # tp (if present) stays an
-        # auto axis: GSPMD partitions the stage body over it exactly
-        # like the (dp, tp) engine path
+        out_specs=(P(bdim, None, None), cache_spec),
+        # both axes manual (see decode_shadow_pp)
+        axis_names=frozenset(mesh.axis_names),
         check_vma=False,  # axis_index-gated writes carry no vma
     )
     def run(layers_local, cache_local, input_ids, cos, sin, embed_head):
@@ -188,7 +193,7 @@ def prefill_shadow_pp(
         (_, cache_local, outs), _ = jax.lax.scan(
             tick, (x0, cache_local, outs0), jnp.arange(ticks)
         )
-        hidden = outs.reshape(b, 1, d)
+        hidden = outs.reshape(b_l, 1, d)
         hidden = rms_norm(hidden, final_norm, model.rms_norm_eps)
         logits = wquant.mat(
             hidden, lm_head, preferred_element_type=jnp.float32
@@ -220,18 +225,22 @@ def decode_shadow_pp(
     from shadowkv_tpu.models.forward import _layer_qkv, _layer_tail
 
     pp = mesh.shape["pp"]
+    dp = mesh.shape["dp"] if "dp" in mesh.axis_names else 1
+    assert "tp" not in mesh.axis_names, "pp x tp unsupported (engine guard)"
     b, qn = tokens.shape
     assert qn == 1, "pp decode steps one token at a time"
-    n_micro = pp if b % pp == 0 else (b if b < pp else None)
+    assert b % dp == 0, (b, dp)
+    b_l = b // dp  # per-dp-shard batch; all pipeline math is local
+    n_micro = pp if b_l % pp == 0 else (b_l if b_l < pp else None)
     assert n_micro is not None, (
-        f"batch {b} must be divisible by pp={pp} (or smaller than it)"
+        f"per-dp-shard batch {b_l} must be divisible by pp={pp} "
+        "(or smaller than it)"
     )
-    ub = b // n_micro
+    ub = b_l // n_micro
     n_layers = model.num_layers
     assert n_layers % pp == 0, (n_layers, pp)
     lp_n = n_layers // pp
 
-    x = wquant.take_rows(params.embed, tokens, model.dtype)  # [B, 1, D]
     # per-slot positions (continuous batching keeps gen_len as a [B]
     # vector; normalize so microbatch slicing is uniform)
     gen_vec = (
@@ -239,44 +248,50 @@ def decode_shadow_pp(
         if cache.gen_len.ndim == 1
         else jnp.broadcast_to(cache.gen_len, (b,))
     )
-    kv_len = cache.layout.prefill_len + gen_vec  # [B]
-    positions = kv_len[:, None] + jnp.arange(qn)[None]
-    cos_all = jnp.take(cos_table, positions, axis=0)  # [B, 1, half]
-    sin_all = jnp.take(sin_table, positions, axis=0)
     static, mut = split_cache(cache)
     layout = cache.layout
 
-    x_parts = x.reshape(n_micro, ub, qn, -1)
     ticks = n_micro + pp - 1
     perm = [(i, (i + 1) % pp) for i in range(pp)]
+    bdim = "dp" if dp > 1 else None
 
     def pp0(x):
         return P("pp", *([None] * (x.ndim - 1)))
+
+    def pp_b(x):  # layer axis on pp, batch axis on dp
+        return P("pp", bdim, *([None] * (x.ndim - 2)))
 
     def rep(x):
         return P(*([None] * x.ndim))
 
     lay_spec = jax.tree.map(pp0, params.layers)
-    static_spec = jax.tree.map(pp0, static)
-    mut_spec = jax.tree.map(pp0, mut)
-    head = (params.final_norm, params.lm_head)
-    head_spec = jax.tree.map(rep, head)
+    static_spec = jax.tree.map(pp_b, static)
+    mut_spec = jax.tree.map(pp_b, mut)
+    eh = (params.embed, params.final_norm, params.lm_head)
+    eh_spec = jax.tree.map(rep, eh)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(lay_spec, static_spec, mut_spec, P(None, None, None),
-                  P(None, None, None), P(None, None, None), P(None),
-                  head_spec, P(None, None), P(None, None)),
-        out_specs=(P(None, None, None), mut_spec),
-        axis_names=frozenset({"pp"}),  # tp (if present) stays an
-        # auto axis: GSPMD partitions the stage body over it exactly
-        # like the (dp, tp) engine path
+        in_specs=(lay_spec, static_spec, mut_spec, P(bdim, None),
+                  P(bdim), eh_spec, P(None, None), P(None, None)),
+        out_specs=(P(bdim, None, None), mut_spec),
+        # BOTH axes are manual: dp rows are fully local to their chips
+        # (no GSPMD in the body — auto-axis collectives interleaved
+        # with the pipeline's ppermute deadlock, see the engine guard)
+        axis_names=frozenset(mesh.axis_names),
         check_vma=False,  # axis_index-gated writes carry no vma
     )
-    def run(layers_local, static_local, mut_local, x_parts, cos_all,
-            sin_all, gen_vec, head, cos_table, sin_table):
+    def run(layers_local, static_local, mut_local, tokens_l, gen_vec,
+            eh, cos_table, sin_table):
         p = jax.lax.axis_index("pp")
+        embed_tbl, final_norm, lm_head = eh
+        x = wquant.take_rows(embed_tbl, tokens_l, model.dtype)
+        kv_len = layout.prefill_len + gen_vec  # [b_l]
+        positions = kv_len[:, None] + jnp.arange(qn)[None]
+        cos_all = jnp.take(cos_table, positions, axis=0)
+        sin_all = jnp.take(sin_table, positions, axis=0)
+        x_parts = x.reshape(n_micro, ub, qn, -1)
 
         def run_stage(x_in, m, mut_local):
             lo = m * ub
@@ -345,8 +360,7 @@ def decode_shadow_pp(
         (_, mut_local, outs), _ = jax.lax.scan(
             tick, (x_parts[0], mut_local, outs0), jnp.arange(ticks)
         )
-        hidden = outs.reshape(b, qn, -1)
-        final_norm, lm_head = head
+        hidden = outs.reshape(b_l, qn, -1)
         hidden = rms_norm(hidden, final_norm, model.rms_norm_eps)
         logits = wquant.mat(
             hidden, lm_head, preferred_element_type=jnp.float32
@@ -355,8 +369,8 @@ def decode_shadow_pp(
         return jax.lax.psum(logits, "pp"), mut_local
 
     logits, mut = run(
-        params.layers, static, mut, x_parts, cos_all, sin_all,
-        gen_vec.astype(jnp.int32), head, cos_table, sin_table,
+        params.layers, static, mut, jnp.asarray(tokens, jnp.int32),
+        gen_vec.astype(jnp.int32), eh, cos_table, sin_table,
     )
     cache = cache.replace(
         k_buf=mut.k_buf,

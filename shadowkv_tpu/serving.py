@@ -123,6 +123,11 @@ class ContinuousBatcher:
             "admission prefills one slot, but sequence-parallel prefill "
             "is whole-batch with the cache batch-sharded over (dp, sp)"
         )
+        assert engine.rt.pp == 1, (
+            "continuous batching over a pp mesh is unsupported: "
+            "admission prefills one slot, but the pp prefill is a "
+            "whole-batch pipelined program"
+        )
         self.engine = engine
         self.slots = slots or engine.rt.batch_size
         self.sample_args = (temperature, top_k, top_p)

@@ -98,6 +98,28 @@ def test_pp_rejects_unsupported_modes():
         Engine(cfg, _cc(), RuntimeConfig(prefill_block_q=64, pp=3), params)
 
 
+def test_pp_composes_with_dp():
+    """(pp, dp) mesh, BOTH manual: dp shards the batch (each dp rank
+    runs its own microbatch pipeline), pp pipelines layers. Tokens
+    match single-device bit-exactly."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = _toy()
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
+    ids = np.random.RandomState(4).randint(0, cfg.vocab_size, (8, 256))
+
+    def run(rt):
+        eng = Engine(cfg, _cc(), rt, params)
+        out, _ = eng.generate(ids, gen_len=8)
+        return out
+
+    ref = run(RuntimeConfig(prefill_block_q=64))
+    got = run(RuntimeConfig(prefill_block_q=64, pp=2, dp=2))
+    np.testing.assert_array_equal(ref, got)
+    got4 = run(RuntimeConfig(prefill_block_q=64, pp=2, dp=4))
+    np.testing.assert_array_equal(ref, got4)
+
+
 def test_pp_tp_composition_rejected():
     """pp x tp is rejected with a diagnostic: partial-manual shard_map
     (pp manual + auto-tp GSPMD psums inside the tick scan) deadlocks in
