@@ -49,6 +49,17 @@ def parse_args():
     p.add_argument("--resume", action="store_true", default=False,
                    help="continue an interrupted run from its jsonl "
                         "archive instead of truncating it")
+    # intra-replica mesh axes (parallel/): dp shards batch, tp shards
+    # GQA KV heads + factors, sp shards the prompt at prefill, pp
+    # pipelines layers (pp composes with dp only)
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1)
+    p.add_argument("--pp", type=int, default=1)
+    p.add_argument("--weight_quant", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="int8: weight-only quantized dense path "
+                        "(core/wquant.py)")
     return p.parse_args()
 
 
@@ -72,6 +83,8 @@ def main():
         chunk_size=args.chunk_size,
         model_dir=args.model_dir,
         minference=args.minference,
+        dp=args.dp, tp=args.tp, sp=args.sp, pp=args.pp,
+        weight_quant=args.weight_quant,
     )
     if dist.master_process:
         llm.print_kv_stats()
