@@ -193,10 +193,38 @@ def run_serve(cfg, rt, params, datalen, slots, steps, quant, cache_mode):
     )
 
 
+def _probe_backend(timeout_s: int = 300) -> bool:
+    """The axon remote-TPU tunnel makes jax.devices() BLOCK forever
+    when it is down; probe in a subprocess so the bench fails fast
+    with a JSON line instead of hanging the driver."""
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('BACKEND_UP', jax.devices())"],
+            capture_output=True, text=True, timeout=timeout_s,
+            env=dict(os.environ),
+        )
+        return "BACKEND_UP" in p.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     from shadowkv_tpu.config import CacheConfig, RuntimeConfig
     from shadowkv_tpu.models.params import init_synthetic_params
     from shadowkv_tpu.models.registry import toy_config
+
+    if not _probe_backend():
+        log("backend probe failed (TPU tunnel down?) — failing fast")
+        print(json.dumps({
+            "metric": "backend_unavailable",
+            "value": 0,
+            "unit": "tokens/s",
+            "vs_baseline": None,
+        }))
+        sys.exit(1)
 
     datalen = int(os.environ.get("BENCH_DATALEN", 122880))
     full_batch = int(os.environ.get("BENCH_FULL_BATCH", 1))
