@@ -14,12 +14,18 @@ for the ring kernel at bench-like sizes.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+FAILURES: list[str] = []
 
 
 def stage(name):
@@ -27,11 +33,14 @@ def stage(name):
         def run(*a):
             try:
                 out = fn(*a)
-                print(f"PASS  {name}" + (f"  {out}" if out else ""))
+                # NOTE: `out` may be a jax array — no truthiness on it.
+                msg = f"  {out}" if isinstance(out, str) else ""
+                print(f"PASS  {name}{msg}", flush=True)
                 return out if out is not None else True
             except Exception:
-                print(f"FAIL  {name}")
+                print(f"FAIL  {name}", flush=True)
                 traceback.print_exc()
+                FAILURES.append(name)
                 return None
 
         return run
@@ -140,3 +149,6 @@ if __name__ == "__main__":
     ok = probe_ring_tiny()
     if ok:
         probe_ring_bandwidth()
+    if FAILURES:
+        print("failed stages:", FAILURES)
+        sys.exit(1)

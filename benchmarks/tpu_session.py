@@ -336,6 +336,9 @@ def main():
             continue
         spec = STAGES[name]
         env = dict(os.environ, **spec["env"])
+        # Scripts run as `python benchmarks/x.py` — put the repo root on
+        # sys.path so `import shadowkv_tpu` resolves.
+        env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
         wait_for_tpu()
         print(f"== {name}: {' '.join(spec['cmd'])} {spec['env']}",
               flush=True)
