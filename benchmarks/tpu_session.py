@@ -300,7 +300,10 @@ INFRA_MARKERS = (
 
 def done_stages():
     """Stages with a recorded result. Infra-flap failures (tunnel died
-    mid-stage) do NOT count as done — they retry on the next run."""
+    mid-stage) do NOT count as done — they retry on the next run.
+    Neither does an ok-record whose tail shows a probe-stage FAIL:
+    round 1 recorded harness crashes as ok (VERDICT weak #1), and a
+    stage that half-crashed must re-run, not freeze a wrong answer."""
     if not os.path.exists(RESULTS):
         return set()
     out = set()
@@ -311,6 +314,11 @@ def done_stages():
             except Exception:
                 continue
             if not rec.get("ok") and rec.get("infra"):
+                continue
+            if rec.get("ok") and any(
+                ln.startswith(("FAIL", "Traceback"))
+                for ln in rec.get("tail", [])
+            ):
                 continue
             out.add(rec["stage"])
     return out
