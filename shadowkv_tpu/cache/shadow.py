@@ -37,7 +37,7 @@ from shadowkv_tpu.core import rope as rope_lib
 from shadowkv_tpu.core.lowrank import lowrank_kv_factors
 from shadowkv_tpu.core.quant import (
     flat_trailer_lanes,
-    SCALE_LANES,
+    scale_lanes_for,
     flat_u_scales,
     flat_v_scales,
     pack_shadow_int8,
@@ -78,7 +78,7 @@ class ShadowLayout:
     rank_pad: int  # rank rounded up to a lane multiple (128); U/SV are
     # stored zero-padded to it so the refresh kernel's DMA units are
     # tiling-aligned — physically free, XLA pads the minor dim anyway.
-    # int8 mode additionally reserves SCALE_LANES tail lanes of every U
+    # int8 mode additionally reserves scale_lanes_for(kh) tail lanes of every U
     # token row for the embedded per-token scales (core/quant.py).
     quant: str = "none"  # 'none' | 'int8': V store / U factors /
     # landmarks quantized per row, ~2x feasible batch at 122K (the
@@ -96,6 +96,7 @@ class ShadowLayout:
         cache: CacheConfig,
         prefill_len: int,
         kernel_store: bool = False,
+        num_kv_heads: int | None = None,
     ) -> "ShadowLayout":
         cs = cache.chunk_size
         assert prefill_len % 8 == 0, "prefill length must be 8-aligned"
@@ -110,8 +111,14 @@ class ShadowLayout:
         )
         sparse_start = prefill_local + outl * cs
         sparse_end = sparse_start + cache.sparse_budget
+        # int8 reserves scale-trailer lanes inside the rank padding;
+        # MHA-style head counts (>15) need a wider trailer, so the
+        # model's kv-head count must reach build for those shapes
+        # (scale_lanes_for, core/quant.py).
         rank_eff = cache.rank + (
-            SCALE_LANES if cache.kv_quant == "int8" else 0
+            scale_lanes_for(num_kv_heads or 1)
+            if cache.kv_quant == "int8"
+            else 0
         )
         # Full 128-lane alignment everywhere. An 8-aligned-only
         # rank_pad (192) was tried to cut U gather volume 25 %: the
@@ -207,13 +214,17 @@ class ShadowCache(flax.struct.PyTreeNode):
                 f"kv_quant='int8' needs chunk_size dividing 32, got {cs}"
             )
             # The embedded scale trailer holds 2 U-scale bytes plus
-            # 2 V-scale bytes PER KV HEAD in SCALE_LANES lanes; beyond
-            # 15 heads (e.g. Phi-3's 32 MHA heads) the per-head slices
-            # would silently read rank lanes as scales.
-            assert 2 + 2 * kh <= SCALE_LANES, (
-                f"kv_quant='int8' supports at most "
-                f"{(SCALE_LANES - 2) // 2} kv heads (got {kh}); use "
-                "kv_quant='none' for MHA-style models"
+            # 2 V-scale bytes PER KV HEAD inside the rank padding; the
+            # layout must have reserved enough tail lanes for this
+            # model's head count (MHA shapes like Phi-3's 32 heads need
+            # 72 lanes, not the default 32 — pass num_kv_heads to
+            # ShadowLayout.build).
+            assert lo.rank_pad - lo.rank >= scale_lanes_for(kh), (
+                f"int8 scale trailer for {kh} kv heads needs "
+                f"{scale_lanes_for(kh)} tail lanes but the layout "
+                f"reserves {lo.rank_pad - lo.rank}; build the "
+                "ShadowLayout with num_kv_heads="
+                f"{kh}"
             )
         pt = 32 // cs if q8 else 1
         if not q8:
@@ -694,7 +705,7 @@ def shadow_decode_layer(
             static.v_full if v_host is None else v_host,
         )  # [B,K,S*cs,rp] , [B,K,S*cs,Dh]
         if lo.quant == "int8":
-            base = lo.rank_pad - SCALE_LANES
+            base = lo.rank_pad - scale_lanes_for(kh)
             u_sc_flat = scales_from_bytes(
                 u_tok[..., base], u_tok[..., base + 1]
             )  # [B,K,S*cs] bf16
@@ -767,7 +778,7 @@ def shadow_decode_layer(
                 b, kh, ssets, cs, lo.rank_pad
             )
             u_q = u_rows.reshape(b, kh, ssets * cs, lo.rank_pad)
-            u_sc = u_scales_from_rows(u_rows, lo.rank_pad)
+            u_sc = u_scales_from_rows(u_rows, lo.rank_pad, kh)
             v_sc = v_scales_from_rows(
                 u_rows, lo.rank_pad, kh, ki.reshape(1, kh, 1, 1, 1)
             )

@@ -107,9 +107,19 @@ def dequantize(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
     return (q.astype(jnp.float32) * scale[..., None].astype(jnp.float32)).astype(dtype)
 
 
-SCALE_LANES = 32  # per-token U tail lanes reserved for embedded scales
-# (2 + 2*kv_heads used -> kv_heads <= 15; every lane here is gathered
-# on every decode step, so the reservation is kept tight)
+SCALE_LANES = 32  # MINIMUM per-token U tail lanes reserved for
+# embedded scales (2 + 2*kv_heads used; every lane here is gathered on
+# every decode step, so the reservation is kept tight). MHA-style
+# models with >15 kv heads grow the reservation — scale_lanes_for().
+
+
+def scale_lanes_for(num_kv_heads: int) -> int:
+    """U tail lanes reserved for the embedded scale trailer: 2 U-scale
+    bytes + 2 V-scale bytes per kv head, rounded up to a sublane-tile
+    multiple (8), floored at the legacy 32 so every <=15-head layout is
+    bit-identical to round 1. Phi-3's 32 MHA heads -> 72 lanes (rank
+    160 + 72 still pads to the same 256-lane tiled row)."""
+    return max(SCALE_LANES, (2 + 2 * num_kv_heads + 7) // 8 * 8)
 
 
 def flat_trailer_lanes(chunk_size: int, num_kv_heads: int) -> int:
@@ -168,11 +178,11 @@ def pack_shadow_int8(
     assert 32 % cs == 0, f"chunk_size {cs} must divide 32"
     pt = 32 // cs
     assert c % pt == 0, (c, pt)
-    assert 2 + 2 * kh <= SCALE_LANES, f"{kh} kv heads > {SCALE_LANES//2 - 1}"
-    assert rank is None or rank <= rp - SCALE_LANES, (
+    sl = scale_lanes_for(kh)
+    assert rank is None or rank <= rp - sl, (
         f"rank {rank} overlaps the scale trailer (rank_pad {rp} reserves "
-        f"the last {SCALE_LANES} lanes; pad rank to rank_pad - "
-        f"{SCALE_LANES} or less)"
+        f"the last {sl} lanes for {kh} kv heads; pad rank to rank_pad - "
+        f"{sl} or less)"
     )
     uq, us = quantize_rows_blocked(u, quant_blocks)  # us [..., C, cs]
     vq, vs = quantize_rows_blocked(v, quant_blocks)  # vs [..., K, C, cs]
@@ -180,11 +190,11 @@ def pack_shadow_int8(
     v_lo, v_hi = _scale_bytes(vs.astype(jnp.bfloat16))
     v_lo = jnp.moveaxis(v_lo, -3, -1)  # [..., C, cs, K]
     v_hi = jnp.moveaxis(v_hi, -3, -1)
-    pad = jnp.zeros(us.shape + (SCALE_LANES - 2 - 2 * kh,), jnp.int8)
+    pad = jnp.zeros(us.shape + (sl - 2 - 2 * kh,), jnp.int8)
     trailer = jnp.concatenate(
         [u_lo[..., None], u_hi[..., None], v_lo, v_hi, pad], axis=-1
     )
-    u8 = jnp.concatenate([uq[..., : rp - SCALE_LANES], trailer], axis=-1)
+    u8 = jnp.concatenate([uq[..., : rp - sl], trailer], axis=-1)
     if tiled:
         return (
             u8.reshape(*u.shape[:-3], c // pt, 32, rp),
@@ -209,9 +219,14 @@ def pack_shadow_int8(
     return u8f, vq.reshape(*v.shape[:-3], c, cs * dh)
 
 
-def u_scales_from_rows(u_rows: jnp.ndarray, rank_pad: int) -> jnp.ndarray:
-    """bf16 U scales [..., cs] from gathered U token rows [..., cs, rp]."""
-    base = rank_pad - SCALE_LANES
+def u_scales_from_rows(
+    u_rows: jnp.ndarray, rank_pad: int, num_kv_heads: int | None = None
+) -> jnp.ndarray:
+    """bf16 U scales [..., cs] from gathered U token rows [..., cs, rp].
+    Pass ``num_kv_heads`` (the GLOBAL head count the rows were packed
+    with) whenever it may exceed 15 — it sets the trailer width."""
+    sl = SCALE_LANES if num_kv_heads is None else scale_lanes_for(num_kv_heads)
+    base = rank_pad - sl
     return scales_from_bytes(u_rows[..., base], u_rows[..., base + 1])
 
 
@@ -223,7 +238,7 @@ def v_scales_from_rows(
 ) -> jnp.ndarray:
     """bf16 V scales [..., cs] for kv head ``k_index`` (broadcastable to
     ``u_rows.shape[:-1] + (1,)``) from gathered U token rows."""
-    base = rank_pad - SCALE_LANES + 2
+    base = rank_pad - scale_lanes_for(num_kv_heads) + 2
     lo = jnp.take_along_axis(
         u_rows[..., base : base + num_kv_heads], k_index, axis=-1
     )[..., 0]
@@ -299,15 +314,21 @@ def v_rows_view(
 
 
 def unpack_u_int8(
-    u8: jnp.ndarray, chunk_size: int, rank_pad: int, dtype
+    u8: jnp.ndarray,
+    chunk_size: int,
+    rank_pad: int,
+    dtype,
+    num_kv_heads: int | None = None,
 ) -> jnp.ndarray:
     """Dequantize an int8 U store (either layout) to [..., C, cs, rp]
-    in ``dtype`` with the scale lanes zeroed."""
+    in ``dtype`` with the scale lanes zeroed. Pass ``num_kv_heads``
+    when it may exceed 15 (trailer width)."""
+    sl = SCALE_LANES if num_kv_heads is None else scale_lanes_for(num_kv_heads)
     rows = u_rows_view(u8, chunk_size, rank_pad)
-    sc = u_scales_from_rows(rows, rank_pad)
+    sc = u_scales_from_rows(rows, rank_pad, num_kv_heads)
     data = rows.astype(dtype) * sc[..., None].astype(dtype)
     lane = jnp.arange(rank_pad)
-    return jnp.where(lane < rank_pad - SCALE_LANES, data, 0)
+    return jnp.where(lane < rank_pad - sl, data, 0)
 
 
 def unpack_v_int8(
@@ -324,7 +345,7 @@ def unpack_v_int8(
     # K sits one axis further out in the tiled layout ([..., K, C/pt,
     # 32, dh]) than in the flat one ([..., K, C, cs*dh]).
     kh = v8.shape[-4] if v8.shape[-1] == head_dim else v8.shape[-3]
-    base = rank_pad - SCALE_LANES + 2
+    base = rank_pad - scale_lanes_for(kh) + 2
     lo = rows_u[..., base : base + kh]  # [..., C, cs, K]
     hi = rows_u[..., base + kh : base + 2 * kh]
     sc = jnp.moveaxis(scales_from_bytes(lo, hi), -1, -3)  # [..., K, C, cs]

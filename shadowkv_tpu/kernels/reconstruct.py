@@ -55,7 +55,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from shadowkv_tpu.core.quant import SCALE_LANES
+from shadowkv_tpu.core.quant import scale_lanes_for
 
 GROUP = 16  # miss chunks processed per pipeline stage: the group's U
 # loads are issued back-to-back (latency amortized), reconstruction is
@@ -289,7 +289,7 @@ def _refresh_kernel(
         sv = sv_tile[...]  # [r, Dh]
         if quant:
             u8 = u8_tile[buf]  # [GROUP*cs, r_pad] int8
-            base = sv.shape[0] - SCALE_LANES
+            base = sv.shape[0] - scale_lanes_for(total_kv_heads)
             kg = layer_ref[1] + k  # global kv-head index
             u_sc = _scale_col(u8, base, base + 1)  # [GROUP*cs, 1]
             v_sc = _scale_col(
@@ -431,8 +431,7 @@ def sparse_refresh(
         assert u.shape[-2:] == (32, r), (u.shape, r)
         assert v_full.shape[-2:] == (32, dh), v_full.shape
         # rank padding must hold the scale lanes clear of real SV rows
-        assert r >= SCALE_LANES, (r, SCALE_LANES)
-        assert 2 + 2 * total_kh <= SCALE_LANES, total_kh
+        assert r >= scale_lanes_for(total_kh), (r, total_kh)
     bk = bsz * kh
 
     kernel = functools.partial(

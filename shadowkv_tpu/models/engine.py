@@ -519,6 +519,9 @@ class Engine:
                 kernel_store=(
                     self.use_pallas or self.ring_gather or self.pallas_auto
                 ),
+                # MHA-style head counts (>15) widen the int8 scale
+                # trailer (scale_lanes_for, core/quant.py).
+                num_kv_heads=self.model.num_kv_heads,
             )
             if self.pp > 1:
                 # Layer-pipelined whole-batch prefill: each pipeline

@@ -92,6 +92,53 @@ def test_flat_and_tiled_layouts_hold_identical_chunk_bytes(rng):
         )
 
 
+def test_mha_32_head_roundtrip(rng):
+    """MHA-style head counts (>15, e.g. Phi-3's 32) widen the embedded
+    scale trailer (scale_lanes_for) instead of being rejected — VERDICT
+    round-1 weak #7. Pack/unpack must round-trip with the wide trailer
+    in both layouts."""
+    from shadowkv_tpu.core.quant import (
+        pack_shadow_int8,
+        scale_lanes_for,
+        unpack_u_int8,
+        unpack_v_int8,
+    )
+
+    B, K, C, CS, R, DH = 1, 32, 8, 8, 32, 64
+    assert scale_lanes_for(K) == 72
+    RP = 128  # rank 32 + 72 scale lanes pads to one lane tile
+    ks = jax.random.split(rng, 2)
+    u = jax.random.normal(ks[0], (B, C, CS, RP), jnp.float32)
+    u = u.at[..., R:].set(0)
+    v = jax.random.normal(ks[1], (B, K, C, CS, DH), jnp.float32)
+    for tiled in (True, False):
+        u8, v8 = pack_shadow_int8(u, v, rank=R, tiled=tiled)
+        u_dq = unpack_u_int8(u8, CS, RP, jnp.float32, num_kv_heads=K)
+        v_dq = unpack_v_int8(v8, u8, CS, RP, DH, jnp.float32)
+        u_err = np.abs(np.asarray(u_dq[..., :R]) - np.asarray(u[..., :R]))
+        v_err = np.abs(np.asarray(v_dq) - np.asarray(v))
+        assert u_err.max() / np.abs(np.asarray(u)).max() < 0.01
+        assert v_err.max() / np.abs(np.asarray(v)).max() < 0.01
+
+
+def test_mha_int8_engine_runs():
+    """An MHA toy model (kv_heads == heads > 15) must run the int8
+    shadow path end-to-end (Phi-3 shape class)."""
+    cfg = toy_config(
+        dtype=jnp.float32, num_heads=16, num_kv_heads=16, hidden_size=256
+    )
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0))
+    rt = RuntimeConfig(prefill_sub_batch=1, prefill_block_q=128)
+    ids = np.random.RandomState(0).randint(1, cfg.vocab_size, (1, 512))
+    cc = CacheConfig(
+        mode="shadow", max_length=512, sparse_budget=64, rank=32,
+        outlier_chunks=4, gen_capacity=32, kv_quant="int8",
+    )
+    eng = Engine(cfg, cc, rt, params)
+    toks, _ = eng.generate(ids, gen_len=4, temperature=0.0)
+    assert toks.shape == (1, 4)
+
+
 def test_int8_engine_close_to_bf16_engine():
     cfg = toy_config(dtype=jnp.float32)
     params = init_synthetic_params(cfg, jax.random.PRNGKey(0))
