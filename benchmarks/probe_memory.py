@@ -102,7 +102,18 @@ def main():
     use_flash = jax.devices()[0].platform != "cpu"
 
     def report(name, lowered):
-        compiled = lowered.compile()
+        try:
+            compiled = lowered.compile()
+        except Exception as e:  # compile-time OOM: the summary line
+            # sits at the TOP of a many-thousand-line allocation dump;
+            # keep the head, drop the table (the session harness only
+            # records tails).
+            head = "\n".join(str(e).splitlines()[:40])
+            print(json.dumps({
+                "program": name, "compile_error": head[:4000],
+                "fits_16g": False,
+            }), flush=True)
+            return
         ma = compiled.memory_analysis()
         # donated buffers (the cache) appear in BOTH argument and
         # output sizes; alias_size_in_bytes is that overlap — without

@@ -50,6 +50,11 @@ STAGES = {
         "env": {},
         "timeout": 1800,
     },
+    "probe_host_layouts": {
+        "cmd": [sys.executable, "benchmarks/probe_host_layouts.py"],
+        "env": {},
+        "timeout": 2400,
+    },
     # Compile-only HBM-fit probes (AOT memory_analysis): ~1-2 min each
     # vs a failed 20-min bench. Run before their bench stages.
     "probe_mem_8b": {
@@ -243,7 +248,7 @@ STAGES = {
 # decode metric and its likely improvements, then correctness (kernel
 # tests), then the secondary regimes/lengths/serving, profiling last.
 _ORDER = [
-    "probe_host", "probe_hostdus",
+    "probe_host", "probe_hostdus", "probe_host_layouts",
     "probe_mem_8b", "probe_mem_wq8_b5", "probe_mem_244k",
     "bench_xla", "bench_wq8", "bench_8b",
     "bench_offload_b6_ring",
@@ -342,6 +347,12 @@ def main():
         if name in skip:
             print(f"== {name}: already recorded, skipping", flush=True)
             continue
+        # Cooperative pause: `touch /tmp/tpu_session_pause` makes the
+        # session idle BETWEEN stages (never mid-TPU-op) so a one-off
+        # probe can borrow the chip; rm the file to resume.
+        while os.path.exists("/tmp/tpu_session_pause"):
+            print("== paused (/tmp/tpu_session_pause)", flush=True)
+            time.sleep(30)
         spec = STAGES[name]
         env = dict(os.environ, **spec["env"])
         # Scripts run as `python benchmarks/x.py` — put the repo root on
@@ -360,7 +371,14 @@ def main():
                 text=True, timeout=spec["timeout"],
             )
             ok = p.returncode == 0
-            tail = (p.stdout + "\n" + p.stderr).strip().splitlines()[-25:]
+            full = (p.stdout + "\n" + p.stderr).strip()
+            tail = full.splitlines()[-25:]
+            # Full output survives for post-hoc analysis (the 25-line
+            # tail lost the memory-probe summaries in round 2).
+            logdir = os.path.join(ROOT, "benchmarks", "logs")
+            os.makedirs(logdir, exist_ok=True)
+            with open(os.path.join(logdir, f"{name}.log"), "w") as lf:
+                lf.write(full + "\n")
         except subprocess.TimeoutExpired:
             ok, tail = False, ["TIMEOUT"]
         rec = {
