@@ -267,6 +267,11 @@ def shadow_prefill_layer(
     k_roped: jnp.ndarray,  # [B, S, K, Dh]
     v: jnp.ndarray,  # [B, S, K, Dh]
     q_last: jnp.ndarray,  # [B, 1, H, Dh] last prefill query (roped)
+    tp_axis: str | None = None,  # manual tp axis (pp x tp pipeline):
+    # K carries a head slice; the shared-across-heads U factor is a
+    # GLOBAL-head computation, distributed via psum'd Grams in
+    # core/lowrank.py (everything else here is per-head and local)
+    tp_size: int = 1,
 ) -> dict:
     """Build one layer's shadow-cache slices at prefill.
 
@@ -282,7 +287,8 @@ def shadow_prefill_layer(
 
     # --- low-rank factors of pre-RoPE K ---
     u, sv = lowrank_kv_factors(
-        k_pre_rope.reshape(b, s, kh * dh), lo.rank, kh, dh, dtype=dtype
+        k_pre_rope.reshape(b, s, kh * dh), lo.rank, kh, dh, dtype=dtype,
+        tp_axis=tp_axis, tp_size=tp_size,
     )
     # Zero-pad rank to the lane multiple the refresh kernel's DMA units
     # need (physically free: XLA pads the minor dim regardless).

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _orth(y: jnp.ndarray) -> jnp.ndarray:
+def _orth(y: jnp.ndarray, psum_axis: str | None = None) -> jnp.ndarray:
     """Orthonormalize tall-skinny [B, S, p] by symmetric whitening.
 
     Q = Y W diag(1/sqrt(lam)) from eigh(Y^T Y) — one Gram matmul plus a
@@ -36,8 +36,15 @@ def _orth(y: jnp.ndarray) -> jnp.ndarray:
     Rank-deficient directions are clamped, not amplified: their columns
     come out with near-zero norm and drop out of the downstream
     projection. Two passes restore fp32 orthogonality.
+
+    ``psum_axis``: when the S rows are sharded over a MANUAL mesh axis
+    (the pp x tp pipeline shards the feature axis of the half-step
+    bases), the Gram is a partial sum — psum it so every rank whitens
+    with the GLOBAL Gram and local rows stay rows of one global Q.
     """
     g = jnp.einsum("bsp,bsq->bpq", y, y, preferred_element_type=jnp.float32)
+    if psum_axis is not None:
+        g = jax.lax.psum(g, psum_axis)
     lam, w = jnp.linalg.eigh(g)
     # Directions below fp32 Gram noise are dropped (zeroed), NOT
     # clamped: 1/sqrt(clamped) would blow numerical junk up into O(1)
@@ -54,15 +61,23 @@ def _orth2(y: jnp.ndarray) -> jnp.ndarray:
     return _orth(_orth(y))
 
 
-def _finish_from_basis(kf, q, rank):
+def _finish_from_basis(kf, q, rank, psum_axis: str | None = None):
     """Given an orthonormal range basis Q [B, S, p], return the top-rank
-    factors U [B, S, r], SV [B, r, d] of K ~= U @ SV."""
+    factors U [B, S, r], SV [B, r, d] of K ~= U @ SV.
+
+    Under a manual tp axis, kf's d columns are a head shard: b_small is
+    the LOCAL column block of the global projection, its Gram is a
+    partial sum (psum), and the returned SV is exactly this rank's head
+    slice while U (built from the replicated q and the psum'd Gram's
+    eigvecs) is bit-identical on every rank."""
     b_small = jnp.einsum(
         "bsp,bsd->bpd", q, kf, preferred_element_type=jnp.float32
     )  # [B, p, d]
     g = jnp.einsum(
         "bpd,bqd->bpq", b_small, b_small, preferred_element_type=jnp.float32
     )
+    if psum_axis is not None:
+        g = jax.lax.psum(g, psum_axis)
     eigval, eigvec = jnp.linalg.eigh(g)  # ascending, p x p (tiny)
     top = eigvec[:, :, ::-1][:, :, :rank]  # [B, p, r]
     u = jnp.einsum(
@@ -74,7 +89,10 @@ def _finish_from_basis(kf, q, rank):
     return u, sv
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnames=(
+    "rank", "num_kv_heads", "head_dim", "dtype", "method", "oversample",
+    "tp_axis", "tp_size",
+))
 def lowrank_kv_factors(
     k_pre_rope: jnp.ndarray,
     rank: int,
@@ -83,6 +101,8 @@ def lowrank_kv_factors(
     dtype=jnp.bfloat16,
     method: str = "randomized",
     oversample: int = 32,
+    tp_axis: str | None = None,
+    tp_size: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Factor pre-RoPE keys K ~= U @ SV.
 
@@ -103,11 +123,26 @@ def lowrank_kv_factors(
     kf = k_pre_rope.reshape(b, s, d).astype(jnp.float32)
 
     if method == "randomized":
-        p = min(d, rank + oversample)
-        omega = jax.random.normal(jax.random.PRNGKey(7), (d, p), jnp.float32)
+        # Manual-tp distribution (pp x tp pipeline): kf holds a HEAD
+        # SLICE of the global feature axis (d_local = d_global / tp).
+        # Every d-contraction psums; every d-sharded Gram psums inside
+        # _orth; each rank draws ITS rows of one GLOBAL omega, so U
+        # comes out bit-identical everywhere and SV comes out exactly
+        # head-sliced — matching the tp cache pspecs.
+        d_g = d * tp_size
+        p = min(d_g, rank + oversample)
+        omega = jax.random.normal(
+            jax.random.PRNGKey(7), (d_g, p), jnp.float32
+        )
+        if tp_axis is not None:
+            omega = jax.lax.dynamic_slice(
+                omega, (jax.lax.axis_index(tp_axis) * d, 0), (d, p)
+            )
         y = jnp.einsum(
             "bsd,dp->bsp", kf, omega, preferred_element_type=jnp.float32
         )
+        if tp_axis is not None:
+            y = jax.lax.psum(y, tp_axis)
         q = _orth(y)
         # One power iteration, re-orthonormalizing after each half-step
         # so the sketch's spectrum never gets squared/cubed in fp32.
@@ -116,12 +151,15 @@ def lowrank_kv_factors(
         z = jnp.einsum(
             "bsd,bsp->bdp", kf, q, preferred_element_type=jnp.float32
         )
-        z = _orth(z)
+        z = _orth(z, psum_axis=tp_axis)
         y = jnp.einsum(
             "bsd,bdp->bsp", kf, z, preferred_element_type=jnp.float32
         )
-        q = _orth2(y)
+        if tp_axis is not None:
+            y = jax.lax.psum(y, tp_axis)
+        q = _orth(_orth(y))
     elif method == "gram":
+        assert tp_axis is None, "method='gram' is single-shard only"
         gram = jnp.einsum(
             "bsd,bse->bde", kf, kf, preferred_element_type=jnp.float32
         )
@@ -134,7 +172,7 @@ def lowrank_kv_factors(
     else:
         raise ValueError(f"unknown lowrank method '{method}'")
 
-    u, sv = _finish_from_basis(kf, q, rank)
+    u, sv = _finish_from_basis(kf, q, rank, psum_axis=tp_axis)
     sv = sv.reshape(b, rank, num_kv_heads, head_dim).transpose(0, 2, 1, 3)
     return u.astype(dtype), sv.astype(dtype)
 

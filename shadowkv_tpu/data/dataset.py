@@ -30,8 +30,10 @@ from shadowkv_tpu.models.prompt_templates import CTX_TEMPLATES, template_family
 
 RULER_DATA_DIR = "data/ruler/data"
 
-RULER_LENGTHS = [8 * 1024, 16 * 1024, 32 * 1024, 64 * 1024, 128 * 1024,
-                 256 * 1024]
+RULER_LENGTHS = [4 * 1024, 8 * 1024, 16 * 1024, 32 * 1024, 64 * 1024,
+                 128 * 1024, 256 * 1024]  # RULER's standard ladder
+# (4K included: the official benchmark starts there, and it is the CPU
+# integration-test length — tests/test_eval_e2e.py)
 
 
 def middle_truncate(ids: np.ndarray, max_length: int) -> np.ndarray:

@@ -135,15 +135,10 @@ class Engine:
             # other axis and serves the HBM shadow mode + XLA path.
             from shadowkv_tpu.parallel import mesh as mesh_lib
 
-            assert rt.sp == 1 and rt.tp == 1, (
-                "pp composes with dp only: partial-manual shard_map "
-                "(pp manual, tp auto) deadlocks today — the pipeline's "
-                "ppermute and GSPMD's Megatron psums inside the tick "
-                "scan get divergent collective instance ids across tp "
-                "ranks (XLA rendezvous timeout, verified on the CPU "
-                "backend). dp rides as a second MANUAL axis (batch "
-                "rows fully local). Revisit tp when partial-manual "
-                "collective sequencing lands."
+            assert rt.sp == 1, "pp x sp unsupported"
+            assert rt.tp == 1 or rt.dp == 1, (
+                "pp composes with EITHER dp OR tp (both manual axes); "
+                "a 3-axis pp x dp x tp mesh is future work"
             )
             assert cache_cfg.mode == "shadow", (
                 "pp > 1 supports cache mode 'shadow' (HBM) only"
@@ -154,10 +149,27 @@ class Engine:
             assert model.num_layers % rt.pp == 0, (
                 f"pp={rt.pp} must divide num_layers {model.num_layers}"
             )
-            self.mesh = mesh_lib.build_mesh_pp(rt.pp, dp=rt.dp)
+            if rt.tp > 1:
+                # Fully-MANUAL tp inside the pipeline body (explicit
+                # psums; the GSPMD-auto composition deadlocked, commit
+                # 2772c9e). The packed projection dims are permuted so
+                # each rank's contiguous block IS its Megatron slice
+                # (parallel/mesh.py::permute_packed_for_tp); int8 KV is
+                # excluded (global-head scale trailer).
+                assert model.num_kv_heads % rt.tp == 0, (
+                    f"tp={rt.tp} must divide num_kv_heads "
+                    f"{model.num_kv_heads}"
+                )
+                assert cache_cfg.kv_quant == "none", (
+                    "pp x tp serves kv_quant='none'"
+                )
+                self.params = mesh_lib.permute_packed_for_tp(
+                    self.params, model, rt.tp
+                )
+            self.mesh = mesh_lib.build_mesh_pp(rt.pp, tp=rt.tp, dp=rt.dp)
             self.params = mesh_lib.shard_pytree(
                 self.mesh, self.params,
-                mesh_lib.param_pspecs_pp(self.params),
+                mesh_lib.param_pspecs_pp(self.params, tp=rt.tp > 1),
             )
         elif rt.dp * rt.tp * rt.sp > 1:
             from shadowkv_tpu.parallel import mesh as mesh_lib
@@ -192,7 +204,7 @@ class Engine:
 
         if self.pp > 1:
             pspecs = mesh_lib.shadow_cache_pspecs_pp(
-                cache, dp=self.rt.dp > 1
+                cache, tp=self.rt.tp > 1, dp=self.rt.dp > 1
             )
         elif isinstance(cache, ShadowCache):
             pspecs = mesh_lib.shadow_cache_pspecs(cache, self.mesh)

@@ -140,10 +140,22 @@ def _layer_qkv(model: ModelConfig, lp: LayerParams, x, cos, sin,
     return q_r, k_r, k, v
 
 
-def _layer_tail(lp: LayerParams, model: ModelConfig, x, ctx):
-    x = x + o_proj(ctx, lp)
+def _layer_tail(lp: LayerParams, model: ModelConfig, x, ctx,
+                tp_axis: str | None = None):
+    """Post-attention tail. ``tp_axis`` names a MANUAL tensor-parallel
+    shard_map axis: wo / w_down are row-sharded there, so their matmuls
+    produce partial sums that must be psum'd before joining the
+    (replicated) residual stream. GSPMD paths pass None — the psums are
+    inserted by the partitioner from the weight shardings."""
+    o = o_proj(ctx, lp)
+    if tp_axis is not None:
+        o = jax.lax.psum(o, tp_axis)
+    x = x + o
     h = rms_norm(x, lp.mlp_norm, model.rms_norm_eps)
-    return x + swiglu_mlp(h, lp)
+    m = swiglu_mlp(h, lp)
+    if tp_axis is not None:
+        m = jax.lax.psum(m, tp_axis)
+    return x + m
 
 
 # --------------------------------------------------------------------------
@@ -395,6 +407,8 @@ def make_shadow_prefill_body(
     use_flash: bool,
     batch_offset,  # traced: where this sub/micro-batch's slices land
     pat_caps=None,
+    tp_axis: str | None = None,
+    tp_size: int = 1,
 ):
     """The shadow prefill LAYER body, shared between the sub-batch
     scan (prefill_shadow_into) and the pp pipeline's per-stage scan
@@ -402,7 +416,12 @@ def make_shadow_prefill_body(
     QKV + RoPE, build the shadow slices (SVD/landmarks/outliers/seed),
     write them into the carried cache at (layer, batch_offset), and
     run the configured prefill attention. ``inputs`` is
-    (layer_idx, layer_params, pattern_row-or-None)."""
+    (layer_idx, layer_params, pattern_row-or-None).
+
+    ``tp_axis``: manual tensor-parallel axis (pp x tp pipeline) — pass
+    a head-scaled ``model`` alongside it; the attention/SVD/landmark
+    math is per-head (local heads work unchanged) and only the
+    o_proj/MLP partial sums need the psum in _layer_tail."""
     s = cos.shape[0]
 
     def body(carry, inputs):
@@ -410,7 +429,8 @@ def make_shadow_prefill_body(
         layer, lp, pat = inputs
         q, k_r, k_pre, v = _layer_qkv(model, lp, x, cos, sin)
         slices = shadow_prefill_layer(
-            model, layout, k_pre, k_r, v, q[:, -1:]
+            model, layout, k_pre, k_r, v, q[:, -1:],
+            tp_axis=tp_axis, tp_size=tp_size,
         )
 
         def put(dst, src):
@@ -448,7 +468,7 @@ def make_shadow_prefill_body(
             ctx = causal_prefill_attention(
                 q, k_r, v, block_q=min(rt.prefill_block_q, s)
             )
-        return (_layer_tail(lp, model, x, ctx), cache), None
+        return (_layer_tail(lp, model, x, ctx, tp_axis), cache), None
 
     return body
 

@@ -72,13 +72,23 @@ class LLM:
         attn_mode = mode_alias.get(attn_mode, attn_mode)
         overrides = {"dtype": dtype} if dtype is not None else {}
         self.model_name = model_name
-        self.config = choose_model_config(model_name, **overrides)
-        self.family = template_family(model_name)
-        self.batch_size = batch_size
-
         self.model_dir = model_dir or os.environ.get(
             "SHADOWKV_MODEL_DIR", ""
         )
+        if self.model_dir and os.path.exists(
+            os.path.join(self.model_dir, "config.json")
+        ):
+            # A local checkpoint's config.json is authoritative for the
+            # dims (registry entries carry the published sizes only).
+            from shadowkv_tpu.models.registry import config_from_hf_dir
+
+            self.config = config_from_hf_dir(
+                self.model_dir, name=model_name, **overrides
+            )
+        else:
+            self.config = choose_model_config(model_name, **overrides)
+        self.family = template_family(model_name)
+        self.batch_size = batch_size
         self.tokenizer = self._load_tokenizer()
         assert weight_quant in ("none", "int8", None), weight_quant
         params = self._load_params(weight_quant or "none")

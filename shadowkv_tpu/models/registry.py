@@ -162,6 +162,47 @@ def phi3_mini(name: str, **kw) -> ModelConfig:
     )
 
 
+def config_from_hf_dir(model_dir: str, name: str | None = None,
+                       **overrides) -> ModelConfig:
+    """Build a ModelConfig from a local HF checkpoint's config.json
+    (reference loads dims via transformers AutoConfig,
+    models/llama.py:303-352; here it is a plain json read so arbitrary
+    local checkpoints — including tiny CPU test models — resolve
+    without registry entries)."""
+    import json
+    import os
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    arch = (hf.get("architectures") or [""])[0].lower()
+    heads = hf["num_attention_heads"]
+    head_dim = hf.get("head_dim") or hf["hidden_size"] // heads
+    kw = dict(
+        name=name or hf.get("_name_or_path") or model_dir,
+        num_layers=hf["num_hidden_layers"],
+        hidden_size=hf["hidden_size"],
+        num_heads=heads,
+        num_kv_heads=hf.get("num_key_value_heads", heads),
+        head_dim=head_dim,
+        intermediate_size=hf["intermediate_size"],
+        vocab_size=hf["vocab_size"],
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        max_position_embeddings=hf.get(
+            "max_position_embeddings", 131072
+        ),
+    )
+    if isinstance(hf.get("rope_scaling"), dict):
+        kw["rope_scaling"] = hf["rope_scaling"]
+    if "glm" in arch:
+        kw.update(rope_style="glm", rope_partial_dim=head_dim // 2,
+                  qkv_bias=hf.get("attention_bias", True))
+    elif "qwen2" in arch:
+        kw.update(qkv_bias=True)
+    kw.update(overrides)
+    return ModelConfig(**kw)
+
+
 def toy_config(**kw) -> ModelConfig:
     """Small GQA llama-style config for CPU tests."""
     defaults = dict(

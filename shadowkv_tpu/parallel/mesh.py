@@ -68,6 +68,65 @@ def _pp0(leaf):
     return P("pp", *([None] * (leaf.ndim - 1)))
 
 
+def permute_packed_for_tp(params: ModelParams, model, tp: int) -> ModelParams:
+    """Reorder the PACKED projection dims so a contiguous 1/tp block is
+    exactly one Megatron shard.
+
+    wqkv is packed [D, q(H*Dh) | k(K*Dh) | v(K*Dh)] and w_gate_up
+    [D, gate(I) | up(I)]; a plain block-shard of those dims would hand
+    rank 0 nothing but query heads. MANUAL-tp shard_map (the pp x tp
+    pipeline) sees raw block shards, so the columns are permuted ONCE at
+    engine init into per-rank groups [q_r | k_r | v_r] / [gate_r | up_r]
+    — inside the shard the layout is again the standard packed form for
+    the LOCAL head/ffn counts, and qkv_proj/swiglu_mlp work unchanged on
+    a head-scaled ModelConfig. wo / w_down shard their INPUT dim, whose
+    row order (by head / ffn block) is already contiguous per rank.
+
+    (The GSPMD tp path never needs this: auto-sharding repartitions the
+    packed-dim splits itself.)
+    """
+    import jax.numpy as jnp
+
+    from shadowkv_tpu.core.wquant import QTensor
+
+    h, kh, dh = model.num_heads, model.num_kv_heads, model.head_dim
+    i = model.intermediate_size
+    assert h % tp == 0 and kh % tp == 0 and i % tp == 0, (h, kh, i, tp)
+    hl, kl, il = h // tp, kh // tp, i // tp
+
+    def ranges(*sections):
+        # sections: (offset, per_rank_width) in the packed dim
+        idx = []
+        for r in range(tp):
+            for off, w in sections:
+                idx.append(off + r * w + jnp.arange(w))
+        return jnp.concatenate(idx)
+
+    qkv_idx = ranges(
+        (0, hl * dh), (h * dh, kl * dh), ((h + kh) * dh, kl * dh)
+    )
+    gu_idx = ranges((0, il), (i, il))
+
+    def take_last(leaf, idx):
+        if leaf is None:
+            return None
+        if isinstance(leaf, QTensor):
+            return QTensor(
+                q=jnp.take(leaf.q, idx, axis=-1),
+                s=jnp.take(leaf.s, idx, axis=-1),
+            )
+        return jnp.take(leaf, idx, axis=-1)
+
+    lay = params.layers
+    return params._replace(
+        layers=lay._replace(
+            wqkv=take_last(lay.wqkv, qkv_idx),
+            bqkv=take_last(lay.bqkv, qkv_idx),
+            w_gate_up=take_last(lay.w_gate_up, gu_idx),
+        )
+    )
+
+
 def param_pspecs_pp(params: ModelParams, tp: bool = False) -> ModelParams:
     """Layer-stacked leaves shard their leading L axis over pp; the
     embedding/head/final-norm are replicated (QTensor-aware). With a

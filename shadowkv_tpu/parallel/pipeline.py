@@ -35,9 +35,26 @@ from jax.sharding import PartitionSpec as P
 
 from shadowkv_tpu.cache.shadow import (
     ShadowCache,
+    ShadowMut,
+    ShadowStatic,
     shadow_decode_layer,
     split_cache,
 )
+
+
+def ShadowStaticSpecs(cs: ShadowCache) -> ShadowStatic:
+    """Project a ShadowCache-shaped spec tree onto the static split."""
+    return ShadowStatic(
+        u=cs.u, sv=cs.sv, landmarks=cs.landmarks,
+        landmark_mask=cs.landmark_mask, v_full=cs.v_full,
+        lm_scale=cs.lm_scale,
+    )
+
+
+def ShadowMutSpecs(cs: ShadowCache) -> ShadowMut:
+    return ShadowMut(
+        k_buf=cs.k_buf, v_buf=cs.v_buf, cached_ids=cs.cached_ids
+    )
 from shadowkv_tpu.config import ModelConfig
 from shadowkv_tpu.core import wquant
 from shadowkv_tpu.core.attention import decode_attention_hm
@@ -90,7 +107,7 @@ def prefill_shadow_pp(
 
     pp = mesh.shape["pp"]
     dp = mesh.shape["dp"] if "dp" in mesh.axis_names else 1
-    assert "tp" not in mesh.axis_names, "pp x tp unsupported (engine guard)"
+    tp = mesh.shape["tp"] if "tp" in mesh.axis_names else 1
     b, s = input_ids.shape
     layout = cache.layout
     assert s == layout.prefill_len
@@ -115,15 +132,35 @@ def prefill_shadow_pp(
     ticks = n_micro + pp - 1
     perm = [(i, (i + 1) % pp) for i in range(pp)]
 
-    def pp0(x):
-        return P("pp", *([None] * (x.ndim - 1)))
-
     def rep(x):
         return P(*([None] * x.ndim))
 
     bdim = "dp" if dp > 1 else None
-    lay_spec = jax.tree.map(pp0, params.layers)
-    cache_spec = mesh_lib.shadow_cache_pspecs_pp(cache, dp=dp > 1)
+    # Manual-tp composition: see decode_shadow_pp (weights arrive
+    # packed-dim-permuted; the body runs on a head-scaled config and
+    # _layer_tail psums the Megatron partial sums over "tp").
+    model_l = model
+    tp_axis = None
+    if tp > 1:
+        import dataclasses
+
+        assert layout.quant == "none", (
+            "pp x tp serves kv_quant='none' (global-head scale trailer)"
+        )
+        model_l = dataclasses.replace(
+            model,
+            num_heads=model.num_heads // tp,
+            num_kv_heads=model.num_kv_heads // tp,
+        )
+        tp_axis = "tp"
+        lay_spec = mesh_lib.param_pspecs_pp(params, tp=True).layers
+        cache_spec = mesh_lib.shadow_cache_pspecs_pp(cache, tp=True)
+    else:
+        def pp0(x):
+            return P("pp", *([None] * (x.ndim - 1)))
+
+        lay_spec = jax.tree.map(pp0, params.layers)
+        cache_spec = mesh_lib.shadow_cache_pspecs_pp(cache, dp=dp > 1)
     embed_head = (params.embed, params.final_norm, params.lm_head)
     eh_spec = jax.tree.map(rep, embed_head)
 
@@ -159,7 +196,8 @@ def prefill_shadow_pp(
             # (forward.make_shadow_prefill_body) — new prefill
             # patterns / cache slices stay in sync automatically
             body = make_shadow_prefill_body(
-                model, rt, layout, cos, sin, use_flash, lo
+                model_l, rt, layout, cos, sin, use_flash, lo,
+                tp_axis=tp_axis, tp_size=tp,
             )
             xs = (jnp.arange(lp_n), layers_local, None)
             (y, cache_local), _ = jax.lax.scan(
@@ -226,7 +264,7 @@ def decode_shadow_pp(
 
     pp = mesh.shape["pp"]
     dp = mesh.shape["dp"] if "dp" in mesh.axis_names else 1
-    assert "tp" not in mesh.axis_names, "pp x tp unsupported (engine guard)"
+    tp = mesh.shape["tp"] if "tp" in mesh.axis_names else 1
     b, qn = tokens.shape
     assert qn == 1, "pp decode steps one token at a time"
     assert b % dp == 0, (b, dp)
@@ -255,18 +293,50 @@ def decode_shadow_pp(
     perm = [(i, (i + 1) % pp) for i in range(pp)]
     bdim = "dp" if dp > 1 else None
 
-    def pp0(x):
-        return P("pp", *([None] * (x.ndim - 1)))
-
-    def pp_b(x):  # layer axis on pp, batch axis on dp
-        return P("pp", bdim, *([None] * (x.ndim - 2)))
-
     def rep(x):
         return P(*([None] * x.ndim))
 
-    lay_spec = jax.tree.map(pp0, params.layers)
-    static_spec = jax.tree.map(pp_b, static)
-    mut_spec = jax.tree.map(pp_b, mut)
+    # Manual-tp composition (round-1 weak #8 resolved): BOTH axes are
+    # manual, so the Megatron psums are explicit lax.psum("tp") calls
+    # in _layer_tail — every rank traces the identical program and the
+    # collective ids match by construction (the GSPMD-auto tp attempt
+    # deadlocked on divergent instance ids inside the tick scan, commit
+    # 2772c9e). Weights arrive with their packed projection dims
+    # PERMUTED per rank (mesh_lib.permute_packed_for_tp) so the plain
+    # block shard below is exactly one Megatron slice; the body then
+    # runs the unmodified layer code on a head-scaled ModelConfig.
+    model_l = model
+    tp_axis = None
+    if tp > 1:
+        import dataclasses
+
+        from shadowkv_tpu.parallel import mesh as mesh_lib
+
+        assert layout.quant == "none", (
+            "pp x tp serves kv_quant='none' (the int8 scale trailer is "
+            "packed per GLOBAL head; the XLA scale reads assume local "
+            "head count)"
+        )
+        model_l = dataclasses.replace(
+            model,
+            num_heads=model.num_heads // tp,
+            num_kv_heads=model.num_kv_heads // tp,
+        )
+        tp_axis = "tp"
+        lay_spec = mesh_lib.param_pspecs_pp(params, tp=True).layers
+        cache_sp = mesh_lib.shadow_cache_pspecs_pp(cache, tp=True)
+        static_spec = ShadowStaticSpecs(cache_sp)
+        mut_spec = ShadowMutSpecs(cache_sp)
+    else:
+        def pp0(x):
+            return P("pp", *([None] * (x.ndim - 1)))
+
+        def pp_b(x):  # layer axis on pp, batch axis on dp
+            return P("pp", bdim, *([None] * (x.ndim - 2)))
+
+        lay_spec = jax.tree.map(pp0, params.layers)
+        static_spec = jax.tree.map(pp_b, static)
+        mut_spec = jax.tree.map(pp_b, mut)
     eh = (params.embed, params.final_norm, params.lm_head)
     eh_spec = jax.tree.map(rep, eh)
 
@@ -313,13 +383,15 @@ def decode_shadow_pp(
             def body(carry, inputs):
                 xx, mm = carry
                 layer, lpar = inputs
-                q, k_r, _, v = _layer_qkv(model, lpar, xx, cos_m, sin_m)
+                q, k_r, _, v = _layer_qkv(model_l, lpar, xx, cos_m, sin_m)
                 k_view, v_view, valid_len, mm = shadow_decode_layer(
-                    model, layout, static_m, mm, gen_m, layer, q, k_r, v,
-                    cos_table, sin_table, approx_topk=approx_topk,
+                    model_l, layout, static_m, mm, gen_m, layer, q, k_r,
+                    v, cos_table, sin_table, approx_topk=approx_topk,
                 )
                 ctx = decode_attention_hm(q, k_view, v_view, valid_len)
-                return (_layer_tail(lpar, model, xx, ctx), mm), None
+                return (
+                    _layer_tail(lpar, model_l, xx, ctx, tp_axis), mm
+                ), None
 
             xs = (jnp.arange(lp_n), layers_local)
             (y, mut_m), _ = jax.lax.scan(body, (x_in, mut_m), xs)

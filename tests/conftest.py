@@ -35,6 +35,30 @@ jax.config.update("jax_threefry_partitionable", True)
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy engine-integration test (20-160 s on one CPU "
+        "core); skipped by default, run with SHADOWKV_SLOW=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (VERDICT round-1 weak #6: a 33-min default suite
+    stops being run). Default `pytest tests/` skips @slow; the full
+    tier runs with SHADOWKV_SLOW=1. Every feature keeps at least one
+    fast default test — slow holds the redundant parametrizations and
+    the multi-engine oracles."""
+    if os.environ.get("SHADOWKV_SLOW", "") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (set SHADOWKV_SLOW=1 to run)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return jax.random.PRNGKey(0)

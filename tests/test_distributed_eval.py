@@ -39,6 +39,7 @@ _WORKER = textwrap.dedent("""
 """)
 
 
+@pytest.mark.slow
 def test_two_process_weighted_summary(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with socket.socket() as s:

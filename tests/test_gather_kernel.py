@@ -48,7 +48,9 @@ def test_gather_chunks_matches_reference(dtype, tile_sub):
     np.testing.assert_array_equal(np.asarray(v_got), np.asarray(v_ref))
 
 
-@pytest.mark.parametrize("quant", ["none", "int8"])
+@pytest.mark.parametrize(
+    "quant", [pytest.param("none", marks=pytest.mark.slow), "int8"]
+)
 def test_engine_ring_gather_matches_xla_path(quant):
     from shadowkv_tpu.config import CacheConfig, RuntimeConfig
     from shadowkv_tpu.models.engine import Engine

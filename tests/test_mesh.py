@@ -52,7 +52,9 @@ def _build(batch, prefill_len=256, tp=4, quant="none",
     return cfg, params, cache, cos, sin
 
 
-@pytest.mark.parametrize("quant", ["none", "int8"])
+@pytest.mark.parametrize(
+    "quant", ["none", pytest.param("int8", marks=pytest.mark.slow)]
+)
 def test_sharded_decode_matches_unsharded(quant):
     """Covers the bench configuration too: int8 stores (whose leaves
     change rank — tiled U, flat V rows) shard under the same pspec
@@ -95,9 +97,9 @@ def test_sharded_decode_matches_unsharded(quant):
     "path,quant",
     [
         ("ring", "none"),
-        ("ring", "int8"),
-        ("fused", "none"),
-        ("fused", "int8"),
+        pytest.param("ring", "int8", marks=pytest.mark.slow),
+        pytest.param("fused", "none", marks=pytest.mark.slow),
+        pytest.param("fused", "int8", marks=pytest.mark.slow),
     ],
 )
 def test_sharded_pallas_decode_matches_unsharded(path, quant):
@@ -153,7 +155,11 @@ def test_sharded_pallas_decode_matches_unsharded(path, quant):
 
 
 @pytest.mark.parametrize(
-    "quant,ring", [("none", False), ("int8", True)]
+    "quant,ring",
+    [
+        ("none", False),
+        pytest.param("int8", True, marks=pytest.mark.slow),
+    ],
 )
 def test_engine_mesh_generation_matches_single(quant, ring):
     """Engine-level multi-chip: RuntimeConfig(dp, tp) builds the mesh,
@@ -227,6 +233,7 @@ def test_full_cache_sharded_decode():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ring", [False, True])
 def test_engine_mesh_offload_generation_matches_single(ring):
     """Multi-chip + host-offloaded V: the whole-batch prefill path

@@ -306,6 +306,7 @@ def test_engine_vs_prefill_generates():
     assert (np.asarray(out_sparse) >= 0).all()
 
 
+@pytest.mark.slow
 def test_dynamic_matches_static_mixed(rng):
     """The traced-pattern path (per-layer variant) must reproduce the
     static per-head dispatch exactly for every supported kind mix —

@@ -88,6 +88,7 @@ def test_ring_offload_engine_matches_hbm_engine():
         )
 
 
+@pytest.mark.slow
 def test_fused_kernel_offload_matches_hbm_kernel_engine():
     """shadow_offload + use_pallas: hit-reuse + host-DMA fetch of MISS
     chunks only — the reference ShadowKVCache_CPU architecture. Engine

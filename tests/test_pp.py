@@ -40,7 +40,14 @@ def _cc():
     )
 
 
-@pytest.mark.parametrize("pp,batch", [(2, 4), (4, 4), (4, 2)])
+@pytest.mark.parametrize(
+    "pp,batch",
+    [
+        pytest.param(2, 4, marks=pytest.mark.slow),
+        pytest.param(4, 4, marks=pytest.mark.slow),
+        (4, 2),
+    ],
+)
 def test_engine_pp_generation_matches_single(pp, batch):
     """pp-pipelined decode reproduces single-device greedy tokens
     (incl. batch < pp, where microbatches are single rows)."""
@@ -91,13 +98,15 @@ def test_pp_rejects_unsupported_modes():
             RuntimeConfig(prefill_block_q=64, pp=2),
             params,
         )
-    with pytest.raises(AssertionError):
-        Engine(cfg, _cc(), RuntimeConfig(prefill_block_q=64, pp=2, tp=2),
+    with pytest.raises(AssertionError):  # pp x dp x tp (3 axes)
+        Engine(cfg, _cc(),
+               RuntimeConfig(prefill_block_q=64, pp=2, tp=2, dp=2),
                params)
     with pytest.raises(AssertionError):  # pp must divide num_layers
         Engine(cfg, _cc(), RuntimeConfig(prefill_block_q=64, pp=3), params)
 
 
+@pytest.mark.slow
 def test_pp_composes_with_dp():
     """(pp, dp) mesh, BOTH manual: dp shards the batch (each dp rank
     runs its own microbatch pipeline), pp pipelines layers. Tokens
@@ -120,13 +129,41 @@ def test_pp_composes_with_dp():
     np.testing.assert_array_equal(ref, got4)
 
 
-def test_pp_tp_composition_rejected():
-    """pp x tp is rejected with a diagnostic: partial-manual shard_map
-    (pp manual + auto-tp GSPMD psums inside the tick scan) deadlocks in
-    XLA's collective rendezvous today (divergent instance ids across
-    tp ranks — reproduced as a hard abort on the CPU backend)."""
+@pytest.mark.slow
+def test_pp_composes_with_tp():
+    """(pp, tp) mesh, BOTH manual (round-1 weak #8 resolved): tp shards
+    heads inside each pipeline stage with EXPLICIT lax.psum("tp") after
+    o_proj/MLP — every rank traces one identical program so the
+    collective ids line up (the GSPMD-auto tp composition deadlocked on
+    divergent instance ids, commit 2772c9e). The packed wqkv/w_gate_up
+    dims are permuted per rank (permute_packed_for_tp) so block shards
+    equal Megatron slices. Tokens match single-device bit-exactly."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
     cfg = _toy()
     params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
-    with pytest.raises(AssertionError, match="partial-manual"):
-        Engine(cfg, _cc(), RuntimeConfig(prefill_block_q=64, pp=2, tp=2),
+    ids = np.random.RandomState(5).randint(0, cfg.vocab_size, (4, 256))
+
+    def run(rt):
+        eng = Engine(cfg, _cc(), rt, params)
+        out, _ = eng.generate(ids, gen_len=8)
+        return out
+
+    ref = run(RuntimeConfig(prefill_block_q=64))
+    got = run(RuntimeConfig(prefill_block_q=64, pp=2, tp=2))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_pp_tp_rejects_int8_kv():
+    """The int8 scale trailer is packed per GLOBAL head; the manual-tp
+    body reads with local head counts, so pp x tp + kv_quant='int8' is
+    rejected at engine init."""
+    cfg = _toy()
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
+    cc = CacheConfig(
+        mode="shadow", max_length=512, sparse_budget=64, rank=32,
+        outlier_chunks=4, gen_capacity=32, kv_quant="int8",
+    )
+    with pytest.raises(AssertionError, match="kv_quant"):
+        Engine(cfg, cc, RuntimeConfig(prefill_block_q=64, pp=2, tp=2),
                params)

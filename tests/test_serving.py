@@ -105,6 +105,7 @@ def test_idle_slot_drain(serve_setup):
     np.testing.assert_array_equal(results[1], want)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ring", [False, True])
 def test_continuous_batching_offload(serve_setup, ring):
     """Offload-mode continuous batching: admissions must overwrite the
@@ -144,6 +145,7 @@ def test_continuous_batching_offload(serve_setup, ring):
         )
 
 
+@pytest.mark.slow
 def test_continuous_batching_sharded_offload():
     """Offload-mode continuous batching over a (dp, tp) mesh: admission
     merges an unsharded 1-slot prefill into the sharded cache and
@@ -182,6 +184,7 @@ def test_continuous_batching_sharded_offload():
         np.testing.assert_array_equal(got[uid], ref[uid])
 
 
+@pytest.mark.slow
 def test_continuous_batching_sharded_mesh():
     """Continuous batching over a (dp, tp) mesh: slot admissions into
     the dp/tp-sharded cache must reproduce the unsharded CB tokens."""

@@ -63,7 +63,11 @@ def _oracle(cfg, params, prefix, suffix, gen_len, mode="shadow",
 
 @pytest.mark.parametrize(
     "mode,ring",
-    [("shadow", None), ("shadow_offload", True), ("shadow_offload", None)],
+    [
+        ("shadow", None),
+        pytest.param("shadow_offload", True, marks=pytest.mark.slow),
+        pytest.param("shadow_offload", None, marks=pytest.mark.slow),
+    ],
     ids=["hbm", "offload-ring", "offload-callback"],
 )
 def test_prefix_cache_matches_multiturn_oracle(setup, mode, ring):
@@ -100,6 +104,7 @@ def test_prefix_cache_matches_multiturn_oracle(setup, mode, ring):
         )
 
 
+@pytest.mark.slow
 def test_distinct_contexts_and_eviction(setup):
     cfg, params = setup
     rng = np.random.RandomState(1)

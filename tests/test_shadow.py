@@ -65,6 +65,7 @@ def test_prefill_logits_identical(setup):
     )
 
 
+@pytest.mark.slow
 def test_full_coverage_budget_matches_full_attention(setup):
     """budget covers all landmarks + full rank => decode == full path."""
     cfg, rt, params, cos, sin = setup

@@ -62,6 +62,7 @@ def test_sp_attention_matches_dense():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dp,sp,tp", [(1, 2, 4), (2, 2, 2), (1, 8, 1)])
 def test_engine_sp_generation_matches_single(dp, sp, tp):
     """sp prefill + (dp, sp)-batch-sharded decode must reproduce the
@@ -123,6 +124,7 @@ def test_sp_rejects_unsupported_modes():
                params)
 
 
+@pytest.mark.slow
 def test_engine_sp_generation_with_int8_weights():
     """QTensor weights (core/wquant.py) under the (dp, sp, tp) mesh:
     sp-sharded generation must reproduce the single-device engine's

@@ -99,7 +99,9 @@ def _greedy(cfg, params, mode, ids, gen_len=8):
     return out
 
 
-@pytest.mark.parametrize("mode", ["full", "shadow"])
+@pytest.mark.parametrize(
+    "mode", [pytest.param("full", marks=pytest.mark.slow), "shadow"]
+)
 def test_quantized_engine_generates_and_tracks_fp(toy_params, mode):
     """int8-weight generation runs end-to-end and the logits stay close
     enough that greedy argmax matches fp weights for several steps on a
@@ -145,6 +147,7 @@ def test_quantized_logit_error_small(toy_params):
     assert lf.argmax() == lq.argmax()
 
 
+@pytest.mark.slow
 def test_quantized_params_shard_over_mesh(toy_params):
     """QTensor leaves ride param_pspecs/shard_pytree over a (dp, tp)
     mesh; sharded quantized generation matches unsharded quantized."""
