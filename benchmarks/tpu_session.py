@@ -187,6 +187,21 @@ STAGES = {
         },
         "timeout": 7200,
     },
+    # 8B + host-offloaded V: the HBM-resident 8B config OOMs at
+    # prefill even with int8 weights (round-2 probe) — moving the 4 GB
+    # V store to pinned host DRAM is what makes the reference's model
+    # scale fit a 16 GB chip at 122K (the ShadowKV headline mechanism).
+    "bench_8b_offload": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_MODEL": "8b",
+            "BENCH_CACHE_MODE": "shadow_offload",
+            "BENCH_RING": "1",
+            "BENCH_SHADOW_BATCH": "1",
+        },
+        "timeout": 7200,
+    },
     # GLM-4 head layout (4 KV groups, partial interleaved RoPE, QKV
     # bias): half the KV state of the llama shape -> b6; exercises the
     # GLM reconstruction-kernel variant e2e (reference glm.py).
@@ -251,7 +266,7 @@ _ORDER = [
     "probe_host", "probe_hostdus", "probe_host_layouts",
     "probe_mem_8b", "probe_mem_wq8_b5", "probe_mem_244k",
     "bench_xla", "bench_wq8", "bench_8b",
-    "bench_offload_b6_ring",
+    "bench_offload_b6_ring", "bench_8b_offload",
     "kernel_tests",
     "bench_ring", "bench_pallas", "bench_vs",
     "bench_wq8_b5", "bench_offload_b8_ring", "bench_offload_b6_pallas",

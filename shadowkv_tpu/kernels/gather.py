@@ -61,6 +61,7 @@ def _gather_kernel(
     num_kv_heads: int,
     chunk_size: int,
     tile_sub: int,
+    host_win: int,  # leading-axis tiles per host V DMA (1 = device)
 ):
     bk = pl.program_id(0)
     b = bk // num_kv_heads
@@ -83,6 +84,29 @@ def _gather_kernel(
 
     def v_dma(j, slot):
         cid = ids_ref[bk, j]
+        if host_win:
+            # Host-space DMA descriptors operate in 4096-byte words
+            # (round-2 Mosaic LLO finding: an 8-sublane 2048 B slice is
+            # rejected with "multiplier_in_bytes % word_size == 0
+            # (2048 vs 4096)"). Fetch a WINDOW of host_win consecutive
+            # leading-axis tiles — one contiguous >=4096 B run (the
+            # store is tile-major) — and let the caller select the
+            # cs-row sub-chunk. int8 32-tiles are already 4096 B
+            # (host_win=1, full tile); bf16 cs-tiles pair up
+            # (host_win=2).
+            wpt = host_win * pt  # chunks per fetched window
+            ct = v_hbm.shape[3]
+            # Clamp the last window to the array end (tile counts need
+            # not divide host_win); the caller recomputes the same
+            # start to pick the right sub-chunk.
+            wstart = jnp.minimum(
+                (cid // wpt) * host_win, ct - host_win
+            )
+            return pltpu.make_async_copy(
+                v_hbm.at[layer, b, k, pl.ds(wstart, host_win)],
+                v_out.at[bk, j],
+                v_sems.at[slot],
+            )
         return pltpu.make_async_copy(
             v_hbm.at[
                 layer, b, k, cid // pt, pl.ds((cid % pt) * cs, cs), :
@@ -140,6 +164,17 @@ def gather_chunks(
     wu, wv = u.shape[-1], v_full.shape[-1]
     assert u.shape[-2] == tile_sub and v_full.shape[-2] == tile_sub
     assert tile_sub % cs == 0 and cs % 8 == 0
+    # Host-space DMA descriptors move 4096-byte words, so host fetches
+    # are WINDOWS of host_win consecutive leading-axis tiles (one
+    # contiguous run in the tile-major store): int8 32-tiles are
+    # already 4096 B (window = 1 full tile), bf16 cs-tiles pair up
+    # (window = 2). The caller-visible contract is unchanged — the
+    # cs-row sub-chunk is selected from the fetched window below.
+    unit = tile_sub * wv * v_full.dtype.itemsize
+    host_win = max(1, -(-4096 // unit)) if host_v else 0
+    if host_v:
+        assert (host_win * unit) % 4096 == 0, (unit, host_win)
+        assert v_full.shape[-3] >= host_win, (v_full.shape, host_win)
     bk = b * kh
 
     if host_v and interpret:
@@ -157,6 +192,7 @@ def gather_chunks(
         num_kv_heads=kh,
         chunk_size=cs,
         tile_sub=tile_sub,
+        host_win=host_win,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -178,12 +214,15 @@ def gather_chunks(
             pltpu.SemaphoreType.DMA((min(NSEM, s),)),
         ],
     )
+    v_shape = (
+        (bk, s, host_win, tile_sub, wv) if host_win else (bk, s * cs, wv)
+    )
     u_rows, v_rows = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((bk, s * cs, wu), u.dtype),
-            jax.ShapeDtypeStruct((bk, s * cs, wv), v_full.dtype),
+            jax.ShapeDtypeStruct(v_shape, v_full.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
@@ -196,6 +235,21 @@ def gather_chunks(
         u,
         v_full,
     )
+    if host_win:
+        # Select the cs-row sub-chunk out of each fetched window (same
+        # clamped window start as the kernel). All shapes keep wide
+        # lane dims so no int8 sublane padding appears.
+        pt = tile_sub // cs
+        wpt = host_win * pt  # chunks per window
+        ids = slot_ids.reshape(bk, s)
+        wstart = jnp.minimum(
+            (ids // wpt) * host_win, v_full.shape[-3] - host_win
+        )
+        sub = (ids - wstart * pt)[..., None, None]
+        v_rows = jnp.take_along_axis(
+            v_rows.reshape(bk, s, wpt, cs * wv), sub, axis=2
+        )[:, :, 0]
+        v_rows = v_rows.reshape(bk, s * cs, wv)
     return (
         u_rows.reshape(b, kh, s * cs, wu),
         v_rows.reshape(b, kh, s * cs, wv),

@@ -7,6 +7,7 @@ shadow engine — V rows are fetched from host DRAM bit-for-bit
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
