@@ -71,9 +71,9 @@ def run_case(name, dtype, c, ts, w, sub, n=8, bandwidth=False):
                     grid=(n,),
                     in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HOST)],
                     out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                    scratch_shapes=[pltpu.SemaphoreType.DMA],
                 ),
                 out_shape=jax.ShapeDtypeStruct((n, sub, w), dtype),
-                scratch_shapes=[pltpu.SemaphoreType.DMA],
                 compiler_params=pltpu.CompilerParams(
                     has_side_effects=True
                 ),
@@ -103,9 +103,9 @@ def run_case(name, dtype, c, ts, w, sub, n=8, bandwidth=False):
                             )
                         ],
                         out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                        scratch_shapes=[pltpu.SemaphoreType.DMA],
                     ),
                     out_shape=jax.ShapeDtypeStruct((nb, sub, w), dtype),
-                    scratch_shapes=[pltpu.SemaphoreType.DMA],
                     compiler_params=pltpu.CompilerParams(
                         has_side_effects=True
                     ),
@@ -150,3 +150,5 @@ if __name__ == "__main__":
     run_case("E int8 [C,32,128] sub16 (2048B)", jnp.int8, C, 32, 128, 16)
     run_case("F bf16 [C,32,128] sub32 (8192B)", jnp.bfloat16, C, 32, 128, 32)
     print(f"summary: pair_bf16={b_ok} full_tile_int8={d_ok}", flush=True)
+    if not (b_ok or d_ok):
+        sys.exit(1)  # every geometry failing means probe or platform bug

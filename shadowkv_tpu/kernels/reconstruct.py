@@ -119,13 +119,24 @@ def _refresh_kernel(
     rope_dim: int,
     rope_style: str,
     quant: bool,
+    host_win: int,  # >0: V is host-resident; fetch windows of host_win
+    # leading-axis elements (>=4096 B, the host DMA word size) into a
+    # VMEM stage and select the chunk locally
 ):
-    if quant:
+    if quant and host_win:
+        (sv_tile, sv_sem, u8_tile, v8_tile, k_tile, v_tile, pos_tile,
+         v_stage, v_sems, u_sems, w_sems, vw_sems) = scratch
+    elif quant:
         (sv_tile, sv_sem, u8_tile, v8_tile, k_tile, v_tile, pos_tile,
          v_sems, u_sems, w_sems, vw_sems) = scratch
+        v_stage = None
+    elif host_win:
+        (sv_tile, sv_sem, u_tile, k_tile, pos_tile,
+         v_stage, v_sems, u_sems, w_sems, vw_sems) = scratch
     else:
         (sv_tile, sv_sem, u_tile, k_tile, pos_tile,
          v_sems, u_sems, w_sems) = scratch
+        v_stage = None
 
     bk = pl.program_id(0)
     b = bk // num_kv_heads
@@ -138,6 +149,22 @@ def _refresh_kernel(
 
     def v_dma(j, buf, i):
         cid = miss_chunk_ref[bk, j]
+        if host_win:
+            # Host-space DMA descriptors move 4096-byte words (round-2
+            # LLO finding): fetch a clamped window of host_win
+            # consecutive leading-axis elements — one contiguous
+            # >=4096 B run — into the VMEM stage; the sub-chunk is
+            # selected locally afterwards.
+            ct = v_full_hbm.shape[3]
+            lead = cid // pt if quant else cid
+            wstart = jnp.minimum(
+                (lead // host_win) * host_win, ct - host_win
+            )
+            return pltpu.make_async_copy(
+                v_full_hbm.at[layer, b, k, pl.ds(wstart, host_win)],
+                v_stage.at[buf, i],
+                v_sems.at[buf, i],
+            )
         if quant:
             # tiled int8 chunk -> VMEM (dequantized + written out later)
             return pltpu.make_async_copy(
@@ -153,6 +180,26 @@ def _refresh_kernel(
             v_out_hbm.at[layer, b, k, pl.ds(row, cs), :],
             v_sems.at[buf, i],
         )
+
+    def v_select(j, buf, i):
+        """Stage -> chunk slot (quant host mode): a VMEM-local copy of
+        the cs rows belonging to miss j, started and waited inline
+        right after the window lands (reuses the fetch semaphore)."""
+        cid = miss_chunk_ref[bk, j]
+        ct = v_full_hbm.shape[3]
+        lead = cid // pt
+        wstart = jnp.minimum(
+            (lead // host_win) * host_win, ct - host_win
+        )
+        cp = pltpu.make_async_copy(
+            v_stage.at[
+                buf, i, lead - wstart, pl.ds((cid % pt) * cs, cs), :
+            ],
+            v8_tile.at[buf, pl.ds(i * cs, cs), :],
+            v_sems.at[buf, i],
+        )
+        cp.start()
+        cp.wait()
 
     def u_dma(j, buf, i):
         cid = miss_chunk_ref[bk, j]
@@ -178,8 +225,19 @@ def _refresh_kernel(
             w_sems.at[buf, i],
         )
 
-    def v_write_dma(j, buf, i):  # quant only
+    def v_write_dma(j, buf, i):  # quant, or bf16 host (from stage)
         row = sparse_start + miss_slot_ref[bk, j] * cs
+        if not quant and host_win:
+            cid = miss_chunk_ref[bk, j]
+            ct = v_full_hbm.shape[3]
+            wstart = jnp.minimum(
+                (cid // host_win) * host_win, ct - host_win
+            )
+            return pltpu.make_async_copy(
+                v_stage.at[buf, i, cid - wstart],
+                v_out_hbm.at[layer, b, k, pl.ds(row, cs), :],
+                vw_sems.at[buf, i],
+            )
         return pltpu.make_async_copy(
             v_tile.at[buf, pl.ds(i * cs, cs), :],
             v_out_hbm.at[layer, b, k, pl.ds(row, cs), :],
@@ -251,15 +309,17 @@ def _refresh_kernel(
             @pl.when(j < n)
             def _():
                 u_dma(j, buf, i).wait()
-                if quant:
+                if quant or host_win:
                     v_dma(j, buf, i).wait()
+                if quant and host_win:
+                    v_select(j, buf, i)
 
             jp = (g - NBUF) * GROUP + i
 
             @pl.when((jp >= 0) & (jp < n))
             def _():
                 k_write_dma(jp, buf, i).wait()
-                if quant:
+                if quant or host_win:
                     v_write_dma(jp, buf, i).wait()
                 else:
                     v_dma(jp, buf, i).wait()
@@ -330,7 +390,7 @@ def _refresh_kernel(
             @pl.when(j < n)
             def _():
                 k_write_dma(j, buf, i).start()
-                if quant:
+                if quant or host_win:
                     v_write_dma(j, buf, i).start()
 
             return 0
@@ -354,7 +414,7 @@ def _refresh_kernel(
                 @pl.when(j < n)
                 def _():
                     k_write_dma(j, buf, i).wait()
-                    if quant:
+                    if quant or host_win:
                         v_write_dma(j, buf, i).wait()
                     else:
                         v_dma(j, buf, i).wait()
@@ -411,6 +471,15 @@ def sparse_refresh(
     (kv_cache.py:1081-1095 + copy.cuh:785-846).
     """
     quant = u.dtype == jnp.int8
+    # Host V windows: >=4096 B per DMA over the leading store axis
+    # (tiles when int8, chunks when bf16) — see kernels/gather.py.
+    _dh = sv.shape[4]
+    _unit = (
+        32 * _dh if quant else chunk_size * _dh * v_full.dtype.itemsize
+    )
+    host_win = max(1, -(-4096 // _unit)) if host_v else 0
+    if host_v:
+        assert v_full.shape[3] >= host_win, (v_full.shape, host_win)
     if host_v and interpret:
         # Interpret mode emulates DMAs with dynamic_update_slice, which
         # rejects mixed memory spaces (see kernels/gather.py).
@@ -444,6 +513,7 @@ def sparse_refresh(
         rope_dim=rope_dim,
         rope_style=rope_style,
         quant=quant,
+        host_win=host_win,
     )
     sv_scratch = [
         pltpu.VMEM((r, dh), sv.dtype),
@@ -456,6 +526,12 @@ def sparse_refresh(
             pltpu.VMEM((NBUF, GROUP * cs, dh), k_buf.dtype),
             pltpu.VMEM((NBUF, GROUP * cs, dh), v_buf.dtype),
             pltpu.VMEM((GROUP * cs, dh), jnp.float32),
+        ]
+        if host_win:  # window stage: [win, 32, dh] int8 per miss
+            scratch_shapes += [
+                pltpu.VMEM((NBUF, GROUP, host_win, 32, dh), jnp.int8),
+            ]
+        scratch_shapes += [
             pltpu.SemaphoreType.DMA((NBUF, GROUP)),
             pltpu.SemaphoreType.DMA((NBUF, GROUP)),
             pltpu.SemaphoreType.DMA((NBUF, GROUP)),
@@ -466,10 +542,20 @@ def sparse_refresh(
             pltpu.VMEM((NBUF, GROUP * cs, r), u.dtype),
             pltpu.VMEM((NBUF, GROUP * cs, dh), k_buf.dtype),
             pltpu.VMEM((GROUP * cs, dh), jnp.float32),
+        ]
+        if host_win:  # window stage: [win, cs, dh] bf16 per miss
+            scratch_shapes += [
+                pltpu.VMEM(
+                    (NBUF, GROUP, host_win, cs, dh), v_full.dtype
+                ),
+            ]
+        scratch_shapes += [
             pltpu.SemaphoreType.DMA((NBUF, GROUP)),
             pltpu.SemaphoreType.DMA((NBUF, GROUP)),
             pltpu.SemaphoreType.DMA((NBUF, GROUP)),
         ]
+        if host_win:
+            scratch_shapes += [pltpu.SemaphoreType.DMA((NBUF, GROUP))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(bk,),
