@@ -104,11 +104,17 @@ def main():
     def report(name, lowered):
         try:
             compiled = lowered.compile()
-        except Exception as e:  # compile-time OOM: the summary line
-            # sits at the TOP of a many-thousand-line allocation dump;
-            # keep the head, drop the table (the session harness only
-            # records tails).
-            head = "\n".join(str(e).splitlines()[:40])
+        except Exception as e:  # compile-time OOM: pull the summary
+            # lines out of the (many-thousand-line) compile-helper dump
+            # — the axon preamble and the allocation table are noise.
+            lines = str(e).splitlines()
+            keys = (
+                "RESOURCE_EXHAUSTED", "Ran out of memory", "exceeds",
+                "reserve", "out of memory", "OOM", "hbm", "LLO",
+                "Mosaic", "requested",
+            )
+            hits = [ln for ln in lines if any(k in ln for k in keys)]
+            head = "\n".join((hits or lines[:12])[:20])
             print(json.dumps({
                 "program": name, "compile_error": head[:4000],
                 "fits_16g": False,
