@@ -58,6 +58,7 @@ def test_auto_stays_on_xla_when_selection_churns(toy):
     assert stats["auto_hit_ema"] == eng._auto_hit_ema
 
 
+@pytest.mark.slow
 def test_auto_switches_to_kernel_at_degenerate_threshold(toy):
     cfg, params = toy
     eng = _engine(cfg, params, threshold=0.0)

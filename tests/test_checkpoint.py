@@ -32,8 +32,10 @@ def _mk_engine(mode="shadow", quant="none", ring=False):
     "mode,quant,ring",
     [
         ("shadow", "none", False),
-        ("shadow", "int8", False),
-        ("shadow_offload", "none", False),  # io_callback offload
+        pytest.param("shadow", "int8", False, marks=pytest.mark.slow),
+        pytest.param(  # io_callback offload
+            "shadow_offload", "none", False, marks=pytest.mark.slow
+        ),
         ("shadow_offload", "int8", True),  # pinned-host ring offload
     ],
 )

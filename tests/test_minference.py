@@ -363,6 +363,7 @@ def test_patterns_to_arrays():
         )
 
 
+@pytest.mark.slow
 def test_per_layer_table_through_engine():
     """A per-layer pattern table whose rows are all identical must be
     bit-exact with the uniform static table through the full engine
@@ -519,6 +520,7 @@ def test_calibration_per_layer_and_roundtrip(tmp_path):
     assert out.shape == (1, 4)
 
 
+@pytest.mark.slow
 def test_calibration_search_and_roundtrip(tmp_path):
     """The offline pattern search returns a usable per-head table; when
     a cheap pattern already covers the context (short prompt inside the

@@ -60,6 +60,7 @@ def test_offload_engine_matches_hbm_engine():
     np.testing.assert_array_equal(outs["shadow"], outs["shadow_offload"])
 
 
+@pytest.mark.slow
 def test_ring_offload_engine_matches_hbm_engine():
     """shadow_offload + ring_gather: the V store stays a cache leaf in
     pinned host memory and the ring kernel fetches selected chunks —

@@ -65,6 +65,7 @@ def test_engine_pp_generation_matches_single(pp, batch):
     np.testing.assert_array_equal(ref, got)
 
 
+@pytest.mark.slow
 def test_pp_with_int8_weights():
     """QTensor weights shard their L axis over pp too."""
     from shadowkv_tpu.core.wquant import quantize_params

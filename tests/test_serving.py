@@ -67,6 +67,7 @@ def test_continuous_batching_matches_isolated_runs(serve_setup):
         )
 
 
+@pytest.mark.slow
 def test_continuous_batching_single_slot_queue(serve_setup):
     """Degenerate capacity-1 case: pure sequential serving."""
     cfg, params, cache_cfg = serve_setup
