@@ -42,25 +42,39 @@ def main():
     )
 
     # -- 1. host-space dus capability ------------------------------------
-    try:
-        big = jax.jit(
-            lambda: jnp.zeros((2, 8, 128), jnp.bfloat16),
-            out_shardings=pinned,
-        )()
-        part = jax.device_put(jnp.ones((1, 8, 128), jnp.bfloat16), pinned)
-        upd = jax.jit(
-            lambda a, b: jax.lax.dynamic_update_slice(a, b, (1, 0, 0)),
-            donate_argnums=(0,),
-            out_shardings=pinned,
-        )(big, part)
-        ok = (
-            upd.sharding.memory_kind == "pinned_host"
-            and bool(jnp.all(upd[1] == 1))
-        )
-        emit("host_space_dus", ok=ok)
-    except Exception as e:
-        emit("host_space_dus", ok=False, error=f"{type(e).__name__}: {e}")
-        ok = False
+    # Two variants: round 1 omitted in_shardings and the partitioner
+    # saw one operand as device-resident ("memory_space of all inputs
+    # ... must be the same") — the EXPLICIT form pins both inputs.
+    def try_dus(name, explicit):
+        try:
+            big = jax.jit(
+                lambda: jnp.zeros((2, 8, 128), jnp.bfloat16),
+                out_shardings=pinned,
+            )()
+            part = jax.device_put(
+                jnp.ones((1, 8, 128), jnp.bfloat16), pinned
+            )
+            kw = dict(donate_argnums=(0,), out_shardings=pinned)
+            if explicit:
+                kw["in_shardings"] = (pinned, pinned)
+            upd = jax.jit(
+                lambda a, b: jax.lax.dynamic_update_slice(
+                    a, b, (1, 0, 0)
+                ),
+                **kw,
+            )(big, part)
+            got = (
+                upd.sharding.memory_kind == "pinned_host"
+                and bool(jnp.all(upd[1] == 1))
+            )
+            emit(name, ok=got)
+            return got
+        except Exception as e:
+            emit(name, ok=False, error=f"{type(e).__name__}: {e}")
+            return False
+
+    ok = try_dus("host_space_dus", explicit=False)
+    ok = try_dus("host_space_dus_explicit", explicit=True) or ok
 
     # A slot-sized block at the bench config (16 layers, 8 kv heads,
     # 122K ctx, Dh 128, bf16): ~0.5 GB per slot.
@@ -70,15 +84,24 @@ def main():
     log(f"slot store: {slot_shape} = {nbytes/1e9:.2f} GB bf16")
 
     # -- 2. HBM -> pinned_host eviction bandwidth ------------------------
+    # Round 1 printed 8794 GB/s — the put is asynchronous beyond
+    # block_until_ready. Force materialization by reading one element
+    # back (tiny tunnel fetch) and take the min over reps.
     try:
         x = jax.jit(lambda: jnp.ones(slot_shape, jnp.bfloat16))()
         jax.block_until_ready(x)
-        t0 = time.perf_counter()
-        h = jax.device_put(x, pinned)
-        jax.block_until_ready(h)
-        dt = time.perf_counter() - t0
-        emit("d2h_pin_gbps", value=round(nbytes / dt / 1e9, 2),
-             seconds=round(dt, 3))
+        best = float("inf")
+        h = None
+        for _ in range(3):
+            if h is not None:
+                del h
+            t0 = time.perf_counter()
+            h = jax.device_put(x, pinned)
+            jax.block_until_ready(h)
+            _ = np.asarray(h[0, 0, 0, -1, -1, :1])  # force completion
+            best = min(best, time.perf_counter() - t0)
+        emit("d2h_pin_gbps", value=round(nbytes / best / 1e9, 2),
+             seconds=round(best, 3))
         del x
     except Exception as e:
         emit("d2h_pin_gbps", error=f"{type(e).__name__}: {e}")
