@@ -66,9 +66,14 @@ def _probe_host_space_dus() -> bool:
         part = jax.device_put(
             jnp.ones((1, 8, 128), jnp.bfloat16), pinned
         )
+        # EXPLICIT in_shardings: without them the partitioner treats
+        # one operand as device-resident and rejects the mixed-space
+        # dus even on platforms that support host-space dus (round-2
+        # axon finding).
         upd = jax.jit(
             lambda a, b: jax.lax.dynamic_update_slice(a, b, (1, 0, 0)),
             donate_argnums=(0,),
+            in_shardings=(pinned, pinned),
             out_shardings=pinned,
         )(big, part)
         ok = (
@@ -482,11 +487,18 @@ class Engine:
             lambda shape, dtype: jnp.zeros(shape, dtype),
             static_argnums=(0, 1), out_shardings=pinned,
         )
+        # EXPLICIT pinned in_shardings: without them the partitioner
+        # sees committed-pinned operands as device-resident and rejects
+        # the host-space dus ("memory_space of all inputs ... must be
+        # the same", round-2 axon finding). The scalar offset keeps the
+        # default (device) placement.
         self._pinned_dus = jax.jit(
             lambda a, p, o: jax.lax.dynamic_update_slice(
                 a, p, (0, o) + (0,) * (a.ndim - 2)
             ),
-            donate_argnums=(0,), out_shardings=pinned,
+            donate_argnums=(0,),
+            in_shardings=(pinned, pinned, None),
+            out_shardings=pinned,
         )
         # one batch slot's rows OUT of the pinned store, staying in
         # pinned host memory (context snapshots never cross the tunnel)
@@ -495,6 +507,7 @@ class Engine:
                 a, (0, o) + (0,) * (a.ndim - 2),
                 (a.shape[0], 1) + a.shape[2:],
             ),
+            in_shardings=(pinned, None),
             out_shardings=pinned,
         )
 
