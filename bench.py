@@ -294,6 +294,9 @@ def main():
         use_pallas=True if use_pallas else None,
         ring_gather=True if ring else None,
         prefill_pattern=prefill_pattern,
+        offload_prefill_segments=int(
+            os.environ.get("BENCH_OFFLOAD_SEGMENTS", "1")
+        ),
     )
     log(f"devices: {jax.devices()}")
     wquant = os.environ.get("BENCH_WQUANT", "")

@@ -199,8 +199,12 @@ STAGES = {
             "BENCH_CACHE_MODE": "shadow_offload",
             "BENCH_RING": "1",
             "BENCH_SHADOW_BATCH": "1",
+            # evict V per 4-layer segment: whole-store (4 GB) and even
+            # whole-sub-batch eviction still OOM'd 122K prefill next to
+            # 8 GB of int8 weights (round-2 logs)
+            "BENCH_OFFLOAD_SEGMENTS": "8",
         },
-        "timeout": 7200,
+        "timeout": 9000,
     },
     # GLM-4 head layout (4 KV groups, partial interleaved RoPE, QKV
     # bias): half the KV state of the llama shape -> b6; exercises the

@@ -519,6 +519,9 @@ def shadow_decode_layer(
     v_store=None,  # HostVStore when V is offloaded to host DRAM
     approx_topk: bool = False,
     ring_gather: bool = False,
+    v_host_axis: str = "batch",  # axis a multi-part host V store
+    # shards over ('batch': per-slot parts, 'layer': per-segment parts
+    # from the layer-segmented offload prefill)
     v_host=None,  # V store resident in pinned host memory (the cache's
     # v_full is then a placeholder); the ring kernel DMAs selected
     # chunks host->HBM directly
@@ -578,6 +581,15 @@ def shadow_decode_layer(
             sparse_refresh,
         )
 
+        if isinstance(v_host, (tuple, list)):
+            # The fused refresh kernel takes ONE host store operand;
+            # a multi-part (per-slot / per-segment) host store serves
+            # the ring path only for now.
+            assert len(v_host) == 1, (
+                "use_pallas with a sharded host V store is unsupported "
+                f"({len(v_host)} parts); use ring_gather"
+            )
+            v_host = v_host[0]
         refresh_fn = functools.partial(
             sparse_refresh,
             chunk_size=cs, sparse_start=lo.sparse_start,
@@ -692,9 +704,15 @@ def shadow_decode_layer(
             gather_chunks,
             chunk_size=cs, tile_sub=tile_sub,
             host_v=v_host is not None,
+            host_axis=v_host_axis,
             interpret=jax.default_backend() == "cpu",
         )
         if mesh is not None:
+            assert not (
+                isinstance(v_host, (tuple, list)) and len(v_host) > 1
+            ), "sharded host V stores are single-chip only for now"
+            if isinstance(v_host, (tuple, list)):
+                v_host = v_host[0]
             gather_fn = jax.shard_map(
                 gather_fn, mesh=mesh,
                 in_specs=(

@@ -149,6 +149,14 @@ class RuntimeConfig:
     # sequence parallelism at all (SURVEY §5.7); this is the TPU-native
     # long-context scaling axis. Shadow HBM mode + XLA decode path only.
     sp: int = 1
+    # Layer-segmented offload prefill: with shadow_offload + ring
+    # gather, split the prefill layer scan into this many segments and
+    # evict each segment's V store to pinned host DRAM before the next
+    # segment runs — peak HBM holds L/segments layers of V instead of
+    # all L (the reference's per-layer V->pinned-CPU copy during
+    # prefill, kv_cache.py:825-828). What lets the 8B model prefill
+    # 122K on a 16 GB chip. Single-chip, whole-batch-per-call.
+    offload_prefill_segments: int = 1
     # Pipeline parallelism: pp > 1 shards the LAYER axis over a 'pp'
     # mesh — each stage holds L/pp layers' weights, factors, landmarks,
     # buffers and V store (per-chip memory 1/pp of everything

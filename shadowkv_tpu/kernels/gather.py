@@ -48,21 +48,25 @@ def _gather_kernel(
     # scalar prefetch
     layer_ref,  # [1]
     ids_ref,  # [BK, S] selected chunk ids
-    # tensors (all ANY/HBM — the kernel is pure DMA issue)
-    u_hbm,  # [L, B, CT, TS, WU]
-    v_hbm,  # [L, B, K, CT, TS, WV]
-    # outputs
-    u_out,  # [BK, S*cs, WU]
-    v_out,  # [BK, S*cs, WV]
-    # scratch
-    u_sems,
-    v_sems,
-    *,
+    # tensors (all ANY/HBM or HOST — the kernel is pure DMA issue):
+    # u_hbm [L, B, CT, TS, WU], then one or more V parts. A single part
+    # is the whole store [L, B, K, CT, TS, WV]; multiple parts are a
+    # host store SHARDED along layers or batch (this platform cannot
+    # update pinned arrays in place, so the store is assembled as
+    # per-slot / per-layer-segment device_puts — see engine._offload_v)
+    *refs,
     num_kv_heads: int,
     chunk_size: int,
     tile_sub: int,
-    host_win: int,  # leading-axis tiles per host V DMA (1 = device)
+    host_win: int,  # leading-axis tiles per host V DMA (0 = device)
+    part_starts: tuple,  # per-part start along host_axis
+    host_axis: int,  # 0 = layer-sharded parts, 1 = batch-sharded
 ):
+    n_parts = len(part_starts)
+    u_hbm = refs[0]
+    v_parts = refs[1 : 1 + n_parts]
+    u_out, v_out = refs[1 + n_parts : 3 + n_parts]
+    u_sems, v_sems = refs[3 + n_parts : 5 + n_parts]
     bk = pl.program_id(0)
     b = bk // num_kv_heads
     k = bk % num_kv_heads
@@ -82,7 +86,7 @@ def _gather_kernel(
             u_sems.at[slot],
         )
 
-    def v_dma(j, slot):
+    def _v_descr(v_hbm, lay, bb, j, slot):
         cid = ids_ref[bk, j]
         if host_win:
             # Host-space DMA descriptors operate in 4096-byte words
@@ -103,26 +107,44 @@ def _gather_kernel(
                 (cid // wpt) * host_win, ct - host_win
             )
             return pltpu.make_async_copy(
-                v_hbm.at[layer, b, k, pl.ds(wstart, host_win)],
+                v_hbm.at[lay, bb, k, pl.ds(wstart, host_win)],
                 v_out.at[bk, j],
                 v_sems.at[slot],
             )
         return pltpu.make_async_copy(
             v_hbm.at[
-                layer, b, k, cid // pt, pl.ds((cid % pt) * cs, cs), :
+                lay, bb, k, cid // pt, pl.ds((cid % pt) * cs, cs), :
             ],
             v_out.at[bk, pl.ds(j * cs, cs), :],
             v_sems.at[slot],
         )
 
+    def _v_each(j, slot, op):
+        """Issue/wait the V transfer on the part owning (layer, b).
+        Parts are a STATIC tuple: the selection unrolls to pl.when
+        guards (exactly one fires), each naming its own ref — pinned
+        arrays cannot be dynamically indexed across."""
+        if n_parts == 1:
+            op(_v_descr(v_parts[0], layer, b, j, slot))
+            return
+        sel = layer if host_axis == 0 else b
+        for p, (ref, lo) in enumerate(zip(v_parts, part_starts)):
+            size = ref.shape[host_axis]
+            lay = layer - lo if host_axis == 0 else layer
+            bb = b - lo if host_axis == 1 else b
+
+            @pl.when((sel >= lo) & (sel < lo + size))
+            def _(ref=ref, lay=lay, bb=bb):
+                op(_v_descr(ref, lay, bb, j, slot))
+
     def loop(j, _):
         @pl.when(j >= nsem)
         def _():
             u_dma(j - nsem, j % nsem).wait()
-            v_dma(j - nsem, j % nsem).wait()
+            _v_each(j - nsem, j % nsem, lambda d: d.wait())
 
         u_dma(j, j % nsem).start()
-        v_dma(j, j % nsem).start()
+        _v_each(j, j % nsem, lambda d: d.start())
         return 0
 
     jax.lax.fori_loop(0, s, loop, 0)
@@ -130,7 +152,7 @@ def _gather_kernel(
     def drain(i, _):
         j = s - nsem + i
         u_dma(j, j % nsem).wait()
-        v_dma(j, j % nsem).wait()
+        _v_each(j, j % nsem, lambda d: d.wait())
         return 0
 
     jax.lax.fori_loop(0, nsem, drain, 0)
@@ -138,18 +160,24 @@ def _gather_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk_size", "tile_sub", "host_v", "interpret"),
+    static_argnames=(
+        "chunk_size", "tile_sub", "host_v", "interpret", "host_axis",
+    ),
 )
 def gather_chunks(
     layer: jnp.ndarray,  # [] int32
     slot_ids: jnp.ndarray,  # [B, K, S] int32 selected chunk ids
     u: jnp.ndarray,  # [L, B, CT, TS, WU]
-    v_full: jnp.ndarray,  # [L, B, K, CT, TS, WV]
+    v_full,  # [L, B, K, CT, TS, WV], or a TUPLE of pinned-host parts
+    # sharded along ``host_axis`` (this platform cannot assemble one
+    # big pinned array in place — engine._offload_v builds per-slot /
+    # per-layer-segment parts with direct device_puts instead)
     *,
     chunk_size: int,
     tile_sub: int,
     host_v: bool = False,
     interpret: bool = False,
+    host_axis: str = "batch",
 ):
     """Fetch the selected chunks' U token rows and V rows for one layer.
 
@@ -161,8 +189,18 @@ def gather_chunks(
     """
     b, kh, s = slot_ids.shape
     cs = chunk_size
-    wu, wv = u.shape[-1], v_full.shape[-1]
-    assert u.shape[-2] == tile_sub and v_full.shape[-2] == tile_sub
+    parts = v_full if isinstance(v_full, (tuple, list)) else (v_full,)
+    parts = tuple(parts)
+    assert host_v or len(parts) == 1, "sharded V stores are host-only"
+    axis = 0 if host_axis == "layer" else 1
+    starts, acc = [], 0
+    for p in parts:
+        starts.append(acc)
+        acc += p.shape[axis]
+        assert p.shape[-1] == parts[0].shape[-1]
+        assert p.shape[-2] == parts[0].shape[-2]
+    wu, wv = u.shape[-1], parts[0].shape[-1]
+    assert u.shape[-2] == tile_sub and parts[0].shape[-2] == tile_sub
     assert tile_sub % cs == 0 and cs % 8 == 0
     # Host-space DMA descriptors move 4096-byte words, so host fetches
     # are WINDOWS of host_win consecutive leading-axis tiles (one
@@ -170,11 +208,11 @@ def gather_chunks(
     # already 4096 B (window = 1 full tile), bf16 cs-tiles pair up
     # (window = 2). The caller-visible contract is unchanged — the
     # cs-row sub-chunk is selected from the fetched window below.
-    unit = tile_sub * wv * v_full.dtype.itemsize
+    unit = tile_sub * wv * parts[0].dtype.itemsize
     host_win = max(1, -(-4096 // unit)) if host_v else 0
     if host_v:
         assert (host_win * unit) % 4096 == 0, (unit, host_win)
-        assert v_full.shape[-3] >= host_win, (v_full.shape, host_win)
+        assert parts[0].shape[-3] >= host_win, (parts[0].shape, host_win)
     bk = b * kh
 
     if host_v and interpret:
@@ -184,7 +222,9 @@ def gather_chunks(
         # tests exercise plumbing + tokens, not placement).
         from jax._src import core as _core
 
-        v_full = jax.device_put(v_full, _core.MemorySpace.Device)
+        parts = tuple(
+            jax.device_put(p, _core.MemorySpace.Device) for p in parts
+        )
         host_v = False
 
     kernel = functools.partial(
@@ -193,18 +233,15 @@ def gather_chunks(
         chunk_size=cs,
         tile_sub=tile_sub,
         host_win=host_win,
+        part_starts=tuple(starts),
+        host_axis=axis,
     )
+    v_space = pltpu.MemorySpace.HOST if host_v else pl.ANY
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(bk,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
-                memory_space=(
-                    pltpu.MemorySpace.HOST if host_v else pl.ANY
-                )
-            ),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=v_space) for _ in parts],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -222,7 +259,7 @@ def gather_chunks(
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((bk, s * cs, wu), u.dtype),
-            jax.ShapeDtypeStruct(v_shape, v_full.dtype),
+            jax.ShapeDtypeStruct(v_shape, parts[0].dtype),
         ),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
@@ -233,7 +270,7 @@ def gather_chunks(
         layer.reshape(1).astype(jnp.int32),
         slot_ids.reshape(bk, s),
         u,
-        v_full,
+        *parts,
     )
     if host_win:
         # Select the cs-row sub-chunk out of each fetched window (same
@@ -243,7 +280,7 @@ def gather_chunks(
         wpt = host_win * pt  # chunks per window
         ids = slot_ids.reshape(bk, s)
         wstart = jnp.minimum(
-            (ids // wpt) * host_win, v_full.shape[-3] - host_win
+            (ids // wpt) * host_win, parts[0].shape[-3] - host_win
         )
         sub = (ids - wstart * pt)[..., None, None]
         v_rows = jnp.take_along_axis(

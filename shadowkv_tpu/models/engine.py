@@ -27,6 +27,7 @@ from shadowkv_tpu.cache.shadow import ShadowCache, ShadowLayout
 from shadowkv_tpu.config import CacheConfig, ModelConfig, RuntimeConfig
 from shadowkv_tpu.core import rope as rope_lib
 from shadowkv_tpu.core.layers import ModelParams
+from shadowkv_tpu.core import wquant
 from shadowkv_tpu.core.sampling import sample_token
 from shadowkv_tpu.models import forward
 
@@ -120,8 +121,21 @@ class Engine:
         self.cos_table = cos
         self.sin_table = sin
         self.v_store = None
-        self._host_v = None  # pinned-host V store (ring offload mode)
-        self._host_v_np = None  # numpy mirror of _host_v (admission)
+        self._host_v = None  # pinned-host V store (ring offload mode):
+        # a TUPLE of per-slot pinned arrays on single-chip engines (this
+        # platform cannot update a pinned array in place — host-space
+        # dus is rejected at the jax level, and a numpy mirror rides the
+        # tunnel at ~0.2 GB/s; per-slot parts are replaced wholesale by
+        # direct d2h device_puts instead, and the ring kernel selects
+        # the owning part with statically-unrolled pl.when guards), or
+        # one array on mesh engines (shard_map specs take one operand).
+        self._host_parts = None  # mutable list behind the tuple
+        self._host_axis = "batch"  # axis the parts shard:
+        # per-slot ('batch') normally; per-layer-segment
+        # ('layer') after a segmented offload prefill
+        self._seg_prefill_jit = None
+        self._embed_jit = None
+        self._host_v_np = None  # numpy mirror (mesh engines only)
         self._host_dus = None  # cached host-space dus capability probe
         self._cache = None  # persisted across generate() for cont=True
         # Multi-chip: RuntimeConfig.dp/tp > 1 builds the (dp, tp) mesh
@@ -333,15 +347,18 @@ class Engine:
             and jax.devices()[0].platform != "cpu"
         )
 
-        @partial(jax.jit, static_argnums=(4, 5, 6, 7), donate_argnums=(1,))
+        @partial(jax.jit, static_argnums=(4, 5, 6, 7, 8),
+                 donate_argnums=(1,))
         def decode_shadow_jit(params, cache, tokens, key, temperature,
-                              top_k, top_p, use_kernel, *v_host):
+                              top_k, top_p, use_kernel, host_axis,
+                              *v_host):
             logits, cache = forward.decode_shadow(
                 model, params, cache, tokens, self.cos_table,
                 self.sin_table, use_kernel=use_kernel,
                 v_store=engine.v_store, approx_topk=approx_topk,
                 ring_gather=ring_gather,
                 v_host=v_host[0] if v_host else None,
+                v_host_axis=host_axis,
                 mesh=engine.mesh,
             )
             return _sample(logits, key, temperature, top_k, top_p), cache
@@ -352,19 +369,22 @@ class Engine:
             def decode_shadow_fn(params, cache, tokens, key, *sample):
                 return decode_shadow_jit(
                     params, cache, tokens, key, *sample,
-                    engine._kernel_now, engine._host_v,
+                    engine._kernel_now, engine._host_axis,
+                    engine._host_v,
                 )
         elif self.pallas_auto:
             def decode_shadow_fn(params, cache, tokens, key, *sample):
                 out = decode_shadow_jit(
-                    params, cache, tokens, key, *sample, engine._kernel_now
+                    params, cache, tokens, key, *sample,
+                    engine._kernel_now, "batch",
                 )
                 engine._auto_observe(out[1])
                 return out
         else:
             def decode_shadow_fn(params, cache, tokens, key, *sample):
                 return decode_shadow_jit(
-                    params, cache, tokens, key, *sample, engine._kernel_now
+                    params, cache, tokens, key, *sample,
+                    engine._kernel_now, "batch",
                 )
 
         if self.pp > 1:
@@ -568,15 +588,25 @@ class Engine:
                 cache = self._shard_cache(cache)
                 logits_parts.append(lg)
             elif self.cache_cfg.mode == "shadow_offload" and self.mesh is None:
-                # Incremental offload: each sub-batch's V store is
-                # evicted to host DRAM as soon as that sub-batch's
-                # prefill produces it, so peak HBM holds ONE sub-batch
-                # of V, never the full batch (the reference's async
-                # V->pinned-CPU copy during prefill, kv_cache.py:825-828
-                # — a full-batch 122K V store is larger than the chip).
-                cache = self._prefill_offload_incremental(
-                    input_ids, layout, t, logits_parts
-                )
+                if self.rt.offload_prefill_segments > 1:
+                    # Layer-segmented offload prefill: evict each layer
+                    # segment's V to pinned host DRAM before the next
+                    # runs — peak HBM holds L/segments layers of V
+                    # (what fits 8B@122K prefill on one 16 GB chip).
+                    cache = self._prefill_offload_segmented(
+                        input_ids, layout, logits_parts
+                    )
+                else:
+                    # Incremental offload: each sub-batch's V store is
+                    # evicted to host DRAM as soon as that sub-batch's
+                    # prefill produces it, so peak HBM holds ONE
+                    # sub-batch of V, never the full batch (the
+                    # reference's async V->pinned-CPU copy during
+                    # prefill, kv_cache.py:825-828 — a full-batch 122K
+                    # V store is larger than the chip).
+                    cache = self._prefill_offload_incremental(
+                        input_ids, layout, t, logits_parts
+                    )
             else:
                 cache = self._shard_cache(
                     ShadowCache.init(self.model, layout, b)
@@ -666,29 +696,34 @@ class Engine:
             jax.devices()[0], memory_kind="pinned_host"
         )
 
+    def _use_host_parts(self) -> bool:
+        """Per-slot host V parts (the in-place-update-free store): the
+        single-chip ring path. Mesh engines keep one array (shard_map
+        takes one operand); the fused refresh kernel likewise."""
+        return self.ring_gather and self.mesh is None
+
     def _host_v_write(self, v_sub, b0: int, total_b: int):
         """Write a sub-batch's device-resident chunk-major V store into
-        the pinned-host full-batch store at batch offset ``b0``,
-        allocating the store on first use — all on the device host (no
-        local staging; see _host_space_update_supported). Uses the
-        engine-cached pinned jits (a fresh jit wrapper per call would
-        re-trace and pay a ~30 s remote compile per sub-batch /
-        admission on this platform)."""
-        shape = v_sub.shape[:1] + (total_b,) + v_sub.shape[2:]
-        if self._host_v is None or self._host_v.shape != shape:
-            self._host_v = self._pinned_zeros(shape, v_sub.dtype)
-        part = jax.device_put(v_sub, self._pinned_sharding())
-        self._host_v = self._pinned_dus(self._host_v, part, b0)
+        the pinned-host store at batch offset ``b0``. Per-slot parts:
+        each slot's rows are one direct d2h device_put — no host-side
+        update primitive exists on this platform (host-space dus is
+        rejected; a numpy mirror crosses the tunnel at ~0.2 GB/s)."""
+        if self._host_parts is None or len(self._host_parts) != total_b:
+            self._host_parts = [None] * total_b
+        pinned = self._pinned_sharding()
+        tt = v_sub.shape[1]
+        for i in range(tt):
+            self._host_parts[b0 + i] = jax.device_put(
+                v_sub[:, i : i + 1], pinned
+            )
+        self._host_v = tuple(self._host_parts)
 
     def _pinned_host_direct(self) -> bool:
         """True when slot snapshots/restores can stay entirely in the
         device's pinned host memory (no numpy staging across the
-        tunnel) — same conditions as admit_slot's pinned path."""
-        return (
-            self._host_v_np is None
-            and self.mesh is None
-            and self._host_space_update_supported()
-        )
+        tunnel) — the per-slot-parts store makes this unconditional on
+        single-chip ring engines."""
+        return self._use_host_parts() and self._host_parts is not None
 
     def host_slot_rows(self, slot: int):
         """Copy one batch slot's chunk-major V rows out of the host
@@ -698,7 +733,10 @@ class Engine:
         assert self.cache_cfg.mode == "shadow_offload"
         if self.ring_host:
             if self._pinned_host_direct():
-                return self._pinned_slice(self._host_v, slot)
+                # the store IS per-slot pinned arrays — the snapshot is
+                # a reference, zero copies (snapshots are never written
+                # in place: set_host_slot_rows replaces whole parts)
+                return self._host_parts[slot]
             src = (
                 self._host_v_np
                 if self._host_v_np is not None
@@ -717,8 +755,17 @@ class Engine:
         reuse); the same write paths as admit_slot."""
         assert self.cache_cfg.mode == "shadow_offload"
         if self.ring_host:
-            if isinstance(rows, jax.Array) and self._pinned_host_direct():
-                self._host_v = self._pinned_dus(self._host_v, rows, slot)
+            if self._use_host_parts() and self._host_parts is not None:
+                if (
+                    isinstance(rows, jax.Array)
+                    and rows.sharding.memory_kind == "pinned_host"
+                ):
+                    self._host_parts[slot] = rows  # already a part
+                else:
+                    self._host_parts[slot] = jax.device_put(
+                        rows, self._pinned_sharding()
+                    )
+                self._host_v = tuple(self._host_parts)
                 return
             if self._host_v_np is None:
                 self._host_v_np = np.array(self._host_v)
@@ -743,7 +790,7 @@ class Engine:
         cache = ShadowCache.init(
             self.model, layout, b, v_placeholder=True
         )
-        pinned_path = self.ring_host and self._host_space_update_supported()
+        pinned_path = self._use_host_parts()
         v_np = None
         for b0 in range(0, b, t):
             tt = min(t, b - b0)
@@ -766,7 +813,7 @@ class Engine:
             cache = self._merge_slots(cache, small, b0)
         if self.ring_host:
             if pinned_path:
-                self._host_v_np = None  # pinned store is authoritative
+                self._host_v_np = None  # per-slot parts are authoritative
             else:
                 self._host_v_np = v_np
                 self._host_v = jax.device_put(
@@ -780,6 +827,82 @@ class Engine:
                 self.v_store = HostVStore(v_np)
             else:
                 self.v_store.update(v_np)
+        return cache
+
+    def _prefill_offload_segmented(
+        self, input_ids, layout, logits_parts
+    ) -> ShadowCache:
+        """Layer-segmented offload prefill (ring host store): the layer
+        scan is split into rt.offload_prefill_segments cond-gated
+        segments sharing ONE compiled program (a traced layer0); after
+        each call the segment's V buffer is committed to pinned host
+        DRAM as a LAYER-sharded part (the ring kernel selects the
+        owning part per DMA). Peak HBM holds seg_len layers of V —
+        the reference's per-layer V->pinned-CPU copy during prefill
+        (kv_cache.py:825-828). Requires the whole batch in one call."""
+        from shadowkv_tpu.models import forward
+
+        b, s = input_ids.shape
+        n_seg = self.rt.offload_prefill_segments
+        n_layers = self.model.num_layers
+        assert self.ring_gather and self.mesh is None, (
+            "segmented offload prefill serves the single-chip ring path"
+        )
+        assert n_layers % n_seg == 0, (n_layers, n_seg)
+        seg_len = n_layers // n_seg
+        cache = ShadowCache.init(
+            self.model, layout, b, v_placeholder=True
+        )
+        kh, dh = self.model.num_kv_heads, self.model.head_dim
+        q8 = layout.quant == "int8"
+        pt = (32 // layout.chunk_size) if q8 else 1
+        v_shape = (
+            seg_len, b, kh, layout.chunks // pt,
+            (32 if q8 else layout.chunk_size), dh,
+        )
+        v_seg = jnp.zeros(v_shape, jnp.int8 if q8 else self.model.dtype)
+
+        if self._seg_prefill_jit is None:
+            model, rt = self.model, self.rt
+            use_flash = jax.devices()[0].platform != "cpu"
+
+            @partial(jax.jit, donate_argnums=(1, 2, 3),
+                     static_argnums=(5,))
+            def seg_fn(params, cache, v_seg, x, layer0, seg_len):
+                return forward.prefill_shadow_segment(
+                    model, rt, params, cache, v_seg, x,
+                    self.cos_table, self.sin_table, layer0, seg_len,
+                    use_flash=use_flash,
+                )
+
+            self._seg_prefill_jit = seg_fn
+            self._embed_jit = jax.jit(
+                lambda p, ids: wquant.take_rows(
+                    p.embed, ids, model.dtype
+                )
+            )
+
+        x = self._embed_jit(
+            self.params, jnp.asarray(input_ids, jnp.int32)
+        )
+        pinned = self._pinned_sharding()
+        parts = []
+        lg = None
+        for si in range(n_seg):
+            lg, x, cache, v_seg = self._seg_prefill_jit(
+                self.params, cache, v_seg, x,
+                jnp.asarray(si * seg_len, jnp.int32), seg_len,
+            )
+            part = jax.device_put(v_seg, pinned)
+            # serialize the d2h against the donated reuse of v_seg by
+            # the next segment call
+            jax.block_until_ready(part)
+            parts.append(part)
+        logits_parts.append(lg)
+        self._host_parts = parts
+        self._host_v = tuple(parts)
+        self._host_axis = "layer"
+        self._host_v_np = None
         return cache
 
     def admit_slot(self, cache: ShadowCache, input_ids_row, slot: int):
@@ -799,15 +922,14 @@ class Engine:
         small = ShadowCache.init(self.model, layout, 1)
         lg, small = self._prefill_shadow(self.params, small, ids, 0)
         if self.ring_host:
-            use_pinned = (
-                self._host_v_np is None
-                and self.mesh is None  # a 1-slot part cannot be
-                # dp-sharded; mesh engines take the global-mirror path
-                and self._host_space_update_supported()
+            assert self._host_axis == "batch", (
+                "slot admission over a layer-sharded host store (from a "
+                "segmented offload prefill) is unsupported — serve with "
+                "offload_prefill_segments=1"
             )
-            if use_pinned:
+            if self._use_host_parts() and self._host_parts is not None:
                 self._host_v_write(
-                    small.v_full, slot, self._host_v.shape[1]
+                    small.v_full, slot, len(self._host_parts)
                 )
             else:
                 if self._host_v_np is None:
@@ -856,7 +978,27 @@ class Engine:
         """Pin ``v_data`` (device array or host numpy) in host memory as
         the decode jit's input-only V store; the cache keeps a
         zero-chunk placeholder. numpy input never stages through HBM
-        (a 122K/b4 store is ~the size of the whole chip)."""
+        (a 122K/b4 store is ~the size of the whole chip).
+
+        Single-chip ring engines split the store into PER-SLOT pinned
+        parts (serving admission / snapshot restore then replace one
+        part with a direct d2h device_put — the only host-store update
+        this platform supports)."""
+        if self._use_host_parts():
+            b = v_data.shape[1]
+            pinned = self._pinned_sharding()
+            self._host_parts = [
+                jax.device_put(v_data[:, i : i + 1], pinned)
+                for i in range(b)
+            ]
+            self._host_v = tuple(self._host_parts)
+            self._host_v_np = None
+            shape = v_data.shape
+            return cache.replace(
+                v_full=jnp.zeros(
+                    shape[:3] + (0,) + shape[4:], v_data.dtype
+                )
+            )
         if isinstance(v_data, jax.Array) and (
             self.mesh is None
             or isinstance(v_data.sharding, jax.sharding.NamedSharding)
@@ -897,7 +1039,12 @@ class Engine:
         if self.ring_host:
             # Fold the pinned-host store back into the pytree for the
             # save (np.asarray reads it host-side, no device copy).
-            cache = cache.replace(v_full=self._host_v)
+            hv = self._host_v
+            if isinstance(hv, tuple):  # per-slot parts -> one array
+                hv = np.concatenate(
+                    [np.asarray(p) for p in hv], axis=1
+                )
+            cache = cache.replace(v_full=hv)
             variant = "ring"
         elif self.v_store is not None:
             variant = "io_callback"

@@ -398,6 +398,49 @@ def prefill_shadow_into(
     return logits, cache
 
 
+def prefill_shadow_segment(
+    model: ModelConfig,
+    rt: RuntimeConfig,
+    params: ModelParams,
+    cache: ShadowCache,
+    v_seg: jnp.ndarray,  # [seg_len, B, K, CT, TS, W] segment V buffer
+    x: jnp.ndarray,  # [B, S, D] residual carried between segments
+    cos_table: jnp.ndarray,
+    sin_table: jnp.ndarray,
+    layer0: jnp.ndarray,  # traced int32 first layer of this segment
+    seg_len: int,
+    use_flash: bool = False,
+):
+    """One layer segment of an offload prefill: runs layers
+    [layer0, layer0+seg_len) via the shared prefill body (cond-gated
+    over the full layer scan — ONE compile serves every segment), writes
+    the segment's V into ``v_seg`` and everything else into ``cache``
+    (whose v_full is a zero-chunk placeholder). The engine evicts
+    ``v_seg`` to pinned host DRAM between calls, so peak HBM holds
+    seg_len layers of V — the reference's per-layer V->pinned-CPU copy
+    during prefill (kv_cache.py:825-828) in TPU form. Logits are
+    computed every call (one cheap lm_head matmul on the last token);
+    only the final segment's are meaningful."""
+    layout = cache.layout
+    s = x.shape[1]
+    assert s == layout.prefill_len
+    positions = jnp.arange(s)
+    cos = jnp.take(cos_table, positions, axis=0)
+    sin = jnp.take(sin_table, positions, axis=0)
+    pat_xs, pat_caps = _pattern_xs(rt, model)
+    body = make_shadow_prefill_body(
+        model, rt, layout, cos, sin, use_flash, 0, pat_caps,
+        seg=(layer0, seg_len),
+    )
+    carry_cache = cache.replace(v_full=v_seg)
+    xs = (jnp.arange(model.num_layers), params.layers, pat_xs)
+    (x, carry_cache), _ = jax.lax.scan(body, (x, carry_cache), xs)
+    v_seg = carry_cache.v_full
+    cache = carry_cache.replace(v_full=cache.v_full)
+    logits = _finalize(model, params, x, last_only=True)
+    return logits, x, cache, v_seg
+
+
 def make_shadow_prefill_body(
     model: ModelConfig,
     rt: RuntimeConfig,
@@ -409,6 +452,11 @@ def make_shadow_prefill_body(
     pat_caps=None,
     tp_axis: str | None = None,
     tp_size: int = 1,
+    seg=None,  # (layer0 traced, seg_len static): layer-segmented
+    # offload prefill — the body is cond-gated to layers
+    # [layer0, layer0+seg_len) and cache.v_full is a SEGMENT-LOCAL
+    # buffer indexed at layer - layer0 (engine evicts it to pinned
+    # host DRAM between segments; reference kv_cache.py:825-828)
 ):
     """The shadow prefill LAYER body, shared between the sub-batch
     scan (prefill_shadow_into) and the pp pipeline's per-stage scan
@@ -424,17 +472,19 @@ def make_shadow_prefill_body(
     o_proj/MLP partial sums need the psum in _layer_tail."""
     s = cos.shape[0]
 
-    def body(carry, inputs):
+    def _active_body(carry, layer, lp, pat):
         x, cache = carry
-        layer, lp, pat = inputs
         q, k_r, k_pre, v = _layer_qkv(model, lp, x, cos, sin)
         slices = shadow_prefill_layer(
             model, layout, k_pre, k_r, v, q[:, -1:],
             tp_axis=tp_axis, tp_size=tp_size,
         )
 
-        def put(dst, src):
-            idx = (layer, batch_offset) + (0,) * (dst.ndim - 2)
+        def put(dst, src, lidx=None):
+            idx = (
+                layer if lidx is None else lidx,
+                batch_offset,
+            ) + (0,) * (dst.ndim - 2)
             return jax.lax.dynamic_update_slice(
                 dst, src[None].astype(dst.dtype), idx
             )
@@ -446,7 +496,10 @@ def make_shadow_prefill_body(
             landmark_mask=put(cache.landmark_mask, slices["landmark_mask"]),
             k_buf=put(cache.k_buf, slices["k_buf"]),
             v_buf=put(cache.v_buf, slices["v_buf"]),
-            v_full=put(cache.v_full, slices["v_full"]),
+            v_full=put(
+                cache.v_full, slices["v_full"],
+                lidx=None if seg is None else layer - seg[0],
+            ),
             cached_ids=put(cache.cached_ids, slices["cached_ids"]),
         )
         if layout.quant == "int8":
@@ -468,7 +521,30 @@ def make_shadow_prefill_body(
             ctx = causal_prefill_attention(
                 q, k_r, v, block_q=min(rt.prefill_block_q, s)
             )
-        return (_layer_tail(lp, model, x, ctx, tp_axis), cache), None
+        return (_layer_tail(lp, model, x, ctx, tp_axis), cache)
+
+    if seg is None:
+        def body(carry, inputs):
+            layer, lp, pat = inputs
+            return _active_body(carry, layer, lp, pat), None
+
+        return body
+
+    layer0, seg_len = seg
+
+    def body(carry, inputs):
+        layer, lp, pat = inputs
+        active = (layer >= layer0) & (layer < layer0 + seg_len)
+        # cond (not where): the skipped layers of a segmented prefill
+        # must execute NO attention — the whole point is bounding the
+        # per-call footprint/time to seg_len real layers.
+        out = jax.lax.cond(
+            active,
+            lambda c: _active_body(c, layer, lp, pat),
+            lambda c: c,
+            carry,
+        )
+        return out, None
 
     return body
 
@@ -485,6 +561,7 @@ def decode_shadow(
     approx_topk: bool = False,
     ring_gather: bool = False,
     v_host=None,
+    v_host_axis: str = "batch",  # axis a multi-part host store shards
     mesh=None,
 ):
     """One sparse decode step (reference models/base.py:315-341 decode
@@ -537,7 +614,7 @@ def decode_shadow(
             cos_table, sin_table, use_kernel=use_kernel,
             inv_freq_full=inv_freq_full, v_store=v_store,
             approx_topk=approx_topk, ring_gather=ring_gather,
-            v_host=v_host, mesh=mesh,
+            v_host=v_host, v_host_axis=v_host_axis, mesh=mesh,
         )
         ctx = decode_attention_hm(q, k_view, v_view, valid_len)
         return (_layer_tail(lp, model, x, ctx), mut), None
