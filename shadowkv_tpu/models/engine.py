@@ -499,37 +499,11 @@ class Engine:
         self._decode_shadow = decode_shadow_fn
         self._sample = sample_fn
         self._merge_slots = merge_slots_fn
-        # Pinned-host store jits (offload assembly/admission) are built
-        # ONCE so repeat calls hit the jit cache (one compile, not one
-        # ~30 s remote compile per sub-batch/admission).
-        pinned = self._pinned_sharding()
-        self._pinned_zeros = jax.jit(
-            lambda shape, dtype: jnp.zeros(shape, dtype),
-            static_argnums=(0, 1), out_shardings=pinned,
-        )
-        # EXPLICIT pinned in_shardings: without them the partitioner
-        # sees committed-pinned operands as device-resident and rejects
-        # the host-space dus ("memory_space of all inputs ... must be
-        # the same", round-2 axon finding). The scalar offset keeps the
-        # default (device) placement.
-        self._pinned_dus = jax.jit(
-            lambda a, p, o: jax.lax.dynamic_update_slice(
-                a, p, (0, o) + (0,) * (a.ndim - 2)
-            ),
-            donate_argnums=(0,),
-            in_shardings=(pinned, pinned, None),
-            out_shardings=pinned,
-        )
-        # one batch slot's rows OUT of the pinned store, staying in
-        # pinned host memory (context snapshots never cross the tunnel)
-        self._pinned_slice = jax.jit(
-            lambda a, o: jax.lax.dynamic_slice(
-                a, (0, o) + (0,) * (a.ndim - 2),
-                (a.shape[0], 1) + a.shape[2:],
-            ),
-            in_shardings=(pinned, None),
-            out_shardings=pinned,
-        )
+        # (Round-2 finding: jitted host-space dus/slice are rejected at
+        # the jax level on this platform even with explicit pinned
+        # in_shardings — the pinned V store is therefore kept as
+        # per-slot/per-segment PARTS that are replaced wholesale by
+        # direct device_puts; see _commit_host_v / _host_v_write.)
 
     @property
     def is_shadow(self) -> bool:
