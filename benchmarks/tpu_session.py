@@ -252,6 +252,19 @@ STAGES = {
         "env": {},
         "timeout": 3600,
     },
+    # Per-HLO-op decode attribution at the bench config: the targeting
+    # data for the decode-step optimization round (VERDICT #4).
+    "prof_trace_decode": {
+        "cmd": [sys.executable, "benchmarks/prof_trace_decode.py"],
+        "env": {},
+        "timeout": 3600,
+    },
+    "prof_ablate": {
+        "cmd": [sys.executable, "benchmarks/prof_ablate.py", "122880",
+                "4"],
+        "env": {},
+        "timeout": 3600,
+    },
     "kernel_tests": {
         "cmd": [
             sys.executable, "-m", "pytest", "tests/test_kernel_tpu.py",
@@ -276,7 +289,7 @@ _ORDER = [
     "bench_wq8_b5", "bench_offload_b8_ring", "bench_offload_b6_pallas",
     "bench_60k", "bench_244k", "bench_glm",
     "bench_serve", "bench_serve_ctx", "bench_serve_offload",
-    "prof_prefill_attn",
+    "prof_trace_decode", "prof_ablate", "prof_prefill_attn",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
