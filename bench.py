@@ -72,7 +72,9 @@ def _run_engine(mode, cfg, cache_cfg, rt, params, datalen, batch, steps):
     ids = np.random.RandomState(0).randint(1, cfg.vocab_size, (batch, datalen))
     t0 = time.perf_counter()
     out, stats = eng.batch_generate(
-        ids, gen_len=steps, temperature=0.6, top_k=50, top_p=0.9,
+        ids, gen_len=steps,
+        temperature=float(os.environ.get("BENCH_TEMP", "0.6")),
+        top_k=50, top_p=0.9,
         warmup_steps=3,
     )
     log(
