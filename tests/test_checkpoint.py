@@ -36,7 +36,10 @@ def _mk_engine(mode="shadow", quant="none", ring=False):
         pytest.param(  # io_callback offload
             "shadow_offload", "none", False, marks=pytest.mark.slow
         ),
-        ("shadow_offload", "int8", True),  # pinned-host ring offload
+        pytest.param(  # pinned-host ring offload (nightly; the
+            # segmented-offload tests cover ring round-trips daily)
+            "shadow_offload", "int8", True, marks=pytest.mark.slow
+        ),
     ],
 )
 def test_checkpoint_roundtrip_resume(tmp_path, mode, quant, ring):
@@ -68,8 +71,14 @@ def test_checkpoint_roundtrip_resume(tmp_path, mode, quant, ring):
         # pytree/HostVStore boundary), and io_callback -> ring (store
         # crosses into pinned host memory). Layouts must match, so the
         # pairs keep quant/kernel_store equal.
-        (("shadow", "none", False), ("shadow_offload", "none", False)),
-        (("shadow_offload", "none", False), ("shadow", "none", False)),
+        pytest.param(
+            ("shadow", "none", False), ("shadow_offload", "none", False),
+            marks=pytest.mark.slow,
+        ),
+        pytest.param(
+            ("shadow_offload", "none", False), ("shadow", "none", False),
+            marks=pytest.mark.slow,
+        ),
         (
             ("shadow_offload", "none", False),
             ("shadow_offload", "none", True),

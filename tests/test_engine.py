@@ -159,6 +159,7 @@ def test_kv_stats_full_mode(toy_params):
     assert s["bytes_by_field"]["k"] == s["bytes_by_field"]["v"]
 
 
+@pytest.mark.slow
 def test_cont_chunked_teacher_forcing(toy_params):
     """generate(cont=True) consumes the follow-up turn in multi-token
     decode steps (cont_chunk). With a full-coverage budget (selection

@@ -35,7 +35,10 @@ def _cc(mode, quant="none"):
     )
 
 
-@pytest.mark.parametrize("quant,segments", [("none", 2), ("int8", 4)])
+@pytest.mark.parametrize(
+    "quant,segments",
+    [("none", 2), pytest.param("int8", 4, marks=pytest.mark.slow)],
+)
 def test_segmented_offload_matches_hbm(quant, segments):
     cfg = _cfg()
     params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
