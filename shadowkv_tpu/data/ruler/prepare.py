@@ -1,15 +1,20 @@
-"""Build RULER validation.jsonl files ahead of time.
+"""Pre-build RULER validation jsonl files (reference
+data/ruler/create_dataset.sh + prepare.py, SURVEY §3.5).
 
-Counterpart of the reference dataset builder (reference
-data/ruler/prepare.py:100-143 + create_dataset.sh): writes
-``data/ruler/data/<template_family>/<datalen>/<task>/validation.jsonl``
-so the Dataset loader finds prebuilt files instead of generating on the
-fly.
+The Dataset class generates tasks on the fly when no file exists
+(data/dataset.py::_build_ruler); this CLI materializes the same
+samples to disk so repeated eval runs (and multi-process DP shards)
+share one deterministic dataset:
 
     python -m shadowkv_tpu.data.ruler.prepare \
         --model_name meta-llama/Meta-Llama-3.1-8B-Instruct \
-        --datalen 131072 --num_samples 96 \
-        --tasks niah_single_1,vt,qa_2
+        --model_dir /path/to/ckpt \
+        --lengths 65536,131072 \
+        --tasks niah_single_1,qa_1,vt \
+        [--num_samples 24] [--out data/ruler/data]
+
+Files land at <out>/<template-family>/<len>/<task>/validation.jsonl —
+exactly the path Dataset probes before falling back to generation.
 """
 
 from __future__ import annotations
@@ -17,10 +22,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 
-from shadowkv_tpu.data.dataset import RULER_DATA_DIR
-from shadowkv_tpu.data.ruler.generate import TASK_CONFIGS, generate_task
+from shadowkv_tpu.data.ruler.generate import (
+    TASK_CONFIGS,
+    generate_task,
+)
 from shadowkv_tpu.models.prompt_templates import (
     CTX_TEMPLATES,
     template_family,
@@ -28,41 +34,44 @@ from shadowkv_tpu.models.prompt_templates import (
 
 
 def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--model_name", type=str, required=True)
-    p.add_argument("--model_dir", type=str, default=None)
-    p.add_argument("--datalen", type=int, default=131072)
-    p.add_argument("--num_samples", type=int, default=96)
-    p.add_argument(
-        "--tasks", type=lambda s: s.split(","),
-        default=list(TASK_CONFIGS.keys()),
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_name", required=True)
+    ap.add_argument("--model_dir", default=None,
+                    help="local HF checkpoint dir (tokenizer source)")
+    ap.add_argument(
+        "--lengths", type=lambda s: [int(x) for x in s.split(",")],
+        default=[131072],
     )
-    p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--out_dir", type=str, default=RULER_DATA_DIR)
-    args = p.parse_args()
+    ap.add_argument(
+        "--tasks", type=lambda s: s.split(","),
+        default=sorted(TASK_CONFIGS),
+    )
+    ap.add_argument("--num_samples", type=int, default=24)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out", default="data/ruler/data")
+    args = ap.parse_args()
 
     from transformers import AutoTokenizer
 
-    tok_src = args.model_dir or args.model_name
-    tokenizer = AutoTokenizer.from_pretrained(tok_src, trust_remote_code=True)
+    tok = AutoTokenizer.from_pretrained(
+        args.model_dir or args.model_name
+    )
     family = template_family(args.model_name)
     template = CTX_TEMPLATES[family]
-
-    for task in args.tasks:
-        out = os.path.join(
-            args.out_dir, family, str(args.datalen), task,
-            "validation.jsonl",
-        )
-        os.makedirs(os.path.dirname(out), exist_ok=True)
-        print(f"[prepare] {task} @ {args.datalen} -> {out}",
-              file=sys.stderr)
-        samples = generate_task(
-            task, tokenizer, args.datalen, args.num_samples,
-            seed=args.seed, model_template=template,
-        )
-        with open(out, "w") as f:
-            for s in samples:
-                f.write(json.dumps(s, ensure_ascii=False) + "\n")
+    for length in args.lengths:
+        for task in args.tasks:
+            rows = generate_task(
+                task, tok, length, args.num_samples,
+                seed=args.seed, model_template=template,
+            )
+            path = os.path.join(
+                args.out, family, str(length), task, "validation.jsonl"
+            )
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+            print(f"{path}: {len(rows)} samples")
 
 
 if __name__ == "__main__":
