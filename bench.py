@@ -57,12 +57,16 @@ def run_engine(mode, cfg, cache_cfg, rt, params, datalen, batch, steps):
         return _run_engine(mode, cfg, cache_cfg, rt, params, datalen,
                            batch, steps)
     except Exception as e:  # pragma: no cover - infra flake path
-        log(f"[{mode}] attempt 1 failed ({type(e).__name__}: {e}); "
-            "retrying once")
-        gc.collect()
-        time.sleep(10)
-        return _run_engine(mode, cfg, cache_cfg, rt, params, datalen,
-                           batch, steps)
+        err = f"{type(e).__name__}: {e}"
+    # Retry OUTSIDE the except block: the exception's traceback pins
+    # _run_engine's frame — and with it the whole Engine + cache — so a
+    # retry inside the handler re-runs with attempt 1's multi-GB
+    # buffers still alive and OOMs spuriously (seen at b8 offload).
+    log(f"[{mode}] attempt 1 failed ({err}); retrying once")
+    gc.collect()
+    time.sleep(10)
+    return _run_engine(mode, cfg, cache_cfg, rt, params, datalen,
+                       batch, steps)
 
 
 def _run_engine(mode, cfg, cache_cfg, rt, params, datalen, batch, steps):
