@@ -70,7 +70,7 @@ def main():
         toks, cache = eng._decode_shadow(
             eng.params, cache, tokens, sub, *sample
         )
-        return cache, toks, key
+        return cache, toks.reshape(batch, 1), key
 
     for _ in range(4):  # warmup/compile
         cache, tokens, key = step(cache, tokens, key)
