@@ -190,6 +190,14 @@ STAGES = {
             "BENCH_DATALEN": "249856",
             "BENCH_SHADOW_BATCH": "2",
             "BENCH_WQUANT": "int8",
+            # HBM-resident prefill does not fit at 244K (probe_mem_244k:
+            # prefill_sub1 compile OOM; decode fits at 13.2 GB) — host
+            # offload is what makes 244K feasible at all, exactly the
+            # reference's own story (its V store always lives in CPU
+            # DRAM, kv_cache.py:554-563).
+            "BENCH_CACHE_MODE": "shadow_offload",
+            "BENCH_RING": "1",
+            "BENCH_OFFLOAD_SEGMENTS": "4",
         },
         "timeout": 5400,
     },
