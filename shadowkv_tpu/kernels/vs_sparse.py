@@ -72,9 +72,16 @@ def _vs_kernel(
     def kb_of(i):
         ci = jnp.minimum(i, n_kb - 1)
         di = jnp.clip(i - n1, 0, diag_ids_ref.shape[1] - 1)
-        return jnp.where(
+        kb = jnp.where(
             i < n1, col_ids_ref[bh, ci], qb - diag_ids_ref[bh, di]
         )
+        # The metadata invariants (col_cnt/diag_cnt are cumsums over the
+        # sorted id lists) keep kb in [0, qb] — but if they were ever
+        # violated, an out-of-range kb becomes an out-of-bounds DMA that
+        # hard-faults the device (and wedges the remote chip for
+        # minutes). Clamp defensively: a fault becomes at worst a wrong
+        # (oracle-testable) block, never a dead chip.
+        return jnp.clip(kb, 0, n_kb - 1)
 
     def k_dma(i, slot):
         kb = kb_of(i)
