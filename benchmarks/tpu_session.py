@@ -183,6 +183,18 @@ STAGES = {
         },
         "timeout": 3600,
     },
+    # 60K shadow headroom: a 60K slot is ~half a 122K slot, so the b4
+    # 122K ceiling maps to ~b8 here (prefill is per-element
+    # sub-batched; the store commit is what scales with B).
+    "bench_60k_b8": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_DATALEN": "61440",
+            "BENCH_SHADOW_BATCH": "8",
+        },
+        "timeout": 3600,
+    },
     "bench_244k": {
         "cmd": [sys.executable, "bench.py"],
         "env": {
@@ -315,7 +327,7 @@ _ORDER = [
     "bench_ring", "bench_pallas", "bench_pallas_hot", "bench_xla_hot",
     "bench_vs",
     "bench_wq8_b5", "bench_offload_b8_ring", "bench_offload_b6_pallas",
-    "bench_60k", "bench_244k", "bench_glm",
+    "bench_60k", "bench_60k_b8", "bench_244k", "bench_glm",
     "bench_serve", "bench_serve_ctx", "bench_serve_offload",
     "prof_trace_decode", "prof_ablate", "prof_prefill_attn",
 ]
