@@ -43,7 +43,7 @@ def _copy_kernel(ids_ref, src_hbm, dst, sem, *, sub: int):
     cp = pltpu.make_async_copy(
         src_hbm.at[cid, pl.ds(0, sub), :],
         dst.at[i, pl.ds(0, sub), :],
-        sem,
+        sem.at[0],
     )
     cp.start()
     cp.wait()
@@ -71,7 +71,7 @@ def run_case(name, dtype, c, ts, w, sub, n=8, bandwidth=False):
                     grid=(n,),
                     in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HOST)],
                     out_specs=pl.BlockSpec(memory_space=pl.ANY),
-                    scratch_shapes=[pltpu.SemaphoreType.DMA],
+                    scratch_shapes=[pltpu.SemaphoreType.DMA((1,))],
                 ),
                 out_shape=jax.ShapeDtypeStruct((n, sub, w), dtype),
                 compiler_params=pltpu.CompilerParams(
@@ -103,7 +103,7 @@ def run_case(name, dtype, c, ts, w, sub, n=8, bandwidth=False):
                             )
                         ],
                         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-                        scratch_shapes=[pltpu.SemaphoreType.DMA],
+                        scratch_shapes=[pltpu.SemaphoreType.DMA((1,))],
                     ),
                     out_shape=jax.ShapeDtypeStruct((nb, sub, w), dtype),
                     compiler_params=pltpu.CompilerParams(
