@@ -35,7 +35,7 @@ from shadowkv_tpu.kernels.gather import gather_chunks
 # Bench-config shapes (122K llama-ish 1.4B: 16L, 8KV, rank_pad 192,
 # cs 8, C=15104 sparse chunks -> CT=3776 int8 tiles), shrunk along CT
 # (the tile count does not change descriptor geometry).
-L, K, CS, DH, RP = 16, 8, 8, 128, 192
+L, K, CS, DH, RP = 16, 8, 8, 128, 256
 CT_I8, S = 64, 16  # selected sets per head
 
 
@@ -45,6 +45,8 @@ def structs(b, dtype, nparts, axis):
         dev, memory_kind="pinned_host"
     )
     hbm = jax.sharding.SingleDeviceSharding(dev)
+    import numpy as _np
+
     ts = 32 if dtype == jnp.int8 else CS
     ct = CT_I8 if dtype == jnp.int8 else CT_I8 * (32 // CS)
     layer = jax.ShapeDtypeStruct((), jnp.int32, sharding=hbm)
@@ -54,9 +56,13 @@ def structs(b, dtype, nparts, axis):
         pb, pl_ = b // nparts, L
     else:
         pb, pl_ = b, L // nparts
+    # Host parts ride the ALIGNED layout (engine._host_aligned): one
+    # leading row = one 4096-B host DMA word.
+    unit = ts * DH * _np.dtype(dtype).itemsize
+    f = 1 if unit % 4096 == 0 else -(-4096 // unit)
     v = tuple(
         jax.ShapeDtypeStruct(
-            (pl_, pb, K, ct, ts, DH), dtype, sharding=host
+            (pl_, pb, K, ct // f, ts * f, DH), dtype, sharding=host
         )
         for _ in range(nparts)
     )

@@ -198,18 +198,14 @@ STAGES = {
     "bench_244k": {
         "cmd": [sys.executable, "bench.py"],
         "env": {
+            # b2 does not fit HBM at 244K (probe_mem_244k: prefill_sub1
+            # compile OOM) and the host-offload ring is blocked by the
+            # platform's dynamic host-DMA constraint (probe_host_min:
+            # sub-32-bit dynamic host fetches are unimplementable) —
+            # b1 HBM is the feasible 244K row (round-1: 66.7 tok/s).
             "BENCH_MODE": "shadow",
             "BENCH_DATALEN": "249856",
-            "BENCH_SHADOW_BATCH": "2",
-            "BENCH_WQUANT": "int8",
-            # HBM-resident prefill does not fit at 244K (probe_mem_244k:
-            # prefill_sub1 compile OOM; decode fits at 13.2 GB) — host
-            # offload is what makes 244K feasible at all, exactly the
-            # reference's own story (its V store always lives in CPU
-            # DRAM, kv_cache.py:554-563).
-            "BENCH_CACHE_MODE": "shadow_offload",
-            "BENCH_RING": "1",
-            "BENCH_OFFLOAD_SEGMENTS": "4",
+            "BENCH_SHADOW_BATCH": "1",
         },
         "timeout": 5400,
     },

@@ -10,7 +10,7 @@ dequantization, the U x SV reconstruction matmul and RoPE stay in XLA,
 which already runs them near memory speed.
 
 With ``host_v=True`` the V store is declared resident in pinned host
-memory (``pltpu.MemorySpace.HOST``) and the same ring issues host->HBM
+memory (``pltpu.MemorySpace.HOST``) and a second ring issues host->HBM
 DMAs — the direct TPU analogue of the reference's pinned-memory gather
 (kv_cache.py:554-563 + gather_copy.cu K2/K3), without the io_callback
 round-trip that some TPU runtimes reject.
@@ -30,6 +30,17 @@ so chunk cid occupies sublane rows (cid % pt)*cs .. +cs of tile
 cid // pt (pt = TS // cs). Every DMA'd unit is an 8-aligned sublane
 slice of a tiling-aligned array — the only per-chunk slice Mosaic
 supports for int8 (a flat [C, W] row CANNOT be DMA'd per-chunk).
+
+HOST word-size rule (round-2 LLO bisect, benchmarks/
+probe_ring_compile.py): in a kernel with ANY host-space operand,
+EVERY DMA descriptor's dim strides and dynamic-offset multipliers must
+be multiples of 4096 bytes — including device-only descriptors sharing
+the kernel (the int8 U fetch's 1024 B sublane-offset multiplier was
+the compile failure, not the V fetch). Hence the host path runs TWO
+kernels: a device-only U ring (unconstrained) and a host V ring whose
+fetch unit is one full leading-axis row [TSH, WV] with
+TSH*WV*itemsize == 4096 (int8 32-row tiles already are; bf16 stores
+are committed host-side as PAIRED 16-row units — engine._host_aligned).
 """
 
 from __future__ import annotations
@@ -42,31 +53,50 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NSEM = 16  # DMAs in flight per stream (u / v each get their own ring)
+HOST_WORD = 4096  # bytes per host-space DMA descriptor word
+
+
+def _ring(s, issue, wait):
+    """Pipelined ring: keep min(NSEM, s) DMAs in flight."""
+    nsem = min(NSEM, s)
+
+    def loop(j, _):
+        @pl.when(j >= nsem)
+        def _():
+            wait(j - nsem, j % nsem)
+
+        issue(j, j % nsem)
+        return 0
+
+    jax.lax.fori_loop(0, s, loop, 0)
+
+    def drain(i, _):
+        j = s - nsem + i
+        wait(j, j % nsem)
+        return 0
+
+    jax.lax.fori_loop(0, nsem, drain, 0)
 
 
 def _gather_kernel(
     # scalar prefetch
     layer_ref,  # [1]
     ids_ref,  # [BK, S] selected chunk ids
-    # tensors (all ANY/HBM or HOST — the kernel is pure DMA issue):
-    # u_hbm [L, B, CT, TS, WU], then one or more V parts. A single part
-    # is the whole store [L, B, K, CT, TS, WV]; multiple parts are a
-    # host store SHARDED along layers or batch (this platform cannot
-    # update pinned arrays in place, so the store is assembled as
-    # per-slot / per-layer-segment device_puts — see engine._offload_v)
-    *refs,
+    # tensors (all ANY/HBM — the kernel is pure DMA issue)
+    u_hbm,  # [L, B, CT, TS, WU]
+    v_hbm,  # [L, B, K, CT, TS, WV]
+    # outputs
+    u_out,
+    v_out,
+    # scratch
+    u_sems,
+    v_sems,
+    *,
     num_kv_heads: int,
     chunk_size: int,
     tile_sub: int,
-    host_win: int,  # leading-axis tiles per host V DMA (0 = device)
-    part_starts: tuple,  # per-part start along host_axis
-    host_axis: int,  # 0 = layer-sharded parts, 1 = batch-sharded
 ):
-    n_parts = len(part_starts)
-    u_hbm = refs[0]
-    v_parts = refs[1 : 1 + n_parts]
-    u_out, v_out = refs[1 + n_parts : 3 + n_parts]
-    u_sems, v_sems = refs[3 + n_parts : 5 + n_parts]
+    """Device-store path: U and V rings share one kernel."""
     bk = pl.program_id(0)
     b = bk // num_kv_heads
     k = bk % num_kv_heads
@@ -74,7 +104,6 @@ def _gather_kernel(
     cs = chunk_size
     pt = tile_sub // cs
     s = ids_ref.shape[1]
-    nsem = min(NSEM, s)
 
     def u_dma(j, slot):
         cid = ids_ref[bk, j]
@@ -86,76 +115,112 @@ def _gather_kernel(
             u_sems.at[slot],
         )
 
-    def _v_descr(v_hbm, lay, bb, j, slot):
+    def v_dma(j, slot):
         cid = ids_ref[bk, j]
-        if host_win:
-            # Host-space DMA descriptors operate in 4096-byte words
-            # (round-2 Mosaic LLO finding: an 8-sublane 2048 B slice is
-            # rejected with "multiplier_in_bytes % word_size == 0
-            # (2048 vs 4096)"). Fetch a WINDOW of host_win consecutive
-            # leading-axis tiles — one contiguous >=4096 B run (the
-            # store is tile-major) — and let the caller select the
-            # cs-row sub-chunk. int8 32-tiles are already 4096 B
-            # (host_win=1, full tile); bf16 cs-tiles pair up
-            # (host_win=2).
-            wpt = host_win * pt  # chunks per fetched window
-            ct = v_hbm.shape[3]
-            # Clamp the last window to the array end (tile counts need
-            # not divide host_win); the caller recomputes the same
-            # start to pick the right sub-chunk.
-            wstart = jnp.minimum(
-                (cid // wpt) * host_win, ct - host_win
-            )
-            return pltpu.make_async_copy(
-                v_hbm.at[lay, bb, k, pl.ds(wstart, host_win)],
-                v_out.at[bk, j],
-                v_sems.at[slot],
-            )
         return pltpu.make_async_copy(
             v_hbm.at[
-                lay, bb, k, cid // pt, pl.ds((cid % pt) * cs, cs), :
+                layer, b, k, cid // pt, pl.ds((cid % pt) * cs, cs), :
             ],
             v_out.at[bk, pl.ds(j * cs, cs), :],
             v_sems.at[slot],
         )
 
-    def _v_each(j, slot, op):
-        """Issue/wait the V transfer on the part owning (layer, b).
-        Parts are a STATIC tuple: the selection unrolls to pl.when
-        guards (exactly one fires), each naming its own ref — pinned
-        arrays cannot be dynamically indexed across."""
+    _ring(
+        s,
+        lambda j, slot: (u_dma(j, slot).start(), v_dma(j, slot).start()),
+        lambda j, slot: (u_dma(j, slot).wait(), v_dma(j, slot).wait()),
+    )
+
+
+def _u_gather_kernel(
+    layer_ref, ids_ref, u_hbm, u_out, u_sems,
+    *, num_kv_heads: int, chunk_size: int, tile_sub: int,
+):
+    """U ring alone (device store). Split out of the host-V kernel so
+    its sub-4096 B sublane slices stay legal (see module docstring)."""
+    bk = pl.program_id(0)
+    b = bk // num_kv_heads
+    layer = layer_ref[0]
+    cs = chunk_size
+    pt = tile_sub // cs
+    s = ids_ref.shape[1]
+
+    def u_dma(j, slot):
+        cid = ids_ref[bk, j]
+        return pltpu.make_async_copy(
+            u_hbm.at[
+                layer, b, cid // pt, pl.ds((cid % pt) * cs, cs), :
+            ],
+            u_out.at[bk, pl.ds(j * cs, cs), :],
+            u_sems.at[slot],
+        )
+
+    _ring(
+        s,
+        lambda j, slot: u_dma(j, slot).start(),
+        lambda j, slot: u_dma(j, slot).wait(),
+    )
+
+
+def _v_host_kernel(
+    # scalar prefetch
+    layer_ref,
+    ids_ref,  # [BK, S]
+    # tensors: one or more V parts (HOST). A single part is the whole
+    # store [L, B, K, CTH, TSH, WV]; multiple parts are sharded along
+    # layers or batch (this platform cannot update pinned arrays in
+    # place, so the store is assembled as per-slot / per-layer-segment
+    # device_puts — see engine._offload_v)
+    *refs,
+    num_kv_heads: int,
+    pt_v: int,  # chunks per fetched [TSH, WV] unit
+    part_starts: tuple,  # per-part start along host_axis
+    host_axis: int,  # 0 = layer-sharded parts, 1 = batch-sharded
+):
+    """Host-V ring: each fetch is ONE whole leading-axis row
+    [TSH, WV] (= 4096 B by the committed layout), so every descriptor
+    stride / dynamic-offset multiplier is host-word aligned."""
+    n_parts = len(part_starts)
+    v_parts = refs[:n_parts]
+    v_out = refs[n_parts]
+    v_sems = refs[n_parts + 1]
+    bk = pl.program_id(0)
+    b = bk // num_kv_heads
+    k = bk % num_kv_heads
+    layer = layer_ref[0]
+    s = ids_ref.shape[1]
+
+    def _descr(ref, lay, bb, j, slot):
+        row = ids_ref[bk, j] // pt_v
+        return pltpu.make_async_copy(
+            ref.at[lay, bb, k, row],
+            v_out.at[bk, j],
+            v_sems.at[slot],
+        )
+
+    def _each(j, slot, op):
+        """Run ``op`` on the part owning (layer, b). Parts are a STATIC
+        tuple: the selection unrolls to pl.when guards (exactly one
+        fires), each naming its own ref — pinned arrays cannot be
+        dynamically indexed across."""
         if n_parts == 1:
-            op(_v_descr(v_parts[0], layer, b, j, slot))
+            op(_descr(v_parts[0], layer, b, j, slot))
             return
         sel = layer if host_axis == 0 else b
-        for p, (ref, lo) in enumerate(zip(v_parts, part_starts)):
+        for ref, lo in zip(v_parts, part_starts):
             size = ref.shape[host_axis]
             lay = layer - lo if host_axis == 0 else layer
             bb = b - lo if host_axis == 1 else b
 
             @pl.when((sel >= lo) & (sel < lo + size))
             def _(ref=ref, lay=lay, bb=bb):
-                op(_v_descr(ref, lay, bb, j, slot))
+                op(_descr(ref, lay, bb, j, slot))
 
-    def loop(j, _):
-        @pl.when(j >= nsem)
-        def _():
-            u_dma(j - nsem, j % nsem).wait()
-            _v_each(j - nsem, j % nsem, lambda d: d.wait())
-
-        u_dma(j, j % nsem).start()
-        _v_each(j, j % nsem, lambda d: d.start())
-        return 0
-
-    jax.lax.fori_loop(0, s, loop, 0)
-
-    def drain(i, _):
-        j = s - nsem + i
-        u_dma(j, j % nsem).wait()
-        _v_each(j, j % nsem, lambda d: d.wait())
-        return 0
-
-    jax.lax.fori_loop(0, nsem, drain, 0)
+    _ring(
+        s,
+        lambda j, slot: _each(j, slot, lambda d: d.start()),
+        lambda j, slot: _each(j, slot, lambda d: d.wait()),
+    )
 
 
 @functools.partial(
@@ -168,10 +233,10 @@ def gather_chunks(
     layer: jnp.ndarray,  # [] int32
     slot_ids: jnp.ndarray,  # [B, K, S] int32 selected chunk ids
     u: jnp.ndarray,  # [L, B, CT, TS, WU]
-    v_full,  # [L, B, K, CT, TS, WV], or a TUPLE of pinned-host parts
-    # sharded along ``host_axis`` (this platform cannot assemble one
-    # big pinned array in place — engine._offload_v builds per-slot /
-    # per-layer-segment parts with direct device_puts instead)
+    v_full,  # [L, B, K, CT, TS, WV] device store; host_v=True: one
+    # host-aligned pinned array [L, B, K, CTH, TSH, WV] with
+    # TSH*WV*itemsize == 4096 (engine._host_aligned), or a TUPLE of
+    # such parts sharded along ``host_axis``
     *,
     chunk_size: int,
     tile_sub: int,
@@ -200,26 +265,18 @@ def gather_chunks(
         assert p.shape[-1] == parts[0].shape[-1]
         assert p.shape[-2] == parts[0].shape[-2]
     wu, wv = u.shape[-1], parts[0].shape[-1]
-    assert u.shape[-2] == tile_sub and parts[0].shape[-2] == tile_sub
+    assert u.shape[-2] == tile_sub
     assert tile_sub % cs == 0 and cs % 8 == 0
-    # Host-space DMA descriptors move 4096-byte words, so host fetches
-    # are WINDOWS of host_win consecutive leading-axis tiles (one
-    # contiguous run in the tile-major store): int8 32-tiles are
-    # already 4096 B (window = 1 full tile), bf16 cs-tiles pair up
-    # (window = 2). The caller-visible contract is unchanged — the
-    # cs-row sub-chunk is selected from the fetched window below.
-    unit = tile_sub * wv * parts[0].dtype.itemsize
-    host_win = max(1, -(-4096 // unit)) if host_v else 0
-    if host_v:
-        assert (host_win * unit) % 4096 == 0, (unit, host_win)
-        assert parts[0].shape[-3] >= host_win, (parts[0].shape, host_win)
     bk = b * kh
+    ids = slot_ids.reshape(bk, s)
+    layer_s = layer.reshape(1).astype(jnp.int32)
 
+    # The host path keeps its structure under interpret (CPU tests must
+    # exercise the same kernels + selection), only the PLACEMENT is
+    # emulated: interpret-mode DMAs are dynamic_update_slices, which
+    # reject mixed memory spaces.
+    host_path = host_v
     if host_v and interpret:
-        # Interpret mode emulates DMAs with dynamic_update_slice, which
-        # rejects mixed memory spaces — move the store to device memory
-        # for the emulation (CPU "host" and "device" are the same DRAM;
-        # tests exercise plumbing + tokens, not placement).
         from jax._src import core as _core
 
         parts = tuple(
@@ -227,66 +284,119 @@ def gather_chunks(
         )
         host_v = False
 
-    kernel = functools.partial(
-        _gather_kernel,
+    if not host_path:
+        assert parts[0].shape[-2] == tile_sub
+        kernel = functools.partial(
+            _gather_kernel,
+            num_kv_heads=kh,
+            chunk_size=cs,
+            tile_sub=tile_sub,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bk,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.SemaphoreType.DMA((min(NSEM, s),)),
+                pltpu.SemaphoreType.DMA((min(NSEM, s),)),
+            ],
+        )
+        u_rows, v_rows = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((bk, s * cs, wu), u.dtype),
+                jax.ShapeDtypeStruct((bk, s * cs, wv), parts[0].dtype),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(layer_s, ids, u, parts[0])
+        return (
+            u_rows.reshape(b, kh, s * cs, wu),
+            v_rows.reshape(b, kh, s * cs, wv),
+        )
+
+    # --- host path: device-only U ring + host V ring (two kernels) ---
+    tsh = parts[0].shape[-2]
+    assert tsh % cs == 0, (tsh, cs)
+    pt_v = tsh // cs
+    unit = tsh * wv * parts[0].dtype.itemsize
+    if host_v:  # placement is real (not the interpret emulation)
+        assert unit % HOST_WORD == 0, (
+            f"host V store rows must be {HOST_WORD}-byte units "
+            f"(engine._host_aligned); got [{tsh},{wv}] "
+            f"{parts[0].dtype} = {unit} B"
+        )
+
+    u_kernel = functools.partial(
+        _u_gather_kernel,
         num_kv_heads=kh,
         chunk_size=cs,
         tile_sub=tile_sub,
-        host_win=host_win,
+    )
+    u_rows = pl.pallas_call(
+        u_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bk,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((min(NSEM, s),))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bk, s * cs, wu), u.dtype),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(layer_s, ids, u)
+
+    v_kernel = functools.partial(
+        _v_host_kernel,
+        num_kv_heads=kh,
+        pt_v=pt_v,
         part_starts=tuple(starts),
         host_axis=axis,
     )
     v_space = pltpu.MemorySpace.HOST if host_v else pl.ANY
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(bk,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=v_space) for _ in parts],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+    v_units = pl.pallas_call(
+        v_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bk,),
+            in_specs=[
+                pl.BlockSpec(memory_space=v_space) for _ in parts
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((min(NSEM, s),))],
         ),
-        scratch_shapes=[
-            pltpu.SemaphoreType.DMA((min(NSEM, s),)),
-            pltpu.SemaphoreType.DMA((min(NSEM, s),)),
-        ],
-    )
-    v_shape = (
-        (bk, s, host_win, tile_sub, wv) if host_win else (bk, s * cs, wv)
-    )
-    u_rows, v_rows = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((bk, s * cs, wu), u.dtype),
-            jax.ShapeDtypeStruct(v_shape, parts[0].dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (bk, s, tsh, wv), parts[0].dtype
         ),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(
-        layer.reshape(1).astype(jnp.int32),
-        slot_ids.reshape(bk, s),
-        u,
-        *parts,
-    )
-    if host_win:
-        # Select the cs-row sub-chunk out of each fetched window (same
-        # clamped window start as the kernel). All shapes keep wide
-        # lane dims so no int8 sublane padding appears.
-        pt = tile_sub // cs
-        wpt = host_win * pt  # chunks per window
-        ids = slot_ids.reshape(bk, s)
-        wstart = jnp.minimum(
-            (ids // wpt) * host_win, parts[0].shape[-3] - host_win
-        )
-        sub = (ids - wstart * pt)[..., None, None]
-        v_rows = jnp.take_along_axis(
-            v_rows.reshape(bk, s, wpt, cs * wv), sub, axis=2
-        )[:, :, 0]
-        v_rows = v_rows.reshape(bk, s * cs, wv)
+    )(layer_s, ids, *parts)
+
+    # Select the cs-row sub-chunk out of each fetched unit. All shapes
+    # keep wide lane dims so no int8 sublane padding appears.
+    sub = (ids % pt_v)[..., None, None]
+    v_rows = jnp.take_along_axis(
+        v_units.reshape(bk, s, pt_v, cs * wv), sub, axis=2
+    )[:, :, 0]
+    v_rows = v_rows.reshape(bk, s * cs, wv)
     return (
         u_rows.reshape(b, kh, s * cs, wu),
         v_rows.reshape(b, kh, s * cs, wv),

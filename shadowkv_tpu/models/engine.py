@@ -676,6 +676,26 @@ class Engine:
         takes one operand); the fused refresh kernel likewise."""
         return self.ring_gather and self.mesh is None
 
+    @staticmethod
+    def _host_aligned(v):
+        """Host-word layout for a chunk-major V store [..., CT, TS, WV]:
+        host-space DMA descriptors need every stride / dynamic-offset
+        multiplier to be a 4096-byte multiple (Mosaic LLO,
+        benchmarks/probe_ring_compile.py), so leading rows are reshaped
+        to whole 4096-B units — identity for int8 32-row tiles
+        (32*128 = 4096), pairs bf16 8-row chunks into 16-row units.
+        Pure reshape: the bytes (and the numpy mirror/slot-row slicing
+        on dims 0..2) are unchanged."""
+        ts, wv = v.shape[-2], v.shape[-1]
+        unit = ts * wv * v.dtype.itemsize
+        if unit % 4096 == 0:
+            return v
+        f = -(-4096 // unit)
+        assert (unit * f) % 4096 == 0 and v.shape[-3] % f == 0, (
+            v.shape, v.dtype, unit,
+        )
+        return v.reshape(*v.shape[:-3], v.shape[-3] // f, ts * f, wv)
+
     def _host_v_write(self, v_sub, b0: int, total_b: int):
         """Write a sub-batch's device-resident chunk-major V store into
         the pinned-host store at batch offset ``b0``. Per-slot parts:
@@ -688,7 +708,7 @@ class Engine:
         tt = v_sub.shape[1]
         for i in range(tt):
             self._host_parts[b0 + i] = jax.device_put(
-                v_sub[:, i : i + 1], pinned
+                self._host_aligned(v_sub[:, i : i + 1]), pinned
             )
         self._host_v = tuple(self._host_parts)
 
@@ -737,13 +757,16 @@ class Engine:
                     self._host_parts[slot] = rows  # already a part
                 else:
                     self._host_parts[slot] = jax.device_put(
-                        rows, self._pinned_sharding()
+                        self._host_aligned(rows), self._pinned_sharding()
                     )
                 self._host_v = tuple(self._host_parts)
                 return
             if self._host_v_np is None:
                 self._host_v_np = np.array(self._host_v)
-            self._host_v_np[:, slot : slot + 1] = np.asarray(rows)
+            rows = np.asarray(rows)
+            if self.ring_gather:
+                rows = self._host_aligned(rows)
+            self._host_v_np[:, slot : slot + 1] = rows
             self._host_v = jax.device_put(
                 self._host_v_np, self._pinned_sharding()
             )
@@ -789,6 +812,7 @@ class Engine:
             if pinned_path:
                 self._host_v_np = None  # per-slot parts are authoritative
             else:
+                v_np = self._host_aligned(v_np)
                 self._host_v_np = v_np
                 self._host_v = jax.device_put(
                     v_np, self._pinned_sharding()
@@ -867,7 +891,7 @@ class Engine:
                 self.params, cache, v_seg, x,
                 jnp.asarray(si * seg_len, jnp.int32), seg_len,
             )
-            part = jax.device_put(v_seg, pinned)
+            part = jax.device_put(self._host_aligned(v_seg), pinned)
             # serialize the d2h against the donated reuse of v_seg by
             # the next segment call
             jax.block_until_ready(part)
@@ -962,7 +986,9 @@ class Engine:
             b = v_data.shape[1]
             pinned = self._pinned_sharding()
             self._host_parts = [
-                jax.device_put(v_data[:, i : i + 1], pinned)
+                jax.device_put(
+                    self._host_aligned(v_data[:, i : i + 1]), pinned
+                )
                 for i in range(b)
             ]
             self._host_v = tuple(self._host_parts)
@@ -988,10 +1014,19 @@ class Engine:
             sharding = jax.sharding.SingleDeviceSharding(
                 jax.devices()[0], memory_kind="pinned_host"
             )
-        self._host_v = jax.device_put(v_data, sharding)
+        # Only the ring kernel speaks the host-aligned row layout; the
+        # fused refresh kernel (use_pallas offload) keeps the raw
+        # chunk-tile layout and its own window logic.
+        v_aligned = (
+            self._host_aligned(v_data) if self.ring_gather else v_data
+        )
+        self._host_v = jax.device_put(v_aligned, sharding)
         # keep the numpy mirror when one exists (serving admission
-        # updates a slot in it and repins)
-        self._host_v_np = v_data if isinstance(v_data, np.ndarray) else None
+        # updates a slot in it and repins) — in the ALIGNED layout, so
+        # slot writes and the pinned store stay byte-compatible
+        self._host_v_np = (
+            v_aligned if isinstance(v_aligned, np.ndarray) else None
+        )
         return cache.replace(v_full=_v_placeholder(self._host_v))
 
     # -- prefilled-state checkpointing --------------------------------------

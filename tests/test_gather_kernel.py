@@ -49,6 +49,58 @@ def test_gather_chunks_matches_reference(dtype, tile_sub):
 
 
 @pytest.mark.parametrize(
+    "dtype,tile_sub,nparts,axis",
+    [
+        (jnp.int8, 32, 1, "batch"),
+        (jnp.int8, 32, 2, "batch"),
+        (jnp.int8, 32, 3, "layer"),
+        (jnp.float32, 8, 1, "batch"),  # f32 rows pair like bf16 would
+        (jnp.bfloat16, 8, 2, "batch"),  # paired 16-row host units
+    ],
+    ids=["i8-host", "i8-slot-parts", "i8-layer-parts", "f32-host",
+         "bf16-host-paired"],
+)
+def test_gather_chunks_host_path(dtype, tile_sub, nparts, axis):
+    """The host-V split path (device U ring + host V ring over
+    4096-B-aligned units, kernels/gather.py): same outputs as the
+    reference over single and sharded part stores."""
+    from shadowkv_tpu.models.engine import Engine
+
+    l, b, kh, s, cs = 3, 2, 4, 24, 8
+    c, wu, wv = 48, 256, 128
+    ct = c // (tile_sub // cs)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    if dtype == jnp.int8:
+        u = jax.random.randint(ks[0], (l, b, ct, tile_sub, wu), -127, 128, jnp.int32).astype(dtype)
+        v = jax.random.randint(ks[1], (l, b, kh, ct, tile_sub, wv), -127, 128, jnp.int32).astype(dtype)
+    else:
+        u = jax.random.normal(ks[0], (l, b, ct, tile_sub, wu), dtype)
+        v = jax.random.normal(ks[1], (l, b, kh, ct, tile_sub, wv), dtype)
+    ids = jax.random.randint(ks[2], (b, kh, s), 0, c, jnp.int32)
+    layer = jnp.int32(2)
+
+    u_ref, v_ref = gather_chunks_reference(
+        layer, ids, u, v, chunk_size=cs, tile_sub=tile_sub
+    )
+    va = Engine._host_aligned(v)
+    if nparts == 1:
+        parts = (va,)
+    elif axis == "batch":
+        parts = tuple(va[:, i : i + 1] for i in range(va.shape[1]))
+    else:
+        seg = l // nparts
+        parts = tuple(
+            va[i * seg : (i + 1) * seg] for i in range(nparts)
+        )
+    u_got, v_got = gather_chunks(
+        layer, ids, u, parts, chunk_size=cs, tile_sub=tile_sub,
+        host_v=True, host_axis=axis, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(u_got), np.asarray(u_ref))
+    np.testing.assert_array_equal(np.asarray(v_got), np.asarray(v_ref))
+
+
+@pytest.mark.parametrize(
     "quant", [pytest.param("none", marks=pytest.mark.slow), "int8"]
 )
 def test_engine_ring_gather_matches_xla_path(quant):
