@@ -241,6 +241,31 @@ STAGES = {
         },
         "timeout": 9000,
     },
+    # The reference's model scale on THIS chip: 8B (32L/4096d/32H/8KV)
+    # at 60K, int8 weights. 122K needs tp=2 (prefill OOM, probe_mem_8b)
+    # but 60K fits b1 — full-attention baseline AND shadow in one run
+    # gives the 8B speedup ratio at the reference's model size.
+    "probe_mem_8b_60k": {
+        "cmd": [sys.executable, "benchmarks/probe_memory.py"],
+        "env": {
+            "BENCH_MODEL": "8b",
+            "BENCH_DATALEN": "61440",
+            "BENCH_SHADOW_BATCH": "1",
+            "BENCH_WQUANT": "int8",
+        },
+        "timeout": 2400,
+    },
+    "bench_8b_60k": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODEL": "8b",
+            "BENCH_DATALEN": "61440",
+            "BENCH_FULL_BATCH": "1",
+            "BENCH_SHADOW_BATCH": "1",
+            "BENCH_WQUANT": "int8",
+        },
+        "timeout": 7200,
+    },
     # GLM-4 head layout (4 KV groups, partial interleaved RoPE, QKV
     # bias): half the KV state of the llama shape -> b6; exercises the
     # GLM reconstruction-kernel variant e2e (reference glm.py).
@@ -324,6 +349,7 @@ _ORDER = [
     "bench_vs",
     "bench_wq8_b5", "bench_offload_b8_ring", "bench_offload_b6_pallas",
     "bench_60k", "bench_60k_b8", "bench_244k", "bench_glm",
+    "probe_mem_8b_60k", "bench_8b_60k",
     "bench_serve", "bench_serve_ctx", "bench_serve_offload",
     "prof_trace_decode", "prof_ablate", "prof_prefill_attn",
 ]
