@@ -139,7 +139,8 @@ def run_serve(cfg, rt, params, datalen, slots, steps, quant, cache_mode):
 
     eng = Engine(cfg, cache_cfg, rt, params)
     cb = ContinuousBatcher(
-        eng, slots=slots, temperature=0.6, top_k=50, top_p=0.9
+        eng, slots=slots, temperature=0.6, top_k=50, top_p=0.9,
+        steps_per_dispatch=int(os.environ.get("BENCH_SERVE_CHUNK", "8")),
     )
     results, st = cb.run(reqs)
     assert st.completed_requests == n_req
@@ -165,6 +166,12 @@ def run_serve(cfg, rt, params, datalen, slots, steps, quant, cache_mode):
     # the prefill peak is tuned to the chip ceiling.
     cb._ctx.clear()
     del cb, eng
+    gc.collect()
+    # Drop the serve engine's compiled programs too: their executables
+    # pin donated-buffer reservations, and the baseline's prefill peak
+    # is tuned to the chip ceiling (round-2: the baseline OOM'd with
+    # the serve engine's programs still cached).
+    jax.clear_caches()
     gc.collect()
     eng2 = Engine(cfg, cache_cfg, rt, params)
     useful = 0.0

@@ -114,6 +114,7 @@ class ContinuousBatcher:
         stop_ids: tuple[int, ...] = (),
         seed: int = 0,
         max_contexts: int = 2,
+        steps_per_dispatch: int = 8,
     ):
         assert engine.cache_cfg.mode in ("shadow", "shadow_offload"), (
             "continuous batching serves the shadow cache modes"
@@ -133,6 +134,16 @@ class ContinuousBatcher:
         self.sample_args = (temperature, top_k, top_p)
         self.stop_ids = stop_ids
         self.seed = seed
+        # Decode steps dispatched per host sync. One token fetch per
+        # step is a full host<->device round trip (catastrophic on
+        # remote/tunneled chips: measured 0.6 s/step vs the 21 ms
+        # device step at 122K) — dispatching a chunk of steps
+        # asynchronously and replaying the bookkeeping after ONE sync
+        # pipelines the dispatches exactly like Engine.batch_generate.
+        # A slot finishing mid-chunk idles <= k-1 steps (its sampled
+        # garbage is discarded, as idle slots' already is) and frees at
+        # the chunk boundary; 1 restores per-step admission latency.
+        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
         # Shared-prefix snapshots: context_id -> (prefix fingerprint,
         # last-prefix-token logits [1,1,V], 1-slot cache pytree). Each
         # snapshot holds one slot's full shadow state (U/SV/landmarks/
@@ -317,43 +328,75 @@ class ContinuousBatcher:
                 admit(i)
 
         while any(r is not None for r in slot_req):
+            # Remaining steps any live slot could still need: forced
+            # suffix tokens left + generation budget left. Chunks never
+            # exceed it (pure waste past the last live completion).
+            remaining = max(
+                len(slot_forced[i])
+                + (r.gen_len - len(slot_tokens[i]))
+                for i, r in enumerate(slot_req)
+                if r is not None
+            )
+            k_steps = min(self.steps_per_dispatch, max(1, remaining))
+
             # idle slots (queue drained) keep stepping harmlessly; pin
-            # their depth below capacity so the gen-region write stays
-            # in range (the row is rewritten each step and never read —
-            # valid_len only covers live tokens of live slots).
+            # their depth low enough that k_steps of growth stay inside
+            # the gen region (the rows are rewritten each step and
+            # never read — valid_len only covers live slots' tokens).
             active = jnp.asarray(
                 [r is not None for r in slot_req], jnp.bool_
             )
             cache = cache.replace(
                 gen_len=jnp.where(
                     active, cache.gen_len,
-                    jnp.minimum(cache.gen_len, cap - 2),
+                    jnp.minimum(cache.gen_len, cap - 1 - k_steps),
                 )
             )
 
-            key, sub = jax.random.split(key)
-            tokens, cache = eng._decode_shadow(
-                eng.params, cache, tokens[:, None], sub, *self.sample_args
-            )
-            stats.decode_steps += 1
+            # --- dispatch k steps with NO host sync (they pipeline
+            #     through the runtime); teacher-forced overrides are
+            #     schedulable in advance (forced queues only fill at
+            #     admissions, which happen between chunks) ---
+            step_tokens = []
+            forced_at = set()  # (step, slot) pairs replay must skip
+            for t in range(k_steps):
+                key, sub = jax.random.split(key)
+                tokens, cache = eng._decode_shadow(
+                    eng.params, cache, tokens[:, None], sub,
+                    *self.sample_args
+                )
+                stats.decode_steps += 1
+                step_tokens.append(tokens)
+                overrides = {}
+                for i, r in enumerate(slot_req):
+                    if r is not None and t < len(slot_forced[i]):
+                        # mid-suffix: the sampled token is discarded,
+                        # the teacher-forced suffix token goes in
+                        overrides[i] = slot_forced[i][t]
+                        forced_at.add((t, i))
+                if overrides:
+                    idx = jnp.asarray(list(overrides), jnp.int32)
+                    val = jnp.asarray(
+                        [overrides[j] for j in overrides], tokens.dtype
+                    )
+                    tokens = tokens.at[idx].set(val)
 
-            toks = np.asarray(tokens)
-            overrides = {}
-            for i, r in enumerate(slot_req):
-                if r is None:
-                    continue
-                if slot_forced[i]:
-                    # mid-suffix: the sampled token is discarded, the
-                    # next teacher-forced suffix token goes in instead
-                    overrides[i] = slot_forced[i].pop(0)
-                elif record(i, int(toks[i])):
+            # --- ONE sync, then replay the bookkeeping in step order
+            #     (identical record sequences to per-step dispatch; a
+            #     slot finishing mid-chunk ignores its later steps and
+            #     admits at the chunk boundary) ---
+            toks_all = np.asarray(jnp.stack(step_tokens))  # [k, B]
+            for i in range(n_slots):
+                consumed = min(len(slot_forced[i]), k_steps)
+                slot_forced[i] = slot_forced[i][consumed:]
+            for t in range(k_steps):
+                for i, r in enumerate(slot_req):
+                    if r is None or (t, i) in forced_at:
+                        continue
+                    record(i, int(toks_all[t, i]))
+            for i in range(n_slots):
+                if slot_req[i] is None and queue:
                     admit(i)
-            if overrides:
-                idx = jnp.asarray(list(overrides), jnp.int32)
-                val = jnp.asarray(
-                    [overrides[k] for k in overrides], tokens.dtype
-                )
-                tokens = tokens.at[idx].set(val)
 
         jax.block_until_ready(tokens)
         stats.wall_seconds = time.perf_counter() - t_loop

@@ -38,7 +38,12 @@ def _isolated_tokens(cfg, params, cache_cfg, ids, gen_len):
     return out[0]
 
 
-def test_continuous_batching_matches_isolated_runs(serve_setup):
+@pytest.mark.parametrize("chunk", [1, 3])
+def test_continuous_batching_matches_isolated_runs(serve_setup, chunk):
+    """chunk=1 is per-step dispatch; chunk=3 (odd, < every gen_len)
+    exercises mid-chunk finishes, chunk-boundary admissions and forced
+    suffixes that straddle chunk boundaries — outputs must be
+    bit-identical either way (greedy)."""
     cfg, params, cache_cfg = serve_setup
     s = 256
     rng = np.random.RandomState(7)
@@ -51,7 +56,7 @@ def test_continuous_batching_matches_isolated_runs(serve_setup):
     ]
 
     eng = Engine(cfg, cache_cfg, RuntimeConfig(batch_size=2), params)
-    cb = ContinuousBatcher(eng, slots=2)
+    cb = ContinuousBatcher(eng, slots=2, steps_per_dispatch=chunk)
     results, stats = cb.run(requests)
 
     assert stats.completed_requests == n_req
