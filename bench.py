@@ -137,6 +137,36 @@ def run_serve(cfg, rt, params, datalen, slots, steps, quant, cache_mode):
         for i in range(n_req)
     ]
 
+    # Static-batch baseline FIRST (fresh process memory — both engines
+    # prefill at the chip ceiling and round-2 showed the second engine
+    # OOMs on the first's not-yet-reclaimed reservations): every
+    # request decodes to the LONGEST gen length in its fixed batch
+    # (batch_generate has no per-slot exit), useful tokens are only
+    # each request's gen_len.
+    eng2 = Engine(cfg, cache_cfg, rt, params)
+    useful = 0.0
+    t0 = time.perf_counter()
+    for r0 in range(0, n_req, slots):
+        batch = reqs[r0 : r0 + slots]
+        longest = max(r.gen_len for r in batch)
+        _, stats = eng2.batch_generate(
+            np.stack([r.input_ids for r in batch]),
+            gen_len=longest, temperature=0.6, warmup_steps=0,
+        )
+        useful += sum(r.gen_len for r in batch)
+    static_wall = time.perf_counter() - t0
+    static_tps = useful / static_wall
+    log(
+        f"[static] the stream in fixed batches of {slots}: "
+        f"{useful:.0f} useful toks in {static_wall:.1f}s -> "
+        f"{static_tps:.1f} tok/s"
+    )
+    eng2._cache = None
+    del eng2
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
+
     eng = Engine(cfg, cache_cfg, rt, params)
     cb = ContinuousBatcher(
         eng, slots=slots, temperature=0.6, top_k=50, top_p=0.9,
@@ -157,39 +187,6 @@ def run_serve(cfg, rt, params, datalen, slots, steps, quant, cache_mode):
             if shared_ctx
             else ""
         )
-    )
-    # Static-batch baseline: every request decodes to the LONGEST gen
-    # length (batch_generate has no per-slot exit), useful tokens are
-    # only each request's gen_len.
-    # Free the batcher's context snapshots (one slot's full shadow
-    # state in HBM) and the serve engine before the baseline prefills —
-    # the prefill peak is tuned to the chip ceiling.
-    cb._ctx.clear()
-    del cb, eng
-    gc.collect()
-    # Drop the serve engine's compiled programs too: their executables
-    # pin donated-buffer reservations, and the baseline's prefill peak
-    # is tuned to the chip ceiling (round-2: the baseline OOM'd with
-    # the serve engine's programs still cached).
-    jax.clear_caches()
-    gc.collect()
-    eng2 = Engine(cfg, cache_cfg, rt, params)
-    useful = 0.0
-    t0 = time.perf_counter()
-    for r0 in range(0, n_req, slots):
-        batch = reqs[r0 : r0 + slots]
-        longest = max(r.gen_len for r in batch)
-        _, stats = eng2.batch_generate(
-            np.stack([r.input_ids for r in batch]),
-            gen_len=longest, temperature=0.6, warmup_steps=0,
-        )
-        useful += sum(r.gen_len for r in batch)
-    static_wall = time.perf_counter() - t0
-    static_tps = useful / static_wall
-    log(
-        f"[static] same stream in fixed batches of {slots}: "
-        f"{useful:.0f} useful toks in {static_wall:.1f}s -> "
-        f"{static_tps:.1f} tok/s"
     )
     print(
         json.dumps(

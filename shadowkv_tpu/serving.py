@@ -302,6 +302,12 @@ class ContinuousBatcher:
                 )
                 slot_req[i] = r
                 stats.admissions += 1
+                # Admission EXECUTION must be booked here, not smeared
+                # into the next decode chunk's sync (dispatch is async;
+                # round-2 bench attributed ~12 s/admission of prefill
+                # execution to "decode" time). gen_len is (re)written
+                # by every admission path, so it is the sync point.
+                jax.block_until_ready(cache.gen_len)
                 if suffix:
                     start_suffix(i, suffix)
                     span = time.perf_counter() - t1
