@@ -138,7 +138,10 @@ def main():
             "temp_bytes": int(ma.temp_size_in_bytes),
             "alias_bytes": int(ma.alias_size_in_bytes),
             "peak_bytes": int(peak),
-            "fits_16g": bool(peak < 15.5e9),
+            # XLA reports usable HBM as 15.75G(iB); leave ~0.25 GiB
+            # headroom. (The old 15.5e9-BYTE threshold was ~1.3 GiB
+            # too conservative — GB/GiB mixup.)
+            "fits_16g": bool(peak < 15.5 * 2**30),
         }), flush=True)
 
     log(f"probing {cfg.name} b{batch} @{datalen} wquant={wquant or 'none'}"
