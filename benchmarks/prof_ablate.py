@@ -43,10 +43,13 @@ def main():
         num_kv_heads=8, head_dim=128, intermediate_size=5632,
         vocab_size=32768, rope_theta=500000.0, dtype=jnp.bfloat16,
     )
-    rt = RuntimeConfig(prefill_sub_batch=1, prefill_block_q=256)
+    # Match the bench config exactly (bench.py defaults): int8 stores
+    # and the low-peak prefill (block_q 1024 splash; bf16 V at b4/122K
+    # is 16 GB and cannot fit the chip at all).
+    rt = RuntimeConfig(prefill_sub_batch=1)
     cache_cfg = CacheConfig(
         mode="shadow", max_length=datalen + 128, sparse_budget=2048,
-        rank=160, chunk_size=8,
+        rank=160, chunk_size=8, kv_quant="int8",
     )
     params = init_synthetic_params(cfg, jax.random.PRNGKey(0))
     cos, sin = compute_cos_sin(cfg, datalen + 256)

@@ -1378,9 +1378,14 @@ class Engine:
         stats = GenerationStats()
         b, s = np.asarray(input_ids).shape
 
+        # Drop any previous run's cache BEFORE prefilling: a second
+        # batch_generate on the same engine otherwise holds two
+        # full-batch caches at the prefill peak (round-2: back-to-back
+        # b4/122K runs OOM'd a chip the single run fits with room).
+        self._cache = None
         t0 = time.perf_counter()
         logits, cache = self.prefill(input_ids)
-        self._cache = None  # about to be donated (see generate())
+        self._cache = None  # prefill re-aliases it; about to be donated
         key = jax.random.PRNGKey(seed)
         key, sub = jax.random.split(key)
         sample_args = (temperature, top_k, top_p)
