@@ -52,7 +52,6 @@ def main():
         rank=160, chunk_size=8, kv_quant="int8",
     )
     params = init_synthetic_params(cfg, jax.random.PRNGKey(0))
-    cos, sin = compute_cos_sin(cfg, datalen + 256)
     layout = ShadowLayout.build(cache_cfg, datalen)
     lo = layout
 
@@ -62,6 +61,9 @@ def main():
     ids = np.random.RandomState(1).randint(0, cfg.vocab_size, (batch, datalen))
     _, cache = eng.prefill(ids)
     jax.block_until_ready(cache)
+    # Reuse the engine's cos/sin tables — a private duplicate (~63 MB)
+    # pushed the b4/122K prefill 8.4 MB past the 15.75 GiB ceiling.
+    cos, sin = eng.cos_table, eng.sin_table
 
     b, kh, g, dh = batch, cfg.num_kv_heads, cfg.num_groups, cfg.head_dim
     cs = lo.chunk_size
