@@ -43,10 +43,11 @@ def main():
         num_kv_heads=8, head_dim=128, intermediate_size=5632,
         vocab_size=32768, rope_theta=500000.0, dtype=jnp.bfloat16,
     )
-    # Match the bench config exactly (bench.py defaults): int8 stores
-    # and the low-peak prefill (block_q 1024 splash; bf16 V at b4/122K
-    # is 16 GB and cannot fit the chip at all).
-    rt = RuntimeConfig(prefill_sub_batch=1)
+    # Match the bench config exactly (bench.py main): int8 stores and
+    # the same prefill knobs (bf16 V at b4/122K is 16 GB and cannot
+    # fit the chip at all; a different block_q compiles a different
+    # prefill whose temps miss the ceiling by ~8 MB).
+    rt = RuntimeConfig(prefill_sub_batch=1, prefill_block_q=256)
     cache_cfg = CacheConfig(
         mode="shadow", max_length=datalen + 128, sparse_budget=2048,
         rank=160, chunk_size=8, kv_quant="int8",
