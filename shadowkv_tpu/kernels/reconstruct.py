@@ -131,7 +131,7 @@ def _refresh_kernel(
          v_sems, u_sems, w_sems, vw_sems) = scratch
         v_stage = None
     elif host_win:
-        (sv_tile, sv_sem, u_tile, k_tile, pos_tile,
+        (sv_tile, sv_sem, u_tile, k_tile, v_tile, pos_tile,
          v_stage, v_sems, u_sems, w_sems, vw_sems) = scratch
     else:
         (sv_tile, sv_sem, u_tile, k_tile, pos_tile,
@@ -182,22 +182,30 @@ def _refresh_kernel(
         )
 
     def v_select(j, buf, i):
-        """Stage -> chunk slot (quant host mode): a VMEM-local copy of
-        the cs rows belonging to miss j, started and waited inline
-        right after the window lands (reuses the fetch semaphore)."""
+        """Stage -> chunk slot (host modes): a VMEM-local copy of the
+        cs rows belonging to miss j, started and waited inline. Draining
+        the stage inline frees v_stage[buf] before the NEXT fetch into
+        the same buffer (issued from group_body(g+1)) can race it —
+        out-of-stage v_write DMAs read the local tile, never the stage
+        (advisor round 2, high #2)."""
         cid = miss_chunk_ref[bk, j]
         ct = v_full_hbm.shape[3]
-        lead = cid // pt
-        wstart = jnp.minimum(
-            (lead // host_win) * host_win, ct - host_win
-        )
-        cp = pltpu.make_async_copy(
-            v_stage.at[
+        if quant:
+            lead = cid // pt
+            wstart = jnp.minimum(
+                (lead // host_win) * host_win, ct - host_win
+            )
+            src = v_stage.at[
                 buf, i, lead - wstart, pl.ds((cid % pt) * cs, cs), :
-            ],
-            v8_tile.at[buf, pl.ds(i * cs, cs), :],
-            v_sems.at[buf, i],
-        )
+            ]
+            dst = v8_tile.at[buf, pl.ds(i * cs, cs), :]
+        else:
+            wstart = jnp.minimum(
+                (cid // host_win) * host_win, ct - host_win
+            )
+            src = v_stage.at[buf, i, cid - wstart]
+            dst = v_tile.at[buf, pl.ds(i * cs, cs), :]
+        cp = pltpu.make_async_copy(src, dst, v_sems.at[buf, i])
         cp.start()
         cp.wait()
 
@@ -225,19 +233,10 @@ def _refresh_kernel(
             w_sems.at[buf, i],
         )
 
-    def v_write_dma(j, buf, i):  # quant, or bf16 host (from stage)
+    def v_write_dma(j, buf, i):  # quant, or bf16 host: from the local
+        # tile (NEVER the stage — the stage buffer is refetched one
+        # group ahead of this DMA's retirement)
         row = sparse_start + miss_slot_ref[bk, j] * cs
-        if not quant and host_win:
-            cid = miss_chunk_ref[bk, j]
-            ct = v_full_hbm.shape[3]
-            wstart = jnp.minimum(
-                (cid // host_win) * host_win, ct - host_win
-            )
-            return pltpu.make_async_copy(
-                v_stage.at[buf, i, cid - wstart],
-                v_out_hbm.at[layer, b, k, pl.ds(row, cs), :],
-                vw_sems.at[buf, i],
-            )
         return pltpu.make_async_copy(
             v_tile.at[buf, pl.ds(i * cs, cs), :],
             v_out_hbm.at[layer, b, k, pl.ds(row, cs), :],
@@ -323,6 +322,13 @@ def _refresh_kernel(
                     v_write_dma(jp, buf, i).wait()
                 else:
                     v_dma(jp, buf, i).wait()
+
+            if not quant and host_win:
+                # bf16 host: drain the stage into v_tile only AFTER the
+                # v_write that last read this tile slot retired above.
+                @pl.when(j < n)
+                def _():
+                    v_select(j, buf, i)
 
             # Absolute RoPE positions for this group's rows.
             @pl.when(j < n)
@@ -541,8 +547,12 @@ def sparse_refresh(
         scratch_shapes = sv_scratch + [
             pltpu.VMEM((NBUF, GROUP * cs, r), u.dtype),
             pltpu.VMEM((NBUF, GROUP * cs, dh), k_buf.dtype),
-            pltpu.VMEM((GROUP * cs, dh), jnp.float32),
         ]
+        if host_win:  # out-of-stage V tile (the v_write source)
+            scratch_shapes += [
+                pltpu.VMEM((NBUF, GROUP * cs, dh), v_buf.dtype),
+            ]
+        scratch_shapes += [pltpu.VMEM((GROUP * cs, dh), jnp.float32)]
         if host_win:  # window stage: [win, cs, dh] bf16 per miss
             scratch_shapes += [
                 pltpu.VMEM(

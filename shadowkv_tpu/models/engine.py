@@ -684,17 +684,40 @@ class Engine:
         benchmarks/probe_ring_compile.py), so leading rows are reshaped
         to whole 4096-B units — identity for int8 32-row tiles
         (32*128 = 4096), pairs bf16 8-row chunks into 16-row units.
-        Pure reshape: the bytes (and the numpy mirror/slot-row slicing
-        on dims 0..2) are unchanged."""
+        A chunk-tile count not divisible by the fold factor is ZERO-
+        PADDED first: the ring kernel addresses units as cid // pt_v,
+        so trailing pad units are never touched by real chunk ids.
+        Otherwise a pure reshape: the bytes (and the numpy mirror/
+        slot-row slicing on dims 0..2) are unchanged."""
         ts, wv = v.shape[-2], v.shape[-1]
         unit = ts * wv * v.dtype.itemsize
         if unit % 4096 == 0:
             return v
         f = -(-4096 // unit)
-        assert (unit * f) % 4096 == 0 and v.shape[-3] % f == 0, (
-            v.shape, v.dtype, unit,
-        )
-        return v.reshape(*v.shape[:-3], v.shape[-3] // f, ts * f, wv)
+        assert (unit * f) % 4096 == 0, (v.shape, v.dtype, unit)
+        ct = v.shape[-3]
+        if ct % f:
+            pad = f - ct % f
+            widths = [(0, 0)] * (v.ndim - 3) + [(0, pad), (0, 0), (0, 0)]
+            xp = np if isinstance(v, np.ndarray) else jnp
+            v = xp.pad(v, widths)
+            ct += pad
+        return v.reshape(*v.shape[:-3], ct // f, ts * f, wv)
+
+    @staticmethod
+    def _host_dealigned(v, raw_ts: int, raw_ct: int | None = None):
+        """Inverse of _host_aligned: restore the raw chunk-major row
+        layout (identity when alignment was an identity); ``raw_ct``
+        truncates the zero-padding alignment may have appended."""
+        ts, wv = v.shape[-2], v.shape[-1]
+        if ts == raw_ts:
+            return v
+        assert ts % raw_ts == 0, (v.shape, raw_ts)
+        f = ts // raw_ts
+        v = v.reshape(*v.shape[:-3], v.shape[-3] * f, raw_ts, wv)
+        if raw_ct is not None and v.shape[-3] != raw_ct:
+            v = v[..., :raw_ct, :, :]
+        return v
 
     def _host_v_write(self, v_sub, b0: int, total_b: int):
         """Write a sub-batch's device-resident chunk-major V store into
@@ -787,6 +810,7 @@ class Engine:
         cache = ShadowCache.init(
             self.model, layout, b, v_placeholder=True
         )
+        self._host_axis = "batch"
         pinned_path = self._use_host_parts()
         v_np = None
         for b0 in range(0, b, t):
@@ -812,7 +836,11 @@ class Engine:
             if pinned_path:
                 self._host_v_np = None  # per-slot parts are authoritative
             else:
-                v_np = self._host_aligned(v_np)
+                # Only the ring kernel speaks the host-aligned layout;
+                # the fused refresh kernel (use_pallas offload) expects
+                # the raw chunk layout (mirrors _commit_host_v).
+                if self.ring_gather:
+                    v_np = self._host_aligned(v_np)
                 self._host_v_np = v_np
                 self._host_v = jax.device_put(
                     v_np, self._pinned_sharding()
@@ -982,6 +1010,7 @@ class Engine:
         parts (serving admission / snapshot restore then replace one
         part with a direct d2h device_put — the only host-store update
         this platform supports)."""
+        self._host_axis = "batch"  # every commit here shards by batch
         if self._use_host_parts():
             b = v_data.shape[1]
             pinned = self._pinned_sharding()
@@ -1049,10 +1078,25 @@ class Engine:
             # Fold the pinned-host store back into the pytree for the
             # save (np.asarray reads it host-side, no device copy).
             hv = self._host_v
-            if isinstance(hv, tuple):  # per-slot parts -> one array
+            if isinstance(hv, tuple):  # multi-part store -> one array:
+                # parts shard the batch axis (per-slot serving parts)
+                # or the layer axis (segmented offload prefill)
                 hv = np.concatenate(
-                    [np.asarray(p) for p in hv], axis=1
+                    [np.asarray(p) for p in hv],
+                    axis=0 if self._host_axis == "layer" else 1,
                 )
+            # Checkpoints persist the RAW chunk layout — the ring
+            # store's host-ALIGNED rows (bf16: paired 16-row units)
+            # would silently mis-shape a cross-placement load into an
+            # hbm/io_callback engine; load_state re-aligns via
+            # _commit_host_v on ring engines.
+            lo = self._cache.layout
+            tiled = lo.quant == "int8" and lo.kernel_store
+            raw_ts = 32 if tiled else lo.chunk_size
+            raw_ct = lo.chunks // (
+                (32 // lo.chunk_size) if tiled else 1
+            )
+            hv = self._host_dealigned(np.asarray(hv), raw_ts, raw_ct)
             cache = cache.replace(v_full=hv)
             variant = "ring"
         elif self.v_store is not None:

@@ -143,6 +143,80 @@ def test_checkpoint_preserves_dtypes_and_layout(tmp_path):
         )
 
 
+@pytest.mark.parametrize(
+    "dst",
+    [
+        ("shadow", "none", False),
+        pytest.param(
+            ("shadow_offload", "none", False), marks=pytest.mark.slow
+        ),
+    ],
+)
+def test_checkpoint_from_ring_dealigns(tmp_path, dst):
+    """Saving FROM a ring engine must persist the RAW chunk layout:
+    the toy f32 store's 1024-B chunk unit gets host-ALIGNED (4 chunks
+    per 4096-B unit, chunk-tile axis zero-padded) in the pinned store,
+    and a checkpoint in that layout silently mis-shapes a
+    cross-placement load (advisor round 2, low #4)."""
+    src = ("shadow_offload", "none", True)
+    eng, cfg = _mk_engine(*src)
+    ids = np.random.RandomState(6).randint(0, cfg.vocab_size, (2, 256))
+    path = str(tmp_path / "ctx.npz")
+
+    out_ref, _ = eng.generate(ids, gen_len=10)
+
+    eng2, _ = _mk_engine(*src)
+    out_a, _ = eng2.generate(ids, gen_len=2)
+    eng2.save_state(path)
+
+    eng3, _ = _mk_engine(*dst)
+    eng3.load_state(path)
+    out_b, _ = eng3.generate(out_a[:, 1:], gen_len=8, cont=True)
+
+    got = np.concatenate([out_a, out_b], axis=1)
+    np.testing.assert_array_equal(got, out_ref)
+
+
+@pytest.mark.slow
+def test_checkpoint_after_segmented_prefill(tmp_path):
+    """save_state after a layer-segmented offload prefill: the host
+    store is LAYER-sharded parts, which must fold on axis 0 (a batch-
+    axis concatenate silently corrupts the checkpoint — advisor round
+    2, medium #3). Resume in a plain ring engine."""
+    cfg = toy_config(num_layers=4, dtype=jnp.float32)
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
+    cc = CacheConfig(
+        mode="shadow_offload", max_length=512, sparse_budget=64,
+        rank=32, outlier_chunks=4,
+    )
+    ids = np.random.RandomState(8).randint(0, cfg.vocab_size, (1, 256))
+    path = str(tmp_path / "ctx.npz")
+
+    def mk(segments):
+        return Engine(
+            cfg, cc,
+            RuntimeConfig(
+                prefill_block_q=64, ring_gather=True,
+                offload_prefill_segments=segments,
+            ),
+            params,
+        )
+
+    out_ref, _ = mk(2).generate(ids, gen_len=10)
+
+    eng2 = mk(2)
+    out_a, _ = eng2.generate(ids, gen_len=2)
+    assert eng2._host_axis == "layer"
+    eng2.save_state(path)
+
+    eng3 = mk(1)
+    eng3.load_state(path)
+    out_b, _ = eng3.generate(out_a[:, 1:], gen_len=8, cont=True)
+
+    got = np.concatenate([out_a, out_b], axis=1)
+    np.testing.assert_array_equal(got, out_ref)
+
+
 def test_save_state_after_prefill_only(tmp_path):
     eng, cfg = _mk_engine()
     ids = np.random.RandomState(2).randint(0, cfg.vocab_size, (1, 256))

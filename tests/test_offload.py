@@ -120,3 +120,41 @@ def test_fused_kernel_offload_matches_hbm_kernel_engine():
         toks, _ = eng.generate(ids, gen_len=8, temperature=0.0)
         outs[mode] = toks
     np.testing.assert_array_equal(outs["shadow"], outs["shadow_offload"])
+
+
+@pytest.mark.slow
+def test_offload_bf16_store_layout():
+    """bf16 V store layout through the incremental offload prefill: a
+    bf16 chunk unit (8*128*2 = 2048 B) is NOT host-word aligned, so the
+    fused-kernel (use_pallas) engine must commit the RAW chunk layout
+    (sparse_refresh's contract) while the ring engine commits the
+    host-ALIGNED paired-row layout. Guards the advisor-round-2
+    regression where _prefill_offload_incremental aligned the store for
+    EVERY ring_host engine and the fused engine's first decode step
+    failed at trace time. (bf16 decode itself can't run on the CPU
+    backend — DotThunk rejects BF16xBF16=F32 in the decode program —
+    so this asserts the committed layout, which is the root cause.)"""
+    cfg = toy_config(
+        dtype=jnp.bfloat16, head_dim=128, hidden_size=512,
+        num_heads=4, num_kv_heads=2, intermediate_size=1024,
+    )
+    params = init_synthetic_params(cfg, jax.random.PRNGKey(0), scale=0.2)
+    ids = np.random.RandomState(7).randint(1, cfg.vocab_size, (2, 1024))
+    cs = 8
+    for ring, want_ts in ((False, cs), (True, 2 * cs)):
+        cc = CacheConfig(
+            mode="shadow_offload", max_length=1024, sparse_budget=128,
+            rank=64, outlier_chunks=4, gen_capacity=32, chunk_size=cs,
+        )
+        rt = RuntimeConfig(
+            prefill_sub_batch=2, prefill_block_q=128,
+            use_pallas=not ring, ring_gather=ring,
+        )
+        eng = Engine(cfg, cc, rt, params)
+        assert eng.ring_host
+        eng.prefill(jnp.asarray(ids, jnp.int32))
+        hv = eng._host_v
+        parts = hv if isinstance(hv, tuple) else (hv,)
+        for p in parts:
+            assert p.shape[-2] == want_ts, (ring, p.shape)
+            assert p.dtype == jnp.bfloat16
