@@ -183,6 +183,13 @@ class RuntimeConfig:
     vs_vertical_size: int = 1000
     vs_slash_size: int = 6144
     vs_block: int = 128
+    # VS execution engine: 'tile' = the decomposed kernel
+    # (kernels/vs_tile.py — token-granular verticals + 512-row diagonal
+    # group tiles; the 122K-scale path), 'walk' = the per-128-block walk
+    # kernel (kernels/vs_sparse.py — measured 5-11x slower than dense at
+    # 122K, kept for small contexts and as the parity cross-check).
+    vs_impl: str = "tile"
+    vs_tile: int = 512
     # Optional per-q-head pattern table: a tuple of
     # (kind, vertical_size, slash_size) tuples or kind strings, kinds in
     # {vertical_and_slash, stream_llm, block_sparse, dense} — the

@@ -131,14 +131,6 @@ def estimate_vertical_slash(
     ii = jnp.arange(lq)
     tail_mask = ii[:, None] >= ii[None, :]  # [lq, lq]
 
-    # Diagonal gather indices: slash distance d at query row i reads
-    # key column (s - lq + i) - d; out-of-range (d > position) is
-    # masked. [lq, S] per head.
-    dd = jnp.arange(s)
-    gather_col = (s - lq) + ii[:, None] - dd[None, :]  # [lq, S]
-    gather_valid = gather_col >= 0
-    gather_col = jnp.clip(gather_col, 0, s - 1)
-
     kv_of = (
         jnp.asarray(head_kv, jnp.int32)
         if head_kv is not None
@@ -154,10 +146,23 @@ def estimate_vertical_slash(
         qk = qk.at[:, :, s - lq:].set(tail)
         p = jax.nn.softmax(qk, axis=-1)  # fp32
         vertical = p.sum(axis=1)  # [B, S]
-        diag = jnp.take_along_axis(
-            p, jnp.broadcast_to(gather_col, (b, lq, s)), axis=-1
-        )
-        slash = jnp.where(gather_valid[None], diag, 0.0).sum(axis=1)
+        # Slash scores slash[d] = sum_i p[i, (s-lq)+i-d] are diagonal
+        # sums. A take_along_axis gather here is catastrophically
+        # latency-bound on TPU (measured 1.29 s/layer at 122K,
+        # benchmarks/logs/prof_vs_kernel.log); the shear below is pure
+        # pad/reshape/slice data movement instead: reverse each row,
+        # right-pad by lq, and re-view the flat buffer with row stride
+        # (w-1) so row i lands shifted by (lq-1-i) — then diagonal sums
+        # become plain column sums. Out-of-range diagonals read the
+        # zero padding, so no validity mask is needed.
+        pr = jnp.flip(p, axis=-1)
+        w = s + lq
+        pr = jnp.pad(pr, ((0, 0), (0, 0), (0, lq)))  # [B, lq, w]
+        flat = pr.reshape(b, lq * w)
+        sheared = jax.lax.slice_in_dim(
+            flat, lq - 1, lq - 1 + lq * (w - 1), axis=1
+        ).reshape(b, lq, w - 1)
+        slash = sheared[:, :, :s].sum(axis=1)
         return vertical, slash
 
     vertical, slash = jax.lax.map(per_head, jnp.arange(h))
@@ -664,6 +669,192 @@ def minference_prefill(
     return out
 
 
+def diag_flags_from_slash(s_idx: jnp.ndarray, n_blk: int, block: int):
+    """Block-diagonal activity flags from token-granular slash
+    distances (the diag half of vs_flags; the main block diagonal is
+    always forced on — it holds the causal frontier)."""
+    d1 = s_idx // block
+    d2 = (s_idx + block - 1) // block
+    flags = _scatter_flags(jnp.concatenate([d1, d2], axis=-1), n_blk)
+    return flags.at[..., 0].set(1)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def minference_prefill_tile(
+    q: jnp.ndarray,  # [B, S, H, Dh] roped queries
+    k: jnp.ndarray,  # [B, S, K, Dh] roped keys
+    v: jnp.ndarray,  # [B, S, K, Dh]
+    *,
+    patterns: Optional[Sequence] = None,
+    vertical_size: int = 1000,
+    slash_size: int = 6144,
+    block: int = 128,
+    stream_sink: int = 1024,
+    stream_window: int = 8192,
+    bs_topk_blocks: int = 100,
+    bs_block: int = 64,
+    tile: int = 512,
+    interpret: bool = False,
+    use_kernel: bool = True,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Per-head sparse prefill via the DECOMPOSED kernel
+    (kernels/vs_tile.py): verticals token-granular (exact reference
+    MInference semantics — the walk kernel's block-expanded columns
+    destroyed sparsity at 122K, prof_vs_kernel.log), slashes as
+    512-row diagonal-group tiles. All non-block_sparse kinds unify:
+
+      vertical_and_slash: v_idx = top-k vertical tokens,
+                          diag = covering blocks of top-k slashes
+      stream_llm:         v_idx = the sink TOKENS (reference
+                          streaming_forward's sink is token-granular),
+                          diag = the window's block diagonals
+      dense:              diag = every block diagonal
+
+    block_sparse heads take the XLA gather path as before. Returns
+    [B, S, H, Dh].
+    """
+    from shadowkv_tpu.kernels.vs_tile import (
+        vs_tile_attention,
+        vs_tok_attention_reference,
+    )
+
+    b, s, h, dh = q.shape
+    kh = k.shape[2]
+    g = h // kh
+    scale = scale if scale is not None else dh**-0.5
+    pats = resolve_patterns(patterns, h, vertical_size, slash_size)
+
+    meta_heads = [i for i, p in enumerate(pats) if p[0] != "block_sparse"]
+    bs_heads = [i for i, p in enumerate(pats) if p[0] == "block_sparse"]
+
+    s_pad = _round_up(s, max(block, tile))
+    pad = s_pad - s
+    n_blk = s_pad // block
+    out = jnp.zeros(q.shape, q.dtype)
+
+    if meta_heads:
+        vs_heads = [
+            i for i in meta_heads if pats[i][0] == "vertical_and_slash"
+        ]
+        if vs_heads:
+            vertical, slash = estimate_vertical_slash(
+                q[:, :, vs_heads], k, scale,
+                head_kv=[i // g for i in vs_heads],
+            )
+            vs_pos = {hh: j for j, hh in enumerate(vs_heads)}
+
+        # Uniform vertical capacity across the launch (kernel tiles are
+        # static): max over heads of the kind's token count.
+        nv_cap = tile
+        for i in meta_heads:
+            kind, vsize, _ = pats[i]
+            want = (
+                min(s, max(vsize, 30))
+                if kind == "vertical_and_slash"
+                else (min(stream_sink, s) if kind == "stream_llm" else 1)
+            )
+            nv_cap = max(nv_cap, _round_up(want, tile))
+
+        pad_tok = jnp.int32(2 * s_pad)
+        v_rows, d_rows = [], []
+        for i in meta_heads:
+            kind, vsize, ssize = pats[i]
+            if kind == "vertical_and_slash":
+                vsz = min(s, max(vsize, 30))
+                ssz = min(s, max(ssize, 50))
+                _, v_idx = jax.lax.top_k(
+                    vertical[:, vs_pos[i]], vsz
+                )  # [B, vsz]
+                v_idx = jnp.pad(
+                    v_idx, ((0, 0), (0, nv_cap - vsz)),
+                    constant_values=2 * s_pad,
+                )
+                _, s_idx = jax.lax.top_k(slash[:, vs_pos[i]], ssz)
+                dflag = diag_flags_from_slash(s_idx, n_blk, block)
+            elif kind == "stream_llm":
+                sink = min(stream_sink, s)
+                v_idx = jnp.broadcast_to(
+                    jnp.where(
+                        jnp.arange(nv_cap, dtype=jnp.int32) < sink,
+                        jnp.arange(nv_cap, dtype=jnp.int32),
+                        pad_tok,
+                    )[None],
+                    (b, nv_cap),
+                )
+                kb = jnp.arange(n_blk, dtype=jnp.int32)
+                dflag = jnp.broadcast_to(
+                    (kb * block < stream_window + block).astype(
+                        jnp.int32
+                    )[None],
+                    (b, n_blk),
+                )
+            else:  # dense
+                v_idx = jnp.full((b, nv_cap), pad_tok, jnp.int32)
+                dflag = jnp.ones((b, n_blk), jnp.int32)
+            v_rows.append(v_idx)
+            d_rows.append(dflag)
+
+        hm = len(meta_heads)
+        v_idx_all = jnp.stack(v_rows, 1).reshape(b * hm, nv_cap)
+        dflag_all = jnp.stack(d_rows, 1).reshape(b * hm, n_blk)
+
+        import numpy as _np
+
+        kv_rows = _np.asarray([i // g for i in meta_heads])
+        if pad:
+            q_p = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            k_p = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            v_p = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        else:
+            q_p, k_p, v_p = q, k, v
+        q_f = (
+            q_p[:, :, meta_heads]
+            .transpose(0, 2, 1, 3)
+            .reshape(b * hm, s_pad, dh)
+        )
+        k_f = k_p.transpose(0, 2, 1, 3).reshape(b * kh, s_pad, dh)
+        v_f = v_p.transpose(0, 2, 1, 3).reshape(b * kh, s_pad, dh)
+        parts = []
+        for b0 in range(b):
+            hs = slice(b0 * hm, (b0 + 1) * hm)
+            ks_ = slice(b0 * kh, (b0 + 1) * kh)
+            fn = vs_tile_attention if use_kernel else (
+                lambda *a, tq=None, tk=None, **kw:
+                vs_tok_attention_reference(*a, **kw)
+            )
+            parts.append(
+                fn(
+                    q_f[hs], k_f[ks_], v_f[ks_],
+                    v_idx_all[hs], dflag_all[hs],
+                    jnp.asarray(kv_rows, jnp.int32),
+                    block=block, scale=scale, seq_len=s,
+                    tq=tile, tk=tile,
+                    **({"interpret": interpret} if use_kernel else {}),
+                )
+            )
+        o_f = parts[0] if b == 1 else jnp.concatenate(parts, axis=0)
+        o_meta = (
+            o_f.reshape(b, hm, s_pad, dh)[:, :, :s]
+            .transpose(0, 2, 1, 3)
+            .astype(q.dtype)
+        )
+        out = out.at[:, :, meta_heads].set(o_meta)
+
+    if bs_heads:
+        o_bs = block_sparse_attention(
+            q[:, :, bs_heads], k, v,
+            topk_blocks=bs_topk_blocks, block=bs_block, scale=scale,
+            head_kv=[hh // g for hh in bs_heads],
+        )
+        out = out.at[:, :, bs_heads].set(o_bs.astype(q.dtype))
+
+    return out
+
+
 # --------------------------------------------------------------------------
 # Per-layer (traced-pattern) path: the reference's MInference JSONs vary
 # patterns per LAYER (models/base.py:291 indexes minference_parttern by
@@ -846,6 +1037,122 @@ def minference_prefill_dynamic(
             q_f, k_f, v_f, meta, kv_map, block,
             scale=scale, seq_len=s,
         )
+    return (
+        o_f.reshape(b, h, s_pad, dh)[:, :, :s]
+        .transpose(0, 2, 1, 3)
+        .astype(q.dtype)
+    )
+
+
+def minference_prefill_dynamic_tile(
+    q: jnp.ndarray,  # [B, S, H, Dh] roped queries
+    k: jnp.ndarray,  # [B, S, K, Dh] roped keys
+    v: jnp.ndarray,  # [B, S, K, Dh]
+    kind_ids: jnp.ndarray,  # [H] traced, KIND_IDS values
+    vsize: jnp.ndarray,  # [H] traced
+    ssize: jnp.ndarray,  # [H] traced
+    *,
+    v_cap: int,
+    s_cap: int,
+    block: int = 128,
+    stream_sink: int = 1024,
+    stream_window: int = 8192,
+    tile: int = 512,
+    use_kernel: bool = True,
+    interpret: bool = False,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Per-layer traced-pattern variant of minference_prefill_tile:
+    this layer's [H] kind/size rows ride the prefill scan's xs, so
+    every selection is a traced where() over the three kinds. Verticals
+    stay token-granular (top-k to the static cap, entries past the
+    head's dynamic count demoted to padding)."""
+    from shadowkv_tpu.kernels.vs_tile import (
+        vs_tile_attention,
+        vs_tok_attention_reference,
+    )
+
+    b, s, h, dh = q.shape
+    kh = k.shape[2]
+    g = h // kh
+    scale = scale if scale is not None else dh**-0.5
+    s_pad = _round_up(s, max(block, tile))
+    pad = s_pad - s
+    n_blk = s_pad // block
+    pad_tok = jnp.int32(2 * s_pad)
+
+    vertical, slash = estimate_vertical_slash(q, k, scale)  # [B, H, S]
+    vert_f = vertical.reshape(b * h, s)
+    slash_f = slash.reshape(b * h, s)
+    kind_r = jnp.tile(kind_ids, b)[:, None]  # [BH, 1]
+    vs_n = jnp.clip(jnp.maximum(jnp.tile(vsize, b), 30), 0, s)[:, None]
+    sl_n = jnp.clip(jnp.maximum(jnp.tile(ssize, b), 50), 0, s)[:, None]
+
+    nv_cap = max(
+        tile,
+        _round_up(min(s, v_cap), tile),
+        _round_up(min(s, stream_sink), tile),
+    )
+    vc = min(s, v_cap, nv_cap)
+    _, v_top = jax.lax.top_k(vert_f, vc)  # [BH, vc]
+    v_top = jnp.pad(
+        v_top, ((0, 0), (0, nv_cap - vc)), constant_values=2 * s_pad
+    )
+    lanes = jnp.arange(nv_cap, dtype=jnp.int32)[None]
+    v_vs = jnp.where(lanes < vs_n, v_top, pad_tok)
+    v_stream = jnp.where(
+        lanes < min(stream_sink, s), lanes, pad_tok
+    ).astype(jnp.int32)
+    v_idx = jnp.where(
+        kind_r == 0, v_vs,
+        jnp.where(kind_r == 1, v_stream, pad_tok),
+    )
+
+    sc = min(s, s_cap)
+    _, s_top = jax.lax.top_k(slash_f, sc)
+    s_top = jnp.where(
+        jnp.arange(sc)[None] < sl_n, s_top, jnp.int32(2 * s_pad)
+    )
+    d_vs = diag_flags_from_slash(s_top, n_blk, block)
+    kb = jnp.arange(n_blk, dtype=jnp.int32)
+    d_stream = jnp.broadcast_to(
+        (kb * block < stream_window + block).astype(jnp.int32)[None],
+        (b * h, n_blk),
+    )
+    dflag = jnp.where(
+        kind_r == 0, d_vs, jnp.where(kind_r == 1, d_stream, 1)
+    )
+
+    import numpy as _np
+
+    kv_rows = jnp.asarray(_np.arange(h) // g, jnp.int32)
+    if pad:
+        q_p = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k_p = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v_p = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    else:
+        q_p, k_p, v_p = q, k, v
+    q_f = q_p.transpose(0, 2, 1, 3).reshape(b * h, s_pad, dh)
+    k_f = k_p.transpose(0, 2, 1, 3).reshape(b * kh, s_pad, dh)
+    v_f = v_p.transpose(0, 2, 1, 3).reshape(b * kh, s_pad, dh)
+    parts = []
+    for b0 in range(b):
+        hs = slice(b0 * h, (b0 + 1) * h)
+        ks_ = slice(b0 * kh, (b0 + 1) * kh)
+        fn = vs_tile_attention if use_kernel else (
+            lambda *a, tq=None, tk=None, **kw:
+            vs_tok_attention_reference(*a, **kw)
+        )
+        parts.append(
+            fn(
+                q_f[hs], k_f[ks_], v_f[ks_],
+                v_idx[hs], dflag[hs], kv_rows,
+                block=block, scale=scale, seq_len=s,
+                tq=tile, tk=tile,
+                **({"interpret": interpret} if use_kernel else {}),
+            )
+        )
+    o_f = parts[0] if b == 1 else jnp.concatenate(parts, axis=0)
     return (
         o_f.reshape(b, h, s_pad, dh)[:, :, :s]
         .transpose(0, 2, 1, 3)

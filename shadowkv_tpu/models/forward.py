@@ -55,14 +55,18 @@ def _minference_ctx(
     Pallas kernel on TPU, jnp oracle on CPU (tests). ``pat_row`` is
     this layer's traced (kind_ids, vertical, slash) [H] rows when a
     per-layer table is configured (rides the prefill scan's xs)."""
-    from shadowkv_tpu.core.minference import (
-        minference_prefill,
-        minference_prefill_dynamic,
-    )
+    from shadowkv_tpu.core import minference as mi
 
+    tile = rt.vs_impl == "tile"
+    tile_kw = {"tile": rt.vs_tile} if tile else {}
     if pat_row is not None:
         kinds, vs_r, ss_r = pat_row
-        return minference_prefill_dynamic(
+        fn = (
+            mi.minference_prefill_dynamic_tile
+            if tile
+            else mi.minference_prefill_dynamic
+        )
+        return fn(
             q, k, v, kinds, vs_r, ss_r,
             v_cap=caps[0], s_cap=caps[1],
             block=rt.vs_block,
@@ -70,8 +74,10 @@ def _minference_ctx(
             stream_window=rt.stream_window,
             use_kernel=use_flash,
             interpret=False,
+            **tile_kw,
         )
-    return minference_prefill(
+    fn = mi.minference_prefill_tile if tile else mi.minference_prefill
+    return fn(
         q, k, v,
         patterns=rt.minference_patterns,
         vertical_size=rt.vs_vertical_size,
@@ -81,6 +87,7 @@ def _minference_ctx(
         stream_window=rt.stream_window,
         use_kernel=use_flash,
         interpret=False,
+        **tile_kw,
     )
 
 

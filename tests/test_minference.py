@@ -438,14 +438,16 @@ def test_per_layer_table_matches_layer_loop_oracle(rng):
     cos_t, sin_t = rope_lib.compute_cos_sin(cfg, s, dtype=jnp.float32)
     cos, sin = cos_t[:s], sin_t[:s]
 
-    # oracle: python loop, static per-layer tables
+    # oracle: python loop, static per-layer tables (the tile dispatch —
+    # token-granular verticals — matching the production vs_impl default)
     x = jnp.take(params.embed, ids, axis=0).astype(cfg.dtype)
     for li, tbl in enumerate(table):
         lp = jax.tree_util.tree_map(lambda a: a[li], params.layers)
         q, k_r, _, v = _layer_qkv(cfg, lp, x, cos, sin)
-        ctx = mi.minference_prefill(
+        ctx = mi.minference_prefill_tile(
             q, k_r, v, patterns=tbl, block=64,
-            stream_sink=64, stream_window=128, use_kernel=False,
+            stream_sink=64, stream_window=128, tile=rt.vs_tile,
+            use_kernel=False,
         )
         x = _layer_tail(lp, cfg, x, ctx)
     want = _finalize(cfg, params, x, last_only=True)
