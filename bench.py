@@ -174,7 +174,9 @@ def run_serve(cfg, rt, params, datalen, slots, steps, quant, cache_mode):
     eng = Engine(cfg, cache_cfg, rt, params)
     cb = ContinuousBatcher(
         eng, slots=slots, temperature=0.6, top_k=50, top_p=0.9,
-        steps_per_dispatch=int(os.environ.get("BENCH_SERVE_CHUNK", "8")),
+        steps_per_dispatch=(
+            lambda c: "auto" if c == "auto" else int(c)
+        )(os.environ.get("BENCH_SERVE_CHUNK", "auto")),
     )
     results, st = cb.run(reqs)
     assert st.completed_requests == n_req

@@ -134,6 +134,26 @@ def swiglu_mlp(x: jnp.ndarray, layer: LayerParams) -> jnp.ndarray:
     b, s, d = x.shape
     if b * s <= 4 * MLP_CHUNK_TOKENS:
         return _swiglu(x, layer)
+    from shadowkv_tpu.core.wquant import QTensor
+
+    if isinstance(layer.w_gate_up, QTensor) or isinstance(
+        layer.w_down, QTensor
+    ):
+        # Dequantize ONCE before the chunk scan: XLA re-materializes the
+        # int8->bf16 weight cast inside every scan iteration otherwise
+        # (~8 x 69 MB per layer at 122K — measured as wq8's 2.6x prefill
+        # blowup, logs/bench_wq8). One bf16 copy per layer is ~69 MB
+        # transient vs the 2.8 GB intermediate this chunking avoids.
+        def _deq(w):
+            return (
+                (w.q.astype(x.dtype) * w.s.astype(x.dtype))
+                if isinstance(w, QTensor)
+                else w
+            )
+
+        layer = layer._replace(
+            w_gate_up=_deq(layer.w_gate_up), w_down=_deq(layer.w_down)
+        )
     blk = MLP_CHUNK_TOKENS
     s_pad = ((s + blk - 1) // blk) * blk
     xp = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0))) if s_pad != s else x

@@ -964,9 +964,11 @@ class Engine:
                     # np.array COPIES — np.asarray of a jax array is a
                     # read-only view
                     self._host_v_np = np.array(self._host_v)
-                self._host_v_np[:, slot : slot + 1] = np.asarray(
-                    small.v_full
-                )
+                rows = np.asarray(small.v_full)
+                if self.ring_gather:
+                    # the mirror lives in the host-ALIGNED row layout
+                    rows = self._host_aligned(rows)
+                self._host_v_np[:, slot : slot + 1] = rows
                 self._host_v = jax.device_put(
                     self._host_v_np, self._pinned_sharding()
                 )

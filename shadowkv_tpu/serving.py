@@ -114,7 +114,8 @@ class ContinuousBatcher:
         stop_ids: tuple[int, ...] = (),
         seed: int = 0,
         max_contexts: int = 2,
-        steps_per_dispatch: int = 8,
+        steps_per_dispatch="auto",
+        max_dispatch: int = 64,
     ):
         assert engine.cache_cfg.mode in ("shadow", "shadow_offload"), (
             "continuous batching serves the shadow cache modes"
@@ -143,7 +144,20 @@ class ContinuousBatcher:
         # A slot finishing mid-chunk idles <= k-1 steps (its sampled
         # garbage is discarded, as idle slots' already is) and frees at
         # the chunk boundary; 1 restores per-step admission latency.
-        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
+        #
+        # 'auto' (default) sizes each chunk adaptively: when the queue
+        # holds work, sync exactly at the next admission opportunity
+        # (the soonest any live slot can finish — syncing earlier buys
+        # nothing, later wastes steps a waiting request could use);
+        # when the queue is drained, run the longest chunk the gen
+        # region allows, capped by max_dispatch (sync cost amortizes,
+        # nothing can be admitted anyway).
+        self.steps_per_dispatch = (
+            "auto"
+            if steps_per_dispatch == "auto"
+            else max(1, int(steps_per_dispatch))
+        )
+        self.max_dispatch = max(1, int(max_dispatch))
         # Shared-prefix snapshots: context_id -> (prefix fingerprint,
         # last-prefix-token logits [1,1,V], 1-slot cache pytree). Each
         # snapshot holds one slot's full shadow state (U/SV/landmarks/
@@ -337,13 +351,21 @@ class ContinuousBatcher:
             # Remaining steps any live slot could still need: forced
             # suffix tokens left + generation budget left. Chunks never
             # exceed it (pure waste past the last live completion).
-            remaining = max(
-                len(slot_forced[i])
-                + (r.gen_len - len(slot_tokens[i]))
+            live = [
+                len(slot_forced[i]) + (r.gen_len - len(slot_tokens[i]))
                 for i, r in enumerate(slot_req)
                 if r is not None
-            )
-            k_steps = min(self.steps_per_dispatch, max(1, remaining))
+            ]
+            remaining = max(live)
+            if self.steps_per_dispatch == "auto":
+                # queue waiting: sync at the soonest possible finish
+                # (admission opportunity); drained: amortize the sync
+                # over the longest useful chunk.
+                horizon = min(live) if queue else remaining
+                k_steps = min(self.max_dispatch, max(1, horizon))
+            else:
+                k_steps = min(self.steps_per_dispatch, max(1, remaining))
+            k_steps = min(k_steps, cap - 1)
 
             # idle slots (queue drained) keep stepping harmlessly; pin
             # their depth low enough that k_steps of growth stay inside
