@@ -1,0 +1,280 @@
+"""Train the tiny llama to ACTUALLY DO retrieval (round-3 task #3).
+
+The round-2 eval harness ran end-to-end on a real checkpoint, but that
+model was random-weight and scores ~0 by design — so "shadow score ==
+full score", the claim the whole system rests on (reference Table 2,
+SURVEY §4), had never been checked with a model that can do the task.
+No 8B checkpoint exists on this machine; this script trains the tiny
+4-layer llama (scripts/make_tiny_checkpoint.py geometry) to
+copy/retrieval competence on RULER niah-style data, then saves it as a
+standard HF safetensors checkpoint so entry/eval_acc.py + the tests
+drive it through the SAME loader path as a production model.
+
+Training data comes from the repo's own RULER generator
+(data/ruler/generate.py) with the repo's own trained tokenizer — the
+distribution the eval harness scores. The model must learn induction
+(find "One of the special magic numbers for <key> is: <digits>" and
+copy the digits when <key> is queried) — the capability that makes a
+real slot-hit-rate and a real shadow-vs-full accuracy gap measurable.
+
+Usage:
+  python scripts/train_tiny_model.py [--out /tmp/tiny-llama-trained]
+      [--steps 1500] [--ctx 4096] [--batch 2] [--lr 1e-3]
+
+CPU smoke: --steps 5 --ctx 512 works on the 1-core box (~2 min).
+Real run: the TPU trains 1-2k steps in minutes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# data
+# ---------------------------------------------------------------------------
+
+
+def make_samples(tokenizer, n: int, ctx: int, seed: int, task="niah_single_1"):
+    """RULER samples packed to exactly ``ctx`` tokens: returns
+    (ids [n, ctx], loss_mask [n, ctx]) where the mask holds 1.0 on the
+    ANSWER tokens (next-token targets) and a small LM weight elsewhere."""
+    from shadowkv_tpu.data.ruler.generate import generate_task
+
+    rows = generate_task(
+        task, tokenizer, num_samples=n, max_seq_length=ctx - 8,
+        seed=seed,
+    )
+    ids = np.zeros((n, ctx), np.int32)
+    mask = np.zeros((n, ctx), np.float32)
+    for i, r in enumerate(rows):
+        prompt = tokenizer.encode(r["input"], add_special_tokens=False)
+        # teacher-force the first reference answer + eos
+        ans = tokenizer.encode(
+            " " + r["outputs"][0] + tokenizer.eos_token,
+            add_special_tokens=False,
+        )
+        seq = (prompt + ans)[:ctx]
+        ids[i, : len(seq)] = seq
+        a0 = min(len(prompt), ctx)
+        mask[i, :a0] = 0.05  # light LM loss keeps the filler modeled
+        mask[i, a0 : len(seq)] = 1.0
+    return ids, mask
+
+
+# ---------------------------------------------------------------------------
+# differentiable forward (repo layer math, chunked causal attention)
+# ---------------------------------------------------------------------------
+
+
+def _causal_attn(q, k, v, chunk=512):
+    """Differentiable causal GQA attention, q chunked to bound the
+    [B, H, c, S] score temp (the repo's inference flash kernels are not
+    used here — training needs a VJP)."""
+    b, s, h, dh = q.shape
+    kh = k.shape[2]
+    g = h // kh
+    scale = dh**-0.5
+    qg = q.reshape(b, s, kh, g, dh)
+    nc = (s + chunk - 1) // chunk
+    s_pad = nc * chunk
+    if s_pad != s:
+        qg = jnp.pad(qg, ((0, 0), (0, s_pad - s), (0, 0), (0, 0), (0, 0)))
+    qc = qg.reshape(b, nc, chunk, kh, g, dh).transpose(1, 0, 2, 3, 4, 5)
+    pos_k = jnp.arange(s)
+
+    @jax.checkpoint
+    def one(c0, qi):  # qi [B, chunk, K, G, Dh]
+        sc = jnp.einsum(
+            "bqkgd,bskd->bkgqs", qi, k,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        pos_q = c0 + jnp.arange(chunk)
+        m = pos_k[None, :] <= pos_q[:, None]
+        sc = jnp.where(m[None, None, None], sc, -1e30)
+        p = jax.nn.softmax(sc, axis=-1)
+        return jnp.einsum(
+            "bkgqs,bskd->bqkgd", p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+
+    out = jax.lax.map(
+        lambda args: one(args[0], args[1]),
+        (jnp.arange(nc) * chunk, qc),
+    )  # [nc, B, chunk, K, G, Dh]
+    out = out.transpose(1, 0, 2, 3, 4, 5).reshape(b, s_pad, kh, g, dh)
+    return out[:, :s].reshape(b, s, h, dh)
+
+
+def full_logits(model_cfg, params, ids, cos, sin):
+    from shadowkv_tpu.core import wquant
+    from shadowkv_tpu.models.forward import (
+        _finalize, _layer_qkv, _layer_tail,
+    )
+
+    x = wquant.take_rows(params.embed, ids, model_cfg.dtype)
+
+    def body(x, inputs):
+        _li, lp = inputs
+        q, k_r, _, v = _layer_qkv(model_cfg, lp, x, cos, sin)
+        ctx = _causal_attn(q, k_r, v)
+        return _layer_tail(lp, model_cfg, x, ctx), None
+
+    x, _ = jax.lax.scan(
+        body, x, (jnp.arange(model_cfg.num_layers), params.layers)
+    )
+    return _finalize(model_cfg, params, x, last_only=False)
+
+
+# ---------------------------------------------------------------------------
+# HF export (inverse of models/params.py::load_hf_params)
+# ---------------------------------------------------------------------------
+
+
+def save_hf_checkpoint(params, cfg, out_dir: str):
+    """Write trained ModelParams back as HF llama safetensors (the
+    exact names load_hf_params reads, so eval drives the trained model
+    through the production loader)."""
+    import torch
+    from safetensors.torch import save_file
+
+    h, kh, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def t(x):  # [in, out] -> HF [out, in]
+        return torch.from_numpy(np.asarray(x, np.float32).T.copy())
+
+    def v1(x):
+        return torch.from_numpy(np.asarray(x, np.float32).copy())
+
+    sd = {
+        "model.embed_tokens.weight": v1(params.embed),
+        "model.norm.weight": v1(params.final_norm),
+        "lm_head.weight": t(params.lm_head),
+    }
+    for i in range(cfg.num_layers):
+        lp = jax.tree.map(lambda a: a[i], params.layers)
+        p = f"model.layers.{i}."
+        qd, kd = h * dh, kh * dh
+        sd[p + "self_attn.q_proj.weight"] = t(lp.wqkv[:, :qd])
+        sd[p + "self_attn.k_proj.weight"] = t(lp.wqkv[:, qd : qd + kd])
+        sd[p + "self_attn.v_proj.weight"] = t(lp.wqkv[:, qd + kd :])
+        sd[p + "self_attn.o_proj.weight"] = t(lp.wo)
+        ii = lp.w_gate_up.shape[-1] // 2
+        sd[p + "mlp.gate_proj.weight"] = t(lp.w_gate_up[:, :ii])
+        sd[p + "mlp.up_proj.weight"] = t(lp.w_gate_up[:, ii:])
+        sd[p + "mlp.down_proj.weight"] = t(lp.w_down)
+        sd[p + "input_layernorm.weight"] = v1(lp.attn_norm)
+        sd[p + "post_attention_layernorm.weight"] = v1(lp.mlp_norm)
+    save_file(sd, os.path.join(out_dir, "model.safetensors"))
+
+
+# ---------------------------------------------------------------------------
+# training loop
+# ---------------------------------------------------------------------------
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/tiny-llama-trained")
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--ctx", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ckpt-every", type=int, default=500)
+    args = ap.parse_args()
+
+    from scripts.make_tiny_checkpoint import build_tiny_checkpoint
+
+    out = build_tiny_checkpoint(args.out)  # tokenizer + config + init
+    from transformers import AutoTokenizer
+
+    import optax
+
+    from shadowkv_tpu.core import rope as rope_lib
+    from shadowkv_tpu.models.params import load_hf_params
+    from shadowkv_tpu.models.registry import config_from_hf_dir
+
+    tokenizer = AutoTokenizer.from_pretrained(out)
+    cfg = config_from_hf_dir(out, dtype=jnp.float32)
+    params = load_hf_params(out, cfg)
+    cos_t, sin_t = rope_lib.compute_cos_sin(
+        cfg, args.ctx, dtype=jnp.float32
+    )
+    cos, sin = cos_t[: args.ctx], sin_t[: args.ctx]
+
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, min(200, args.steps // 5 + 1), args.steps
+    )
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.adamw(sched)
+    )
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, ids, mask):
+        def loss_fn(p):
+            logits = full_logits(cfg, p, ids[:, :-1], cos[:-1], sin[:-1])
+            tgt = ids[:, 1:]
+            w = mask[:, 1:]
+            ll = optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), tgt
+            )
+            return (ll * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.RandomState(args.seed)
+    t0 = time.time()
+    for step in range(args.steps):
+        ids, mask = make_samples(
+            tokenizer, args.batch, args.ctx,
+            seed=int(rng.randint(0, 2**31)),
+        )
+        params, opt_state, loss = train_step(
+            params, opt_state, jnp.asarray(ids), jnp.asarray(mask)
+        )
+        if step % 25 == 0 or step == args.steps - 1:
+            print(
+                f"step {step:5d} loss {float(loss):.4f} "
+                f"({time.time() - t0:.0f}s)",
+                flush=True,
+            )
+        if args.ckpt_every and step and step % args.ckpt_every == 0:
+            save_hf_checkpoint(params, cfg, out)
+            print(f"  checkpointed at step {step}", flush=True)
+    save_hf_checkpoint(params, cfg, out)
+    print(f"trained checkpoint at {out}")
+
+    # quick greedy self-test on a held-out sample
+    ids, mask = make_samples(tokenizer, 1, args.ctx, seed=999)
+    a0 = int(np.argmax(mask[0] == 1.0))
+    prompt = jnp.asarray(ids[:1, :a0])
+    logits = jax.jit(
+        lambda p, x: full_logits(cfg, p, x, cos[: x.shape[1]],
+                                 sin[: x.shape[1]])
+    )(params, prompt)
+    nxt = int(jnp.argmax(logits[0, -1]))
+    want = ids[0, a0]
+    print(
+        f"self-test: next-token {nxt} vs target {int(want)} "
+        f"({'OK' if nxt == want else 'MISS'})"
+    )
+
+
+if __name__ == "__main__":
+    main()
