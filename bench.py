@@ -260,12 +260,16 @@ def main():
     # exercising the GLM variant of the reconstruction kernel and the
     # interleaved-RoPE decode math e2e (reference glm.py:174,238,261).
     family = os.environ.get("BENCH_FAMILY", "llama")
-    family_kw = (
-        dict(num_kv_heads=4, rope_style="glm", rope_partial_dim=64,
-             qkv_bias=True)
-        if family == "glm"
-        else {}
-    )
+    # BENCH_FAMILY=yi mirrors Yi-9B-200K's head layout at bench scale:
+    # 4 KV groups (half the llama-bench KV state), 5M rope theta, the
+    # 64K vocab (reference index.html:239-260 family table).
+    family_kw = {
+        "glm": dict(num_kv_heads=4, rope_style="glm",
+                    rope_partial_dim=64, qkv_bias=True),
+        "yi": dict(num_kv_heads=4, rope_theta=5_000_000.0,
+                   vocab_size=64000),
+        "llama": {},
+    }[family]
     # BENCH_MODEL=8b: the EXACT Llama-3.1-8B dims (the north-star
     # metric's model) with synthetic values. bf16 weights alone are
     # 16 GB, so this shape requires the int8 weight path (forced) and

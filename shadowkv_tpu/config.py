@@ -215,6 +215,12 @@ class RuntimeConfig:
     use_pallas: Optional[object] = None
     pallas_hit_threshold: float = 0.75
     pallas_auto_interval: int = 16
+    # Observe-only slot-hit-rate sampling on every shadow decode path
+    # (one consecutive step-pair per pallas_auto_interval steps, one
+    # scalar host sync each): kv_stats() then reports hit_rate_mean /
+    # hit_rate_ema. The measurement behind the reference's ~60 %
+    # temporal-locality claim (index.html:326), without flipping paths.
+    track_hit_rate: bool = False
     # Weight-only quantization of the dense matmul path ('none' or
     # 'int8': per-output-channel symmetric QTensor leaves,
     # core/wquant.py). Halves weight-read HBM bytes in weight-bound

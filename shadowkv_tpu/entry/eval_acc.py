@@ -60,6 +60,10 @@ def parse_args():
                    choices=["none", "int8"],
                    help="int8: weight-only quantized dense path "
                         "(core/wquant.py)")
+    p.add_argument("--track_hit_rate", action="store_true",
+                   default=False,
+                   help="sample the decode slot hit rate; the final "
+                        "kv_stats report includes hit_rate_mean")
     return p.parse_args()
 
 
@@ -85,6 +89,7 @@ def main():
         minference=args.minference,
         dp=args.dp, tp=args.tp, sp=args.sp, pp=args.pp,
         weight_quant=args.weight_quant,
+        track_hit_rate=args.track_hit_rate,
     )
     if dist.master_process:
         llm.print_kv_stats()
@@ -101,6 +106,13 @@ def main():
         )
         evaluator.test(llm, dataset, out, args.method, resume=args.resume)
 
+    if dist.master_process and args.track_hit_rate:
+        stats = llm.engine.kv_stats()
+        print(
+            f"[hit-rate] mean={stats.get('hit_rate_mean')} "
+            f"ema={stats.get('hit_rate_ema')} "
+            f"samples={stats.get('hit_samples')}"
+        )
     evaluator.summarize()
 
 

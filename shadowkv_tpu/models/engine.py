@@ -267,6 +267,7 @@ class Engine:
         # Live decode-path state for 'auto' (also reported by kv_stats).
         self._kernel_now = self.use_pallas
         self._auto_hit_ema = None
+        self._hit_samples: list = []  # every sampled per-step hit frac
         self._auto_prev_ids = None
         self._auto_counter = 0
         self._auto_switches = 0
@@ -363,16 +364,20 @@ class Engine:
             )
             return _sample(logits, key, temperature, top_k, top_p), cache
 
+        track = self.pallas_auto or rt.track_hit_rate
         if ring_host:
             # The pinned-host V store rides as an input-only trailing
             # arg (set by _offload_v after prefill).
             def decode_shadow_fn(params, cache, tokens, key, *sample):
-                return decode_shadow_jit(
+                out = decode_shadow_jit(
                     params, cache, tokens, key, *sample,
                     engine._kernel_now, engine._host_axis,
                     engine._host_v,
                 )
-        elif self.pallas_auto:
+                if track:
+                    engine._auto_observe(out[1])
+                return out
+        elif track:
             def decode_shadow_fn(params, cache, tokens, key, *sample):
                 out = decode_shadow_jit(
                     params, cache, tokens, key, *sample,
@@ -1189,6 +1194,9 @@ class Engine:
             self._auto_hit_ema = (
                 frac if ema is None else 0.5 * ema + 0.5 * frac
             )
+            self._hit_samples.append(frac)
+            if not self.pallas_auto:
+                return  # rt.track_hit_rate: observe only, never switch
             want = self._auto_hit_ema >= rt.pallas_hit_threshold
             if want != self._kernel_now:
                 self._kernel_now = want
@@ -1255,6 +1263,14 @@ class Engine:
                 full_equivalent_bytes=full_equiv,
                 hbm_reduction=full_equiv / max(1, out["device_bytes"]),
             )
+            if self._hit_samples:
+                import numpy as _np
+
+                out.update(
+                    hit_rate_mean=float(_np.mean(self._hit_samples)),
+                    hit_rate_ema=self._auto_hit_ema,
+                    hit_samples=len(self._hit_samples),
+                )
             if self.pallas_auto:
                 out.update(
                     auto_hit_ema=self._auto_hit_ema,

@@ -67,6 +67,8 @@ class LLM:
         # circular microbatch pipeline (parallel/pipeline.py)
         weight_quant: str = "none",  # 'int8': weight-only quantized
         # dense path (core/wquant.py) — fits 8B weights on a 16 GB chip
+        track_hit_rate: bool = False,  # sample the slot hit rate during
+        # decode; kv_stats() reports hit_rate_mean/ema
     ):
         mode_alias = {"shadowkv": "shadow", "shadowkv_cpu": "shadow_offload"}
         attn_mode = mode_alias.get(attn_mode, attn_mode)
@@ -113,6 +115,7 @@ class LLM:
             prefill_pattern=pattern,
             dp=dp, tp=tp, sp=sp, pp=pp,
             weight_quant=weight_quant or "none",
+            track_hit_rate=track_hit_rate,
         )
         self.engine = Engine(self.config, self.cache_cfg, rt, params)
         self.stop_ids = self._resolve_stop_ids()

@@ -186,6 +186,46 @@ def test_vs_sparse_compiled_matches_oracle():
     )
 
 
+def test_vs_tile_compiled_matches_token_oracle():
+    """The decomposed VS kernel (kernels/vs_tile.py) compiled on the
+    real chip vs the token-granular jnp oracle — covers the diagonal
+    group walk, the in-tile 128-band mask reconstruction, the allset
+    fast path, and the gathered-vertical phase."""
+    from shadowkv_tpu.core import minference as mi
+    from shadowkv_tpu.kernels.vs_tile import (
+        vs_tile_attention,
+        vs_tok_attention_reference,
+    )
+
+    s, block, h, kh, dh, tk = 4096, 128, 4, 2, 128, 512
+    g = h // kh
+    ks = jax.random.split(jax.random.PRNGKey(11), 5)
+    q = jax.random.normal(ks[0], (h, s, dh), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (kh, s, dh), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (kh, s, dh), jnp.bfloat16)
+    v_idx = jax.random.randint(ks[3], (h, 512), 0, s + 100)
+    df = (jax.random.uniform(ks[4], (h, s // block)) < 0.15).astype(
+        jnp.int32
+    )
+    df = df.at[:, 0].set(1)
+    # one head with a contiguous run (exercises allset interior tiles)
+    df = df.at[0, :24].set(1)
+    kv_map = jnp.asarray([hh // g for hh in range(h)], jnp.int32)
+    out = vs_tile_attention(
+        q, k, v, v_idx, df, kv_map, block=block, scale=dh**-0.5,
+        seq_len=s, tq=tk, tk=tk,
+    )
+    ref = vs_tok_attention_reference(
+        q.astype(jnp.float32), k.astype(jnp.float32),
+        v.astype(jnp.float32), v_idx, df, kv_map,
+        block=block, scale=dh**-0.5, seq_len=s,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=3e-2,
+        atol=3e-2,
+    )
+
+
 def test_vs_sparse_compiles_at_122k_metadata_scale():
     """Compile-only probe at the production metadata scale (H=32 heads,
     nK=960 blocks = 122880/128): verifies the SMEM scalar-prefetch
