@@ -333,6 +333,125 @@ STAGES = {
         "env": {"SHADOWKV_TPU_TESTS": "1"},
         "timeout": 3600,
     },
+    # ----- round 3 ---------------------------------------------------------
+    # Kernel tests again on round-3 HEAD (adds the compiled vs_tile
+    # parity test — run FIRST: small-scale validation before any 122K
+    # launch of the new kernel).
+    "kernel_tests_r3": {
+        "cmd": [
+            sys.executable, "-m", "pytest", "tests/test_kernel_tpu.py",
+            "-q", "--no-header",
+        ],
+        "env": {"SHADOWKV_TPU_TESTS": "1"},
+        "timeout": 3600,
+    },
+    # Decomposed VS kernel at 122K: s/call vs dense splash 0.448 /
+    # stream 0.064 (prof_prefill_attn), clustered + random metadata.
+    "prof_vs_tile": {
+        "cmd": [
+            sys.executable, "benchmarks/prof_vs_kernel.py",
+            "tilec122", "tile122",
+        ],
+        "env": {},
+        "timeout": 3600,
+    },
+    # MInference VS prefill end-to-end at 122K on the tile path (the
+    # round-2 bench_vs faulted the device on the walk kernel).
+    "bench_vs_r3": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {"BENCH_PREFILL": "vs", "BENCH_MODE": "shadow"},
+        "timeout": 5400,
+    },
+    # Round-3 baseline re-run (decode single-stacked-commit + estimator
+    # changes ride along).
+    "bench_xla_r3": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {},
+        "timeout": 3600,
+    },
+    # wq8 prefill after the chunked-MLP dequant hoist (round 2: 238.5 s
+    # vs 90.9 s dense — the fix should close most of the gap).
+    "bench_wq8_r3": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {"BENCH_MODE": "shadow", "BENCH_WQUANT": "int8"},
+        "timeout": 3600,
+    },
+    # Serving with adaptive steps_per_dispatch (VERDICT #10).
+    "bench_serve_r3": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {"BENCH_MODE": "serve", "BENCH_DECODE_STEPS": "100"},
+        "timeout": 5400,
+    },
+    # Yi-9B-200K family row at bench scale (VERDICT #8).
+    "bench_yi": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_FAMILY": "yi",
+            "BENCH_SHADOW_BATCH": "6",
+        },
+        "timeout": 3600,
+    },
+    # Train the tiny retrieval model (VERDICT #3) — minutes on chip.
+    "train_tiny": {
+        "cmd": [
+            sys.executable, "scripts/train_tiny_model.py",
+            "--steps", "1500", "--ctx", "4096", "--batch", "2",
+        ],
+        "env": {},
+        "timeout": 7200,
+    },
+    # Accuracy oracle on the TRAINED model: full vs shadow RULER
+    # niah_single_1 at 4K; shadow also samples the real hit rate.
+    "eval_tiny_full": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "full", "--bucket", "1024",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
+    "eval_tiny_shadow": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "shadow", "--sparse_budget", "512",
+            "--rank", "64", "--bucket", "1024", "--track_hit_rate",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
+    # Ring decode one-step trace (VERDICT #7: find the 23 tok/s e2e
+    # loss behind the 476 GB/s microbench).
+    "prof_ring_decode": {
+        "cmd": [sys.executable, "benchmarks/prof_ring_decode.py"],
+        "env": {},
+        "timeout": 3600,
+    },
+    # 8B@122K segmented-offload AOT byte accounting (VERDICT #6).
+    "probe_8b_offload_aot": {
+        "cmd": [sys.executable, "benchmarks/probe_8b_offload_aot.py"],
+        "env": {},
+        "timeout": 3600,
+    },
+    # 60K b8 regression diagnosis (VERDICT #4): decode trace at b6 / b8.
+    "prof_decode_60k_b6": {
+        "cmd": [sys.executable, "benchmarks/prof_trace_decode.py"],
+        "env": {"PROF_DATALEN": "61440", "PROF_BATCH": "6"},
+        "timeout": 3600,
+    },
+    "prof_decode_60k_b8": {
+        "cmd": [sys.executable, "benchmarks/prof_trace_decode.py"],
+        "env": {"PROF_DATALEN": "61440", "PROF_BATCH": "8"},
+        "timeout": 3600,
+    },
 }
 
 
@@ -352,6 +471,14 @@ _ORDER = [
     "probe_mem_8b_60k", "bench_8b_60k",
     "bench_serve", "bench_serve_ctx", "bench_serve_offload",
     "prof_trace_decode", "prof_ablate", "prof_prefill_attn",
+    # round 3 (kernel validation first, then the VS campaign, then the
+    # re-baselines/fix validations, then the accuracy oracle + probes)
+    "kernel_tests_r3", "prof_vs_tile", "bench_vs_r3",
+    "bench_xla_r3", "bench_wq8_r3",
+    "train_tiny", "eval_tiny_full", "eval_tiny_shadow",
+    "bench_serve_r3", "bench_yi",
+    "probe_8b_offload_aot", "prof_ring_decode",
+    "prof_decode_60k_b6", "prof_decode_60k_b8",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
