@@ -243,6 +243,41 @@ def _refresh_kernel(
             vw_sems.at[buf, i],
         )
 
+    # Batched write-back needs the whole [GROUP*cs, Dh] tile slice to
+    # be addressable in the output (tiny test buffers are smaller).
+    can_batch = k_out_hbm.shape[3] >= GROUP * cs
+
+    def group_contig(g):
+        """True when group g is FULL and its miss slots are consecutive
+        — then the whole [GROUP*cs, Dh] tile writes back as ONE DMA
+        instead of GROUP scalar-issued ones. Compacted miss slots are
+        ascending (compact_misses is a stable sort on the stay flag),
+        so below ~50 % hit rates most groups qualify; per-DMA issue
+        cost (~0.25 us) was the kernel's miss-regime deficit vs the
+        XLA gather path (CLAUDE.md / VERDICT round-2 #2)."""
+        j0 = g * GROUP
+        last = jnp.minimum(j0 + GROUP - 1, jnp.maximum(n - 1, 0))
+        return (j0 + GROUP <= n) & (
+            miss_slot_ref[bk, last] - miss_slot_ref[bk, j0]
+            == GROUP - 1
+        )
+
+    def k_write_batched(g, buf):
+        row = sparse_start + miss_slot_ref[bk, g * GROUP] * cs
+        return pltpu.make_async_copy(
+            k_tile.at[buf],
+            k_out_hbm.at[layer, b, k, pl.ds(row, GROUP * cs), :],
+            w_sems.at[buf, 0],
+        )
+
+    def v_write_batched(g, buf):
+        row = sparse_start + miss_slot_ref[bk, g * GROUP] * cs
+        return pltpu.make_async_copy(
+            v_tile.at[buf],
+            v_out_hbm.at[layer, b, k, pl.ds(row, GROUP * cs), :],
+            vw_sems.at[buf, 0],
+        )
+
     def start_group(g):
         """Issue the group's GROUP U loads + V copies back-to-back."""
         buf = g % NBUF
@@ -314,13 +349,32 @@ def _refresh_kernel(
                     v_select(j, buf, i)
 
             jp = (g - NBUF) * GROUP + i
+            gp = g - NBUF
 
             @pl.when((jp >= 0) & (jp < n))
             def _():
-                k_write_dma(jp, buf, i).wait()
-                if quant or host_win:
-                    v_write_dma(jp, buf, i).wait()
+                if can_batch:
+                    cp = group_contig(jnp.maximum(gp, 0))
+
+                    @pl.when(cp & (i == 0))
+                    def _():
+                        k_write_batched(gp, buf).wait()
+                        if quant or host_win:
+                            v_write_batched(gp, buf).wait()
+
+                    @pl.when(jnp.logical_not(cp))
+                    def _():
+                        k_write_dma(jp, buf, i).wait()
+                        if quant or host_win:
+                            v_write_dma(jp, buf, i).wait()
                 else:
+                    k_write_dma(jp, buf, i).wait()
+                    if quant or host_win:
+                        v_write_dma(jp, buf, i).wait()
+
+                if not (quant or host_win):
+                    # bf16 device mode: the V fetch IS the write
+                    # (scattered HBM->HBM), never batched
                     v_dma(jp, buf, i).wait()
 
             if not quant and host_win:
@@ -401,7 +455,21 @@ def _refresh_kernel(
 
             return 0
 
-        jax.lax.fori_loop(0, GROUP, write_out, 0)
+        if can_batch:
+            cg = group_contig(g)
+
+            @pl.when(cg)
+            def _():
+                k_write_batched(g, buf).start()
+                if quant or host_win:
+                    v_write_batched(g, buf).start()
+
+            @pl.when(jnp.logical_not(cg))
+            def _():
+                jax.lax.fori_loop(0, GROUP, write_out, 0)
+        else:
+            jax.lax.fori_loop(0, GROUP, write_out, 0)
+
         return 0
 
     jax.lax.fori_loop(0, n_groups, group_body, 0)
@@ -422,12 +490,35 @@ def _refresh_kernel(
                     k_write_dma(j, buf, i).wait()
                     if quant or host_win:
                         v_write_dma(j, buf, i).wait()
-                    else:
-                        v_dma(j, buf, i).wait()
 
                 return 0
 
-            jax.lax.fori_loop(0, GROUP, w, 0)
+            if can_batch:
+                cg = group_contig(g)
+
+                @pl.when(cg)
+                def _():
+                    k_write_batched(g, buf).wait()
+                    if quant or host_win:
+                        v_write_batched(g, buf).wait()
+
+                @pl.when(jnp.logical_not(cg))
+                def _():
+                    jax.lax.fori_loop(0, GROUP, w, 0)
+            else:
+                jax.lax.fori_loop(0, GROUP, w, 0)
+
+            if not (quant or host_win):
+                def wv(i, _):
+                    j = g * GROUP + i
+
+                    @pl.when(j < n)
+                    def _():
+                        v_dma(j, buf, i).wait()
+
+                    return 0
+
+                jax.lax.fori_loop(0, GROUP, wv, 0)
 
         return 0
 

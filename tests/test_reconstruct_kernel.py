@@ -200,3 +200,81 @@ def test_sparse_refresh_all_hits_noop(rng):
     )
     np.testing.assert_array_equal(np.array(k_out), np.array(k_buf))
     np.testing.assert_array_equal(np.array(v_out), np.array(v_buf))
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_sparse_refresh_batched_contiguous_writes(rng, quant):
+    """Miss-heavy regime with a buffer large enough for the batched
+    write-back (cap >= GROUP*cs = 128 rows): full groups of consecutive
+    miss slots must take the single-DMA path and still match the
+    reference — plus a mixed case (one hit breaks one group's
+    contiguity) exercising batched and per-miss groups side by side."""
+    from shadowkv_tpu.core.quant import pack_shadow_int8, scale_lanes_for
+
+    l, b, kh, c, cs, dh = 2, 1, 2, 80, 8, 128
+    s_sets = 40  # 40 slots -> groups of 16: 2 full + 1 partial
+    sparse_start = 16
+    cap = sparse_start + s_sets * cs + 16  # 352 >= 128
+    rank = 32
+    rp = rank + (scale_lanes_for(kh) if quant else 0)
+    ks = jax.random.split(rng, 8)
+    u = jax.random.normal(ks[0], (l, b, c, cs, rp), jnp.float32)
+    u = u.at[..., rank:].set(0.0)  # scale-trailer lanes stay clear
+    sv = jax.random.normal(ks[1], (l, b, kh, rp, dh), jnp.float32)
+    sv = sv.at[:, :, :, rank:, :].set(0.0) if quant else sv
+    v_full = jax.random.normal(ks[2], (l, b, kh, c, cs, dh), jnp.float32)
+    k_buf = jax.random.normal(ks[3], (l, b, kh, cap, dh), jnp.float32)
+    v_buf = jax.random.normal(ks[4], (l, b, kh, cap, dh), jnp.float32)
+    slot_ids = jax.random.randint(ks[5], (b, kh, s_sets), 0, c)
+    # head 0: ALL miss (contiguous groups); head 1: one hit at slot 20
+    stay = jnp.zeros((b, kh, s_sets), bool).at[:, 1, 20].set(True)
+    invf = _inv_freq_full()
+    miss_chunk, miss_slot, miss_cnt = compact_misses(slot_ids, stay)
+
+    if quant:
+        u_in, v_in = pack_shadow_int8(u, v_full, rank=rank)
+    else:
+        u_in, v_in = u, v_full
+
+    k_out, v_out = sparse_refresh(
+        jnp.asarray(1, jnp.int32),
+        miss_chunk, miss_slot, miss_cnt,
+        u_in, sv, v_in, invf, k_buf, v_buf,
+        chunk_size=cs, sparse_start=sparse_start, rope_dim=dh,
+        interpret=True,
+    )
+
+    # jnp reference on the DEQUANTIZED store
+    if quant:
+        from shadowkv_tpu.core.quant import unpack_u_int8, unpack_v_int8
+
+        u_ref = unpack_u_int8(u_in, cs, rp, jnp.float32)[..., :rank]
+        v_ref_full = unpack_v_int8(v_in, u_in, cs, rp, dh, jnp.float32)
+    else:
+        u_ref, v_ref_full = u, v_full
+    k_exp, v_exp = np.array(k_buf), np.array(v_buf)
+    for bb in range(b):
+        for kk in range(kh):
+            for ss in range(s_sets):
+                if bool(stay[bb, kk, ss]):
+                    continue
+                cid = int(slot_ids[bb, kk, ss])
+                row = sparse_start + ss * cs
+                v_exp[1, bb, kk, row : row + cs] = np.asarray(
+                    v_ref_full
+                ).reshape(l, b, kh, c, cs, dh)[1, bb, kk, cid]
+                k_rec = (
+                    np.asarray(u_ref).reshape(l, b, c, cs, rank)[
+                        1, bb, cid
+                    ]
+                    @ np.asarray(sv)[1, bb, kk, :rank]
+                )
+                pos = cid * cs + jnp.arange(cs, dtype=jnp.float32)
+                k_exp[1, bb, kk, row : row + cs] = np.array(
+                    _rope_ref(jnp.asarray(k_rec), pos, invf)
+                )
+    tol = 0.06 if quant else 1e-5
+    np.testing.assert_allclose(np.array(v_out), v_exp, atol=tol)
+    np.testing.assert_allclose(
+        np.array(k_out), k_exp, rtol=0.05, atol=tol
+    )
