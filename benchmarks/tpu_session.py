@@ -362,6 +362,14 @@ STAGES = {
         "env": {"BENCH_PREFILL": "vs", "BENCH_MODE": "shadow"},
         "timeout": 5400,
     },
+    # Sink+window sparse prefill e2e (stream splash measured 7x faster
+    # than dense PER CALL in prof_prefill_attn — round 2's slow e2e
+    # number predates the current call form; re-measure).
+    "bench_stream": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {"BENCH_PREFILL": "stream", "BENCH_MODE": "shadow"},
+        "timeout": 5400,
+    },
     # Round-3 baseline re-run (decode single-stacked-commit + estimator
     # changes ride along).
     "bench_xla_r3": {
@@ -474,7 +482,7 @@ _ORDER = [
     # round 3 (kernel validation first, then the VS campaign, then the
     # re-baselines/fix validations, then the accuracy oracle + probes)
     "kernel_tests_r3", "prof_vs_tile", "bench_vs_r3",
-    "bench_xla_r3", "bench_wq8_r3",
+    "bench_stream", "bench_xla_r3", "bench_wq8_r3",
     "train_tiny", "eval_tiny_full", "eval_tiny_shadow",
     "bench_serve_r3", "bench_yi",
     "probe_8b_offload_aot", "prof_ring_decode",
