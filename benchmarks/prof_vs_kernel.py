@@ -265,6 +265,81 @@ def tile122(s, nv_pad=1024, vsize=1000, ssize=6144):
         )
 
 
+def disp122(s):
+    """Attribute the bench_vs per-layer overhead beyond the kernel:
+    time the full dispatcher, then estimation / top-k / flags
+    separately (plus approx_max_k alternatives). bench_vs_r3 left an
+    ~83 s residual (207.6 total - 53.7 non-attn - 71.2 kernel) =
+    ~1.29 s/(layer*batch-elem) unexplained."""
+    import functools as ft
+
+    from shadowkv_tpu.core import minference as mi
+    from shadowkv_tpu.core.minference import minference_prefill_tile
+
+    b, h, kh, dh = 1, 16, 8, 128
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (b, s, h, dh), jnp.bfloat16)
+    k = jax.random.normal(key, (b, s, kh, dh), jnp.bfloat16)
+    v = jax.random.normal(key, (b, s, kh, dh), jnp.bfloat16)
+
+    # 1. estimation alone
+    fn_e = jax.jit(lambda q, k: mi.estimate_vertical_slash(q, k, dh**-0.5))
+    sec_e = timeit(fn_e, q, k)
+    log(f"disp122 estimation: {sec_e:.3f} s/call")
+    vert, sl = fn_e(q, k)
+    vert_f = jnp.asarray(vert.reshape(b * h, s))
+    sl_f = jnp.asarray(sl.reshape(b * h, s))
+
+    # 2. top-k alone (exact vs approx)
+    fn_tv = jax.jit(lambda x: jax.lax.top_k(x, 1000)[1])
+    fn_ts = jax.jit(lambda x: jax.lax.top_k(x, 6144)[1])
+    sec_tv = timeit(fn_tv, vert_f)
+    sec_ts = timeit(fn_ts, sl_f)
+    log(f"disp122 top_k exact: vert(1000) {sec_tv:.3f} "
+        f"slash(6144) {sec_ts:.3f} s/call")
+    fn_av = jax.jit(
+        lambda x: jax.lax.approx_max_k(x, 1000, recall_target=0.95)[1]
+    )
+    fn_as = jax.jit(
+        lambda x: jax.lax.approx_max_k(x, 6144, recall_target=0.95)[1]
+    )
+    sec_av = timeit(fn_av, vert_f)
+    sec_as = timeit(fn_as, sl_f)
+    log(f"disp122 approx_max_k: vert {sec_av:.3f} slash {sec_as:.3f}")
+
+    # 3. diag flags from slash ids
+    s_idx = fn_ts(sl_f)
+    fn_f = jax.jit(
+        lambda i: mi.diag_flags_from_slash(i, s // 128, 128)
+    )
+    sec_f = timeit(fn_f, s_idx)
+    log(f"disp122 diag_flags: {sec_f:.3f} s/call")
+
+    # 4. block-sum slash selection (block-granular alternative)
+    def blocksum(slf):
+        bs = slf.reshape(b * h, s // 128, 128).sum(-1)
+        return jax.lax.top_k(bs, 64)[1]
+
+    sec_bs = timeit(jax.jit(blocksum), sl_f)
+    log(f"disp122 slash block-sum top64: {sec_bs:.3f} s/call")
+
+    # 5. full dispatcher
+    fn = jax.jit(
+        ft.partial(
+            minference_prefill_tile,
+            vertical_size=1000, slash_size=6144, block=128,
+            use_kernel=True,
+        )
+    )
+    t0 = time.perf_counter()
+    sec = timeit(fn, q, k, v, iters=int(os.environ.get("PROF_ITERS", 3)))
+    log(
+        f"disp122 full: {sec:.3f} s/call (compile "
+        f"{time.perf_counter() - t0:.0f}s) [kernel-only random 1.113, "
+        f"dense splash 0.448]"
+    )
+
+
 def estim122(s):
     from shadowkv_tpu.core.minference import estimate_vertical_slash
 

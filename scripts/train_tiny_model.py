@@ -49,8 +49,12 @@ import numpy as np
 
 def make_samples(tokenizer, n: int, ctx: int, seed: int, task="niah_single_1"):
     """RULER samples packed to exactly ``ctx`` tokens: returns
-    (ids [n, ctx], loss_mask [n, ctx]) where the mask holds 1.0 on the
-    ANSWER tokens (next-token targets) and a small LM weight elsewhere."""
+    (ids [n, ctx], mask [n, ctx]) with mask 2 on ANSWER tokens, 1 on
+    the prompt (light LM loss), 0 on padding. Answer and filler losses
+    are normalized SEPARATELY in the train step — with a single
+    weighted mean the ~4 answer tokens carried ~2 % of the gradient
+    against ~4K filler tokens and the model learned the answer format
+    but zero retrieval (round-3 train_tiny: loss 0.12, eval 0.0)."""
     from shadowkv_tpu.data.ruler.generate import generate_task
 
     rows = generate_task(
@@ -58,7 +62,7 @@ def make_samples(tokenizer, n: int, ctx: int, seed: int, task="niah_single_1"):
         seed=seed,
     )
     ids = np.zeros((n, ctx), np.int32)
-    mask = np.zeros((n, ctx), np.float32)
+    mask = np.zeros((n, ctx), np.int32)
     for i, r in enumerate(rows):
         prompt = tokenizer.encode(r["input"], add_special_tokens=False)
         # teacher-force the first reference answer + eos
@@ -69,8 +73,8 @@ def make_samples(tokenizer, n: int, ctx: int, seed: int, task="niah_single_1"):
         seq = (prompt + ans)[:ctx]
         ids[i, : len(seq)] = seq
         a0 = min(len(prompt), ctx)
-        mask[i, :a0] = 0.05  # light LM loss keeps the filler modeled
-        mask[i, a0 : len(seq)] = 1.0
+        mask[i, :a0] = 1
+        mask[i, a0 : len(seq)] = 2
     return ids, mask
 
 
@@ -213,7 +217,6 @@ def main():
     cos_t, sin_t = rope_lib.compute_cos_sin(
         cfg, args.ctx, dtype=jnp.float32
     )
-    cos, sin = cos_t[: args.ctx], sin_t[: args.ctx]
 
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, min(200, args.steps // 5 + 1), args.steps
@@ -223,57 +226,100 @@ def main():
     )
     opt_state = opt.init(params)
 
-    @jax.jit
-    def train_step(params, opt_state, ids, mask):
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def train_step(params, opt_state, ids, mask, s):
         def loss_fn(p):
-            logits = full_logits(cfg, p, ids[:, :-1], cos[:-1], sin[:-1])
-            tgt = ids[:, 1:]
-            w = mask[:, 1:]
+            logits = full_logits(
+                cfg, p, ids[:, : s - 1], cos_t[: s - 1], sin_t[: s - 1]
+            )
+            tgt = ids[:, 1:s]
+            m = mask[:, 1:s]
             ll = optax.softmax_cross_entropy_with_integer_labels(
                 logits.astype(jnp.float32), tgt
             )
-            return (ll * w).sum() / jnp.maximum(w.sum(), 1.0)
+            w_ans = (m == 2).astype(jnp.float32)
+            w_fill = (m == 1).astype(jnp.float32)
+            ans = (ll * w_ans).sum() / jnp.maximum(w_ans.sum(), 1.0)
+            fill = (ll * w_fill).sum() / jnp.maximum(w_fill.sum(), 1.0)
+            # retrieval is the task; filler LM is regularization only
+            return ans + 0.1 * fill, (ans, fill)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, (ans, fill)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
         updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (
+            optax.apply_updates(params, updates), opt_state,
+            loss, ans, fill,
+        )
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def probe_step(params, ids, s):
+        """Teacher-forced greedy prediction at every position: the
+        host picks out each sample's first-answer-token slot (causal
+        attention makes trailing padding harmless)."""
+        logits = full_logits(
+            cfg, params, ids[:, : s - 1], cos_t[: s - 1], sin_t[: s - 1]
+        )
+        return jnp.argmax(logits, axis=-1)  # [n, s-1] token ids
+
+    def retrieval_acc(params, n, ctx, seed):
+        ids, mask = make_samples(tokenizer, n, ctx, seed=seed)
+        pred = np.asarray(probe_step(params, jnp.asarray(ids), ctx))
+        hits = 0
+        for i in range(n):
+            a0 = int(np.argmax(mask[i] == 2))
+            hits += int(pred[i, a0 - 1] == ids[i, a0])
+        return hits / n
+
+    # Length curriculum: induction forms quickly at short context and
+    # transfers up (each phase is one extra ~30 s compile). Batch is
+    # scaled so tokens/step stays roughly constant.
+    if args.ctx > 1024:
+        phases = [
+            (512, args.batch * 8, max(1, args.steps // 4)),
+            (1024, args.batch * 4, max(1, args.steps // 4)),
+            (2048, args.batch * 2, max(1, args.steps // 4)),
+            (args.ctx, args.batch, max(1, args.steps // 4)),
+        ]
+    else:
+        phases = [(args.ctx, args.batch, args.steps)]
 
     rng = np.random.RandomState(args.seed)
     t0 = time.time()
-    for step in range(args.steps):
-        ids, mask = make_samples(
-            tokenizer, args.batch, args.ctx,
-            seed=int(rng.randint(0, 2**31)),
-        )
-        params, opt_state, loss = train_step(
-            params, opt_state, jnp.asarray(ids), jnp.asarray(mask)
-        )
-        if step % 25 == 0 or step == args.steps - 1:
-            print(
-                f"step {step:5d} loss {float(loss):.4f} "
-                f"({time.time() - t0:.0f}s)",
-                flush=True,
+    step = 0
+    for ctx, batch, n_steps in phases:
+        print(f"-- phase ctx={ctx} batch={batch} steps={n_steps}",
+              flush=True)
+        for _ in range(n_steps):
+            ids, mask = make_samples(
+                tokenizer, batch, ctx,
+                seed=int(rng.randint(0, 2**31)),
             )
-        if args.ckpt_every and step and step % args.ckpt_every == 0:
-            save_hf_checkpoint(params, cfg, out)
-            print(f"  checkpointed at step {step}", flush=True)
+            params, opt_state, loss, ans, fill = train_step(
+                params, opt_state, jnp.asarray(ids), jnp.asarray(mask),
+                ctx,
+            )
+            if step % 25 == 0:
+                print(
+                    f"step {step:5d} ans {float(ans):.4f} "
+                    f"fill {float(fill):.4f} ({time.time() - t0:.0f}s)",
+                    flush=True,
+                )
+            if step and step % 100 == 0:
+                acc = retrieval_acc(params, 8, ctx, seed=7_000_000 + step)
+                print(f"  retrieval@{ctx}: {acc:.2f}", flush=True)
+            if args.ckpt_every and step and step % args.ckpt_every == 0:
+                save_hf_checkpoint(params, cfg, out)
+                print(f"  checkpointed at step {step}", flush=True)
+            step += 1
     save_hf_checkpoint(params, cfg, out)
     print(f"trained checkpoint at {out}")
 
-    # quick greedy self-test on a held-out sample
-    ids, mask = make_samples(tokenizer, 1, args.ctx, seed=999)
-    a0 = int(np.argmax(mask[0] == 1.0))
-    prompt = jnp.asarray(ids[:1, :a0])
-    logits = jax.jit(
-        lambda p, x: full_logits(cfg, p, x, cos[: x.shape[1]],
-                                 sin[: x.shape[1]])
-    )(params, prompt)
-    nxt = int(jnp.argmax(logits[0, -1]))
-    want = ids[0, a0]
-    print(
-        f"self-test: next-token {nxt} vs target {int(want)} "
-        f"({'OK' if nxt == want else 'MISS'})"
-    )
+    # held-out self-test at the full context
+    acc = retrieval_acc(params, 16, args.ctx, seed=999)
+    print(f"self-test retrieval@{args.ctx}: {acc:.2f} "
+          f"({'OK' if acc >= 0.5 else 'MISS'})")
 
 
 if __name__ == "__main__":

@@ -392,7 +392,80 @@ class Engine:
                     engine._kernel_now, "batch",
                 )
 
+        # Multi-step decode chunk: ONE dispatch + ONE sync per k steps
+        # (serving's tunnel-tax fix, round-2 weak #6 — each jit call
+        # through the axon tunnel costs a host round trip, measured
+        # ~0.4-0.6 s against the ~5 ms device step). The k-step scan
+        # carries ONLY the mutated cache fields; ShadowStatic leaves
+        # stay jit-arg invariants because XLA copies every scan carry
+        # buffer (cache/shadow.py:432). Teacher-forced suffix tokens
+        # ride as traced [k, B] (value, on) arrays so admission replay
+        # needs no mid-chunk host sync. k is the scan length — a new k
+        # compiles a new program, so callers should reuse one chunk
+        # size.
+        @partial(jax.jit, static_argnums=(6, 7, 8, 9, 10),
+                 donate_argnums=(1,))
+        def decode_chunk_jit(params, cache, tokens, key, forced_val,
+                             forced_on, temperature, top_k, top_p,
+                             use_kernel, host_axis, *v_host):
+            def body(carry, xs):
+                k_buf, v_buf, ids, gen_len, toks, key = carry
+                fv, fm = xs
+                c = cache.replace(
+                    k_buf=k_buf, v_buf=v_buf, cached_ids=ids,
+                    gen_len=gen_len,
+                )
+                logits, c2 = forward.decode_shadow(
+                    model, params, c, toks[:, None], self.cos_table,
+                    self.sin_table, use_kernel=use_kernel,
+                    v_store=engine.v_store, approx_topk=approx_topk,
+                    ring_gather=ring_gather,
+                    v_host=v_host[0] if v_host else None,
+                    v_host_axis=host_axis,
+                    mesh=engine.mesh,
+                )
+                key, sub = jax.random.split(key)
+                t2 = _sample(logits, sub, temperature, top_k, top_p)
+                t2 = jnp.where(fm, fv, t2)
+                return (
+                    c2.k_buf, c2.v_buf, c2.cached_ids, c2.gen_len,
+                    t2, key,
+                ), t2
+
+            carry0 = (cache.k_buf, cache.v_buf, cache.cached_ids,
+                      cache.gen_len, tokens, key)
+            carry, toks_all = jax.lax.scan(
+                body, carry0, (forced_val, forced_on)
+            )
+            k_buf, v_buf, ids, gen_len, tokens, key = carry
+            cache = cache.replace(
+                k_buf=k_buf, v_buf=v_buf, cached_ids=ids,
+                gen_len=gen_len,
+            )
+            return tokens, cache, key, toks_all
+
+        if ring_host:
+            def decode_chunk_fn(params, cache, tokens, key, fv, fm,
+                                *sample):
+                return decode_chunk_jit(
+                    params, cache, tokens, key, fv, fm, *sample,
+                    engine._kernel_now, engine._host_axis,
+                    engine._host_v,
+                )
+        else:
+            def decode_chunk_fn(params, cache, tokens, key, fv, fm,
+                                *sample):
+                return decode_chunk_jit(
+                    params, cache, tokens, key, fv, fm, *sample,
+                    engine._kernel_now, "batch",
+                )
+
+        # (hit-rate auto-tracking samples per STEP pairs; the chunked
+        # program doesn't observe — serving doesn't drive 'auto'.)
+        self._decode_chunk = decode_chunk_fn
+
         if self.pp > 1:
+            self._decode_chunk = None  # pp decode is whole-program
             # layer-pipelined decode + prefill (parallel/pipeline.py)
             from shadowkv_tpu.parallel.pipeline import (
                 decode_shadow_pp,

@@ -72,6 +72,7 @@ class ServeStats:
     completed_requests: int = 0
     completed_tokens: int = 0
     admissions: int = 0  # mid-stream slot refills (not the first batch)
+    chunks: int = 0  # decode dispatches (host syncs) in the loop
     prefill_seconds: float = 0.0  # initial batch + admissions
     admission_seconds: float = 0.0  # admissions only (inside the loop)
     context_hits: int = 0  # admissions served from a context snapshot
@@ -347,25 +348,39 @@ class ContinuousBatcher:
             elif record(i, int(toks0[i])):
                 admit(i)
 
+        # One k-step program per serve run: the scan length is static,
+        # so k stays FIXED across chunks (a varying k would compile a
+        # fresh 20-40 s program per distinct value). Overshoot past a
+        # completion wastes <= k-1 device steps (~5 ms each) against
+        # the ~0.5 s tunnel round trip every sync costs.
+        use_chunk = getattr(eng, "_decode_chunk", None) is not None
+        k_fixed = min(
+            self.max_dispatch
+            if self.steps_per_dispatch == "auto"
+            else self.steps_per_dispatch,
+            cap - 1,
+        )
+
         while any(r is not None for r in slot_req):
-            # Remaining steps any live slot could still need: forced
-            # suffix tokens left + generation budget left. Chunks never
-            # exceed it (pure waste past the last live completion).
-            live = [
-                len(slot_forced[i]) + (r.gen_len - len(slot_tokens[i]))
-                for i, r in enumerate(slot_req)
-                if r is not None
-            ]
-            remaining = max(live)
-            if self.steps_per_dispatch == "auto":
-                # queue waiting: sync at the soonest possible finish
-                # (admission opportunity); drained: amortize the sync
-                # over the longest useful chunk.
-                horizon = min(live) if queue else remaining
-                k_steps = min(self.max_dispatch, max(1, horizon))
+            if use_chunk:
+                k_steps = k_fixed
             else:
-                k_steps = min(self.steps_per_dispatch, max(1, remaining))
-            k_steps = min(k_steps, cap - 1)
+                # per-step dispatch fallback (pp engines): adaptive
+                # chunk sizing amortizes what it can.
+                live = [
+                    len(slot_forced[i]) + (r.gen_len - len(slot_tokens[i]))
+                    for i, r in enumerate(slot_req)
+                    if r is not None
+                ]
+                remaining = max(live)
+                if self.steps_per_dispatch == "auto":
+                    horizon = min(live) if queue else remaining
+                    k_steps = min(self.max_dispatch, max(1, horizon))
+                else:
+                    k_steps = min(
+                        self.steps_per_dispatch, max(1, remaining)
+                    )
+                k_steps = min(k_steps, cap - 1)
 
             # idle slots (queue drained) keep stepping harmlessly; pin
             # their depth low enough that k_steps of growth stay inside
@@ -381,39 +396,58 @@ class ContinuousBatcher:
                 )
             )
 
-            # --- dispatch k steps with NO host sync (they pipeline
-            #     through the runtime); teacher-forced overrides are
-            #     schedulable in advance (forced queues only fill at
-            #     admissions, which happen between chunks) ---
-            step_tokens = []
+            # --- dispatch k steps, then ONE sync. Chunked engines run
+            #     the whole chunk as a single scanned program (one RPC
+            #     through the tunnel); the fallback pipelines k async
+            #     per-step dispatches. Teacher-forced overrides are
+            #     schedulable in advance either way (forced queues only
+            #     fill at admissions, which happen between chunks) ---
             forced_at = set()  # (step, slot) pairs replay must skip
-            for t in range(k_steps):
-                key, sub = jax.random.split(key)
-                tokens, cache = eng._decode_shadow(
-                    eng.params, cache, tokens[:, None], sub,
-                    *self.sample_args
-                )
-                stats.decode_steps += 1
-                step_tokens.append(tokens)
-                overrides = {}
-                for i, r in enumerate(slot_req):
-                    if r is not None and t < len(slot_forced[i]):
-                        # mid-suffix: the sampled token is discarded,
-                        # the teacher-forced suffix token goes in
-                        overrides[i] = slot_forced[i][t]
+            for i, r in enumerate(slot_req):
+                if r is not None:
+                    for t in range(min(len(slot_forced[i]), k_steps)):
                         forced_at.add((t, i))
-                if overrides:
-                    idx = jnp.asarray(list(overrides), jnp.int32)
-                    val = jnp.asarray(
-                        [overrides[j] for j in overrides], tokens.dtype
+            if use_chunk:
+                fv = np.zeros((k_steps, n_slots), np.int32)
+                fm = np.zeros((k_steps, n_slots), bool)
+                for t, i in forced_at:
+                    fv[t, i] = slot_forced[i][t]
+                    fm[t, i] = True
+                tokens, cache, key, toks = eng._decode_chunk(
+                    eng.params, cache, tokens, key,
+                    jnp.asarray(fv), jnp.asarray(fm), *self.sample_args
+                )
+                stats.decode_steps += k_steps
+                toks_all = np.asarray(toks)  # [k, B] (the ONE sync)
+            else:
+                step_tokens = []
+                for t in range(k_steps):
+                    key, sub = jax.random.split(key)
+                    tokens, cache = eng._decode_shadow(
+                        eng.params, cache, tokens[:, None], sub,
+                        *self.sample_args
                     )
-                    tokens = tokens.at[idx].set(val)
+                    stats.decode_steps += 1
+                    step_tokens.append(tokens)
+                    overrides = {
+                        i: slot_forced[i][t]
+                        for i, r in enumerate(slot_req)
+                        if r is not None and t < len(slot_forced[i])
+                    }
+                    if overrides:
+                        idx = jnp.asarray(list(overrides), jnp.int32)
+                        val = jnp.asarray(
+                            [overrides[j] for j in overrides],
+                            tokens.dtype,
+                        )
+                        tokens = tokens.at[idx].set(val)
+                toks_all = np.asarray(jnp.stack(step_tokens))  # [k, B]
+            stats.chunks += 1
 
-            # --- ONE sync, then replay the bookkeeping in step order
-            #     (identical record sequences to per-step dispatch; a
-            #     slot finishing mid-chunk ignores its later steps and
+            # --- replay the bookkeeping in step order (identical
+            #     record sequences to per-step dispatch; a slot
+            #     finishing mid-chunk ignores its later steps and
             #     admits at the chunk boundary) ---
-            toks_all = np.asarray(jnp.stack(step_tokens))  # [k, B]
             for i in range(n_slots):
                 consumed = min(len(slot_forced[i]), k_steps)
                 slot_forced[i] = slot_forced[i][consumed:]
