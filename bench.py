@@ -74,6 +74,20 @@ def _run_engine(mode, cfg, cache_cfg, rt, params, datalen, batch, steps):
 
     eng = Engine(cfg, cache_cfg, rt, params)
     ids = np.random.RandomState(0).randint(1, cfg.vocab_size, (batch, datalen))
+    if os.environ.get("BENCH_PREFILL_WARM", "") == "1":
+        # Compile+run prefill once untimed so the timed run below
+        # reports WARM prefill: XLA compiles through the axon tunnel
+        # cost 20-40 s per program and the sparse-prefill programs
+        # (stream/vs splash kernels inside the layer scan) compile far
+        # slower than dense — a one-shot number measures the compiler,
+        # not the mechanism. (batch_generate drops this cache before
+        # its own prefill, so HBM never holds two caches.)
+        tw = time.perf_counter()
+        eng.prefill(ids)
+        log(
+            f"[{mode}] cold prefill (compile+run): "
+            f"{time.perf_counter() - tw:.1f}s"
+        )
     t0 = time.perf_counter()
     out, stats = eng.batch_generate(
         ids, gen_len=steps,

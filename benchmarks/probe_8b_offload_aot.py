@@ -63,7 +63,11 @@ def main():
         mode="shadow_offload", max_length=datalen + 128,
         sparse_budget=2048, rank=160, chunk_size=8, kv_quant="int8",
     )
-    layout = ShadowLayout.build(cc, datalen)
+    # ring_gather engines build the tiled (kernel) int8 store layout
+    # (engine.py ~616) — the segment body writes v_seg in that shape.
+    layout = ShadowLayout.build(
+        cc, datalen, kernel_store=True, num_kv_heads=8
+    )
     cache_s = jax.eval_shape(
         lambda: ShadowCache.init(cfg, layout, b, v_placeholder=True)
     )
@@ -74,7 +78,10 @@ def main():
     )
     x_s = jax.ShapeDtypeStruct((b, datalen, cfg.hidden_size), cfg.dtype)
     max_pos = datalen + cc.gen_capacity
-    cos_s = jax.ShapeDtypeStruct((max_pos, cfg.head_dim), jnp.bfloat16)
+    # cos/sin tables are [S, head_dim // 2] (core/rope.py apply_rope).
+    cos_s = jax.ShapeDtypeStruct(
+        (max_pos, cfg.head_dim // 2), jnp.bfloat16
+    )
     sin_s = cos_s
     layer0_s = jax.ShapeDtypeStruct((), jnp.int32)
 

@@ -25,33 +25,40 @@ from shadowkv_tpu.models.params import init_synthetic_params
 from shadowkv_tpu.models.registry import toy_config
 
 
-def timeit(fn, *args, n=20, warmup=3):
+def timeit_donated(step, params, cache, tokens, n=20, warmup=3):
+    """Time a (logits, cache)-returning step whose cache arg is donated:
+    the cache is threaded through every call so device memory holds one
+    copy, not input+output."""
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        logits, cache = step(params, cache, tokens)
+    jax.block_until_ready((logits, cache))
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+        logits, cache = step(params, cache, tokens)
+    jax.block_until_ready((logits, cache))
+    return (time.perf_counter() - t0) / n, cache
 
 
-def rand_like_tree(cache, key):
-    """Fill array leaves with random bits of the right dtype/shape."""
-    leaves, treedef = jax.tree.flatten(cache)
+def rand_like_tree(shape_tree, seed):
+    """Fill array leaves with random host-generated bits, device_put one
+    leaf at a time (never two full device trees at once — the cache is
+    11.3 GiB at the bench config and this probe OOM'd holding init +
+    randomized copies simultaneously). Takes a ShapeDtypeStruct tree."""
+    leaves, treedef = jax.tree.flatten(shape_tree)
+    rng = np.random.default_rng(seed)
     out = []
-    for i, leaf in enumerate(leaves):
-        k = jax.random.fold_in(key, i)
+    for leaf in leaves:
         if leaf.dtype == jnp.int8:
-            out.append(
-                jax.random.randint(k, leaf.shape, -20, 20, jnp.int32).astype(jnp.int8)
-            )
+            a = rng.integers(-20, 20, leaf.shape, dtype=np.int8)
         elif leaf.dtype == jnp.bool_:
-            out.append(jnp.ones(leaf.shape, jnp.bool_))
+            a = np.ones(leaf.shape, np.bool_)
         elif jnp.issubdtype(leaf.dtype, jnp.integer):
-            out.append(jnp.zeros(leaf.shape, leaf.dtype))
+            a = np.zeros(leaf.shape, np.dtype(leaf.dtype))
         else:
-            out.append(jax.random.normal(k, leaf.shape, leaf.dtype) * 0.05)
+            a = (rng.standard_normal(leaf.shape, np.float32) * 0.05).astype(
+                jnp.dtype(leaf.dtype)
+            )
+        out.append(jax.device_put(a))
     return jax.tree.unflatten(treedef, out)
 
 
@@ -71,20 +78,21 @@ def main():
     params = init_synthetic_params(cfg, jax.random.PRNGKey(0))
     cos, sin = compute_cos_sin(cfg, datalen + 256)
     tokens = jnp.ones((batch, 1), jnp.int32)
-    key = jax.random.PRNGKey(7)
 
     for label, ring in (("xla ", False), ("ring", True)):
         layout = ShadowLayout.build(cache_cfg, datalen, kernel_store=ring)
-        cache = rand_like_tree(
-            ShadowCache.init(cfg, layout, batch), key
+        cache_shape = jax.eval_shape(
+            lambda: ShadowCache.init(cfg, layout, batch)
         )
+        cache = rand_like_tree(cache_shape, 7)
         step = jax.jit(
             lambda p, c, t, ring=ring: forward.decode_shadow(
                 cfg, p, c, t, cos, sin, ring_gather=ring,
                 approx_topk=True,
-            )
+            ),
+            donate_argnums=(1,),
         )
-        dt = timeit(step, params, cache, tokens)
+        dt, cache = timeit_donated(step, params, cache, tokens)
         print(f"{label} gather decode step: {dt * 1e3:.2f} ms")
         del cache
 

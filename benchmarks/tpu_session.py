@@ -460,6 +460,98 @@ STAGES = {
         "env": {"PROF_DATALEN": "61440", "PROF_BATCH": "8"},
         "timeout": 3600,
     },
+    # ----- round 3b --------------------------------------------------------
+    # Ring-vs-XLA decode step isolated (VERDICT #7) — rewritten after
+    # the 30 GiB-argument OOM (host-side leaf fill + donated cache).
+    "prof_ring_decode_r3": {
+        "cmd": [sys.executable, "benchmarks/prof_ring_decode.py"],
+        "env": {},
+        "timeout": 3600,
+    },
+    # 8B@122K segmented-offload AOT accounting (VERDICT #6) — fixed
+    # cos-table shape + tiled ring store layout.
+    "probe_8b_offload_aot_r3": {
+        "cmd": [sys.executable, "benchmarks/probe_8b_offload_aot.py"],
+        "env": {},
+        "timeout": 3600,
+    },
+    # Kernel tests on top of f890691 (refresh kernel batched
+    # write-backs) — that commit postdates kernel_tests_r3.
+    "kernel_tests_r3b": {
+        "cmd": [
+            sys.executable, "-m", "pytest", "tests/test_kernel_tpu.py",
+            "-q", "--no-header",
+        ],
+        "env": {"SHADOWKV_TPU_TESTS": "1"},
+        "timeout": 3600,
+    },
+    # Warm-prefill decomposition: cold(=compile+run) vs warm prefill for
+    # dense / stream / vs. Both sparse paths landed ~120 s over dense
+    # one-shot despite 2-7x faster per-call kernels — hypothesis: the
+    # sparse splash programs compile far slower through the tunnel.
+    "bench_xla_warm": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {"BENCH_MODE": "shadow", "BENCH_PREFILL_WARM": "1"},
+        "timeout": 5400,
+    },
+    "bench_stream_warm": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_PREFILL": "stream", "BENCH_MODE": "shadow",
+            "BENCH_PREFILL_WARM": "1",
+        },
+        "timeout": 5400,
+    },
+    "bench_vs_warm": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_PREFILL": "vs", "BENCH_MODE": "shadow",
+            "BENCH_PREFILL_WARM": "1",
+        },
+        "timeout": 5400,
+    },
+    # Retrain the tiny model with the answer-weighted curriculum
+    # trainer (b2b3707 postdates the 0.0-scoring train_tiny run).
+    "train_tiny_r2": {
+        "cmd": [
+            sys.executable, "scripts/train_tiny_model.py",
+            "--steps", "2000", "--ctx", "4096", "--batch", "2",
+        ],
+        "env": {},
+        "timeout": 7200,
+    },
+    "eval_tiny_full_r2": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "full", "--bucket", "1024",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
+    "eval_tiny_shadow_r2": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "shadow", "--sparse_budget", "512",
+            "--rank", "64", "--bucket", "1024", "--track_hit_rate",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
+    # Serving after the scanned k-step decode chunk (b2b3707 postdates
+    # bench_serve_r3's 3.7 tok/s).
+    "bench_serve_r3b": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {"BENCH_MODE": "serve", "BENCH_DECODE_STEPS": "100"},
+        "timeout": 5400,
+    },
 }
 
 
@@ -487,6 +579,13 @@ _ORDER = [
     "bench_serve_r3", "bench_yi",
     "probe_8b_offload_aot", "prof_ring_decode",
     "prof_decode_60k_b6", "prof_decode_60k_b8",
+    # round 3b (fixed probes first, then kernel validation, then the
+    # warm-prefill decomposition, then the trained-model oracle rerun)
+    "prof_ring_decode_r3", "probe_8b_offload_aot_r3",
+    "kernel_tests_r3b",
+    "bench_xla_warm", "bench_stream_warm", "bench_vs_warm",
+    "train_tiny_r2", "eval_tiny_full_r2", "eval_tiny_shadow_r2",
+    "bench_serve_r3b",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
