@@ -228,6 +228,19 @@ class RuntimeConfig:
     # 16 GB chip next to the shadow KV state. Beyond-reference (the
     # reference keeps bf16 weights on an 80 GB A100).
     weight_quant: str = "none"
+    # Fully unroll the decode layer loop (lax.scan unroll=num_layers).
+    # Inside a scanned body every per-layer operand slice — weight
+    # matrices, the landmark table, the committed-buffer attention
+    # views — is a dynamic-slice XLA MATERIALIZES as a copy each
+    # iteration (measured via compiled-HLO dump, prof_hlo_decode.py:
+    # ~90 MiB of weight copies + 64 MiB of view copies + 45 MiB of
+    # landmark copies per layer per step at 60K/b6 — several GB/step
+    # of pure copy traffic). Unrolled, the slice indices are constants,
+    # contiguous leading-dim slices become bitcasts, and the dots read
+    # the stacked arrays in place. Costs ~num_layers x the program
+    # size/compile time, so 'auto' (None) enables it on TPU and keeps
+    # the scan on CPU (tests compile 16x faster; numerics identical).
+    decode_unroll: Optional[bool] = None
     # Ring-DMA chunk gather (kernels/gather.py) replacing the decode
     # step's XLA gathers of U/V chunk rows: a pipelined ring of async
     # HBM DMAs fetching ALL selected chunks (dequant/matmul/RoPE stay

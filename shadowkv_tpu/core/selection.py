@@ -125,16 +125,31 @@ def score_and_select(
     if approx:
         # TPU ApproxTopK partial reduction. In the decode program the
         # exact lax.top_k lowers to a full sort costing ~4.5 ms/step at
-        # 15K landmarks (standalone it's 0.02 ms — the in-program sort
-        # hits a pathological layout); approx_max_k avoids the sort
-        # entirely (-4.4 ms/step measured). recall_target=0.95 measured
-        # 0.99 actual recall at bench shapes, and the misses are
-        # borderline-ranked chunks of an already-heuristic selection
-        # (tightening to 0.9999 costs +3 ms/step for recall 1.0).
-        _, top = jax.lax.approx_max_k(
-            probs, select_sets, recall_target=0.95,
-            aggregate_to_topk=True,
-        )
+        # 15K landmarks; approx_max_k replaces most of it with a
+        # PartialReduce. BUT (compiled-HLO probes, /tmp/probe_topk*):
+        # at default settings the reduction is far too shy — C=7672
+        # (60K ctx) falls back to a FULL exact sort (the 2.7 ms/step
+        # "sort.13" in prof_decode_60k_b6), and C=15352 (122K) only
+        # reduces to 7680 before the aggregate sort. Overriding the
+        # claimed input size to 4x the next pow2 of C forces a deeper
+        # reduction (to ~1920 rows at both scales, probe-verified)
+        # while the TRUE collision rate stays far below the claimed
+        # one (real n << claimed n), so actual recall stays above the
+        # 0.95 target (tested on-chip vs exact top-k overlap,
+        # tests/test_kernel_tpu.py::test_approx_topk_recall).
+        c = probs.shape[-1]
+        if c >= 4096:  # small tables: the default lowering is fine
+            override = 4 * (1 << (c - 1).bit_length())
+            _, top = jax.lax.approx_max_k(
+                probs, select_sets, recall_target=0.95,
+                aggregate_to_topk=True,
+                reduction_input_size_override=override,
+            )
+        else:
+            _, top = jax.lax.approx_max_k(
+                probs, select_sets, recall_target=0.95,
+                aggregate_to_topk=True,
+            )
     else:
         _, top = jax.lax.top_k(probs, select_sets)
     return top.astype(jnp.int32)

@@ -310,10 +310,23 @@ class Engine:
                 temperature=temperature, top_k=top_k, top_p=top_p,
             )
 
+        # Fully unroll the decode layer loop on TPU (see
+        # RuntimeConfig.decode_unroll): inside a rolled scan body XLA
+        # materializes every per-layer dynamic slice — weights,
+        # landmark table, committed-buffer attention views — as a full
+        # copy each iteration (GBs/step of pure copy traffic, measured
+        # via prof_hlo_decode.py). CPU keeps the scan: 16x smaller
+        # programs for the test tier, identical numerics.
+        decode_unroll = rt.decode_unroll
+        if decode_unroll is None:
+            decode_unroll = jax.devices()[0].platform != "cpu"
+        self._decode_unroll = bool(decode_unroll)
+
         @partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(1,))
         def decode_full_fn(params, cache, tokens, key, temperature, top_k, top_p):
             logits, cache = forward.decode_full(
-                model, params, cache, tokens, self.cos_table, self.sin_table
+                model, params, cache, tokens, self.cos_table,
+                self.sin_table, unroll=self._decode_unroll,
             )
             return _sample(logits, key, temperature, top_k, top_p), cache
 
@@ -361,6 +374,7 @@ class Engine:
                 v_host=v_host[0] if v_host else None,
                 v_host_axis=host_axis,
                 mesh=engine.mesh,
+                unroll=engine._decode_unroll,
             )
             return _sample(logits, key, temperature, top_k, top_p), cache
 

@@ -109,11 +109,33 @@ def _pattern_xs(rt: RuntimeConfig, model: ModelConfig):
 
 
 def _scan_layers(
-    model: ModelConfig, params: ModelParams, x, cache, body, extra_xs=None
+    model: ModelConfig, params: ModelParams, x, cache, body, extra_xs=None,
+    unroll: bool = False,
 ):
     """Scan ``body`` over (layer index, layer params[, extra per-layer
     arrays]); ``extra_xs`` leaves must be [L, ...] (None is fine — an
-    empty pytree node contributes no leaf)."""
+    empty pytree node contributes no leaf).
+
+    ``unroll=True`` emits all layers inline as a Python loop with
+    CONSTANT layer indices. Inside a rolled scan body every per-layer
+    operand slice (weights, landmark table, attention views) is a
+    dynamic-slice at a runtime index that XLA materializes as a full
+    copy each iteration; with constant indices the simplifier folds
+    them to static slices and contiguous leading-dim slices become
+    zero-copy bitcasts. (lax.scan's own unroll= keeps the indices as
+    runtime carry values — measured via prof_hlo_decode.py: the copies
+    survive — so the loop must be a real trace-time unroll.) Numerics
+    are identical; see RuntimeConfig.decode_unroll."""
+    if unroll:
+        carry = (x, cache)
+        for l in range(model.num_layers):
+            lp = jax.tree.map(lambda a, _l=l: a[_l], params.layers)
+            ex = (
+                None if extra_xs is None
+                else jax.tree.map(lambda a, _l=l: a[_l], extra_xs)
+            )
+            carry, _ = body(carry, (jnp.int32(l), lp, ex))
+        return carry
     xs = (jnp.arange(model.num_layers), params.layers, extra_xs)
     (x, cache), _ = jax.lax.scan(body, (x, cache), xs)
     return x, cache
@@ -252,6 +274,7 @@ def decode_full(
     tokens: jnp.ndarray,  # [B, Qn]
     cos_table: jnp.ndarray,
     sin_table: jnp.ndarray,
+    unroll: bool = False,
 ):
     b, qn = tokens.shape
     x = wquant.take_rows(params.embed, tokens, model.dtype)
@@ -282,7 +305,7 @@ def decode_full(
         ctx = decode_attention_hm(q, k_hist, v_hist, new_len)
         return (_layer_tail(lp, model, x, ctx), cache), None
 
-    x, cache = _scan_layers(model, params, x, cache, body)
+    x, cache = _scan_layers(model, params, x, cache, body, unroll=unroll)
     cache = cache.replace(length=new_len)
     logits = _finalize(model, params, x, last_only=True)
     return logits, cache
@@ -570,6 +593,7 @@ def decode_shadow(
     v_host=None,
     v_host_axis: str = "batch",  # axis a multi-part host store shards
     mesh=None,
+    unroll: bool = False,
 ):
     """One sparse decode step (reference models/base.py:315-341 decode
     branch; see SURVEY.md §3.3 for the kernel-by-kernel mapping).
@@ -626,8 +650,20 @@ def decode_shadow(
         ctx = decode_attention_hm(q, k_view, v_view, valid_len)
         return (_layer_tail(lp, model, x, ctx), mut), None
 
-    xs = (jnp.arange(model.num_layers), params.layers)
-    (x, mut), _ = jax.lax.scan(body, (x, mut), xs)
+    if unroll:
+        # Trace-time unroll with CONSTANT layer indices (see
+        # _scan_layers): XLA folds every per-layer dynamic slice —
+        # weights, landmarks, the committed-buffer attention views —
+        # into zero-copy static slices/bitcasts, removing several
+        # GB/step of copy traffic the rolled scan body pays.
+        carry = (x, mut)
+        for l in range(model.num_layers):
+            lp = jax.tree.map(lambda a, _l=l: a[_l], params.layers)
+            carry, _ = body(carry, (jnp.int32(l), lp))
+        (x, mut) = carry
+    else:
+        xs = (jnp.arange(model.num_layers), params.layers)
+        (x, mut), _ = jax.lax.scan(body, (x, mut), xs)
     cache = cache.replace(
         k_buf=mut.k_buf,
         v_buf=mut.v_buf,

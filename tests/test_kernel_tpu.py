@@ -256,3 +256,34 @@ def test_vs_sparse_compiles_at_122k_metadata_scale():
     compiled = jax.jit(fn).lower(*shapes).compile()
     assert compiled is not None
     del meta
+
+
+def test_approx_topk_recall():
+    """The forced-deeper ApproxTopK reduction (score_and_select's
+    reduction_input_size_override — the fix for the full 2.7 ms/step
+    selection sort at 60K, prof_decode_60k_b6) must keep >= 0.95 recall
+    vs exact top-k on a softmax-shaped score distribution at both bench
+    landmark-table scales."""
+    from shadowkv_tpu.core.selection import score_and_select
+
+    for c in (7672, 15352):
+        key = jax.random.PRNGKey(c)
+        q = jax.random.normal(key, (4, 8, 2, 1, 128), jnp.bfloat16)
+        lms = jax.random.normal(
+            jax.random.fold_in(key, 1), (4, 8, c, 128), jnp.bfloat16
+        )
+        mask = jnp.ones((4, 8, c), jnp.bool_)
+        exact = jax.jit(
+            lambda q, l, m: score_and_select(q, l, m, 256, approx=False)
+        )(q, lms, mask)
+        approx = jax.jit(
+            lambda q, l, m: score_and_select(q, l, m, 256, approx=True)
+        )(q, lms, mask)
+        ex = np.asarray(exact)
+        ap = np.asarray(approx)
+        recalls = []
+        for b in range(ex.shape[0]):
+            for k in range(ex.shape[1]):
+                inter = np.intersect1d(ex[b, k], ap[b, k]).size
+                recalls.append(inter / 256.0)
+        assert np.mean(recalls) >= 0.95, (c, np.mean(recalls))
