@@ -47,7 +47,11 @@ def main():
     # the same prefill knobs (bf16 V at b4/122K is 16 GB and cannot
     # fit the chip at all; a different block_q compiles a different
     # prefill whose temps miss the ceiling by ~8 MB).
-    rt = RuntimeConfig(prefill_sub_batch=1, prefill_block_q=256)
+    rt = RuntimeConfig(
+        prefill_sub_batch=1, prefill_block_q=256,
+        prefill_pattern="dense-splash",  # flash at b4/122K OOMs; splash
+        # causal is what buys batch 4 (CLAUDE.md prefill-HBM notes)
+    )
     cache_cfg = CacheConfig(
         mode="shadow", max_length=datalen + 128, sparse_budget=2048,
         rank=160, chunk_size=8, kv_quant="int8",

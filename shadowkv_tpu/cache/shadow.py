@@ -530,11 +530,19 @@ def shadow_decode_layer(
     # partition a pallas_call) so the ring/fused decode paths run
     # multi-chip with B on dp and KV heads on tp — the same layout the
     # XLA path shards via NamedSharding (parallel/mesh.py)
+    segmented: bool = False,  # return attention SEGMENTS instead of
+    # buffer views (core/attention.decode_attention_segments). NOT the
+    # default: measured 2.7x SLOWER than views on v5e at b4/122K
+    # (probe_decode_variants_r3) — kept as a tested alternative for
+    # layouts where the cap-row view copies dominate. XLA + ring paths
+    # only (the fused kernel returns views).
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, ShadowMut]:
     """One layer's sparse-attention cache update at decode time.
 
     Returns (k_view, v_view, kv_valid_len, mut) where k/v views are the
     compact buffer [B, K, cap, Dh] for this layer (mask by valid length).
+    With ``segmented=True`` the first element is instead a tuple of
+    (k, v, base, masked) attention segments and the second is None.
 
     The layer index is a traced scalar: all reads from the big stacked
     arrays (U, v_full) are single XLA gathers whose indices include the
@@ -917,14 +925,44 @@ def shadow_decode_layer(
             mut.cached_ids, asg.slot_ids[None], (layer, 0, 0, 0)
         ),
     )
+    valid_len = lo.sparse_end + gen_len + qn
+    if segmented:
+        # Attention segments (decode_attention_segments): the fresh
+        # sparse K/V feed the dots directly; only the small static
+        # prefix (local+outlier rows, constant after prefill) and the
+        # gen region are sliced out of the stacked buffers. XLA
+        # materializes dot-operand slices as full copies, so returning
+        # cap-row views here would cost 2 x cap copies per layer.
+        cap = mut.k_buf.shape[3]
+
+        def _rows(buf, r0, n):
+            return jax.lax.dynamic_slice(
+                buf, (layer, 0, 0, r0, 0), (1, b, kh, n, dh)
+            )[0]
+
+        k_sp = k_sparse.reshape(b, kh, ssets * cs, dh)
+        v_sp = v_sparse.reshape(b, kh, ssets * cs, dh)
+        segs = (
+            (
+                _rows(mut.k_buf, 0, lo.sparse_start),
+                _rows(mut.v_buf, 0, lo.sparse_start),
+                0, False,
+            ),
+            (k_sp, v_sp, lo.sparse_start, False),
+            (
+                _rows(mut.k_buf, lo.sparse_end, cap - lo.sparse_end),
+                _rows(mut.v_buf, lo.sparse_end, cap - lo.sparse_end),
+                lo.sparse_end, True,
+            ),
+        )
+        return segs, None, valid_len, mut
     # The attention view is a slice of the just-committed stacked
-    # buffer — XLA fuses the slice into the attention read, so no
-    # separate per-layer view buffer is ever written.
+    # buffer (measured FASTER than the segmented split on v5e —
+    # probe_decode_variants_r3).
     k_buf_l = jax.lax.dynamic_index_in_dim(
         mut.k_buf, layer, axis=0, keepdims=False
     )
     v_buf_l = jax.lax.dynamic_index_in_dim(
         mut.v_buf, layer, axis=0, keepdims=False
     )
-    valid_len = lo.sparse_end + gen_len + qn
     return k_buf_l, v_buf_l, valid_len, mut

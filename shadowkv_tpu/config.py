@@ -241,6 +241,16 @@ class RuntimeConfig:
     # size/compile time, so 'auto' (None) enables it on TPU and keeps
     # the scan on CPU (tests compile 16x faster; numerics identical).
     decode_unroll: Optional[bool] = None
+    # Segmented decode attention (core/attention.py
+    # decode_attention_segments): feed the freshly reconstructed
+    # sparse K/V straight to the attention dots instead of slicing a
+    # per-layer view out of the stacked [L,B,K,cap,Dh] buffers.
+    # MEASURED SLOWER on v5e (59.8 vs 22.1 ms/step at b4/122K,
+    # benchmarks/probe_decode_variants.py): the three-einsum split +
+    # prefix/gen slices cost more than the view copies they avoid.
+    # None = off. Kept as a tested alternative (tests/test_segmented.py)
+    # for layouts where the cap-row views dominate.
+    decode_segmented: Optional[bool] = None
     # Ring-DMA chunk gather (kernels/gather.py) replacing the decode
     # step's XLA gathers of U/V chunk rows: a pipelined ring of async
     # HBM DMAs fetching ALL selected chunks (dequant/matmul/RoPE stay

@@ -394,6 +394,73 @@ def decode_attention_hm(
     return out.reshape(b, s_new, h, dh).astype(q.dtype)
 
 
+def decode_attention_segments(
+    q: jnp.ndarray,
+    segments,
+    kv_len: jnp.ndarray | int,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Decode attention over a SEGMENTED head-major cache.
+
+    Same math as decode_attention_hm over the concatenation of the
+    segments, without ever materializing that concatenation: scores are
+    computed per segment, softmax runs over the concatenated score rows
+    (tiny — [B,K,G,S,T] f32), and the context is the sum of per-segment
+    probability @ V dots. Built to avoid the per-layer cap-row view
+    copies of the stacked [L,B,K,cap,Dh] buffers, but MEASURED SLOWER
+    on v5e (59.8 vs 22.1 ms/step at b4/122K,
+    benchmarks/probe_decode_variants.py): the 3-segment einsum split +
+    prefix/gen slices cost more than the single view copy they avoid.
+    Kept (off by default) for cache layouts where the view copies
+    dominate; token-identical to decode_attention_hm
+    (tests/test_segmented.py).
+
+    Args:
+      q: [B, S_new, H, Dh].
+      segments: iterable of (k_hm, v_hm, base, masked): k/v [B,K,T_s,Dh]
+        at absolute buffer rows [base, base+T_s); masked=False asserts
+        every row is valid (static prefix / sparse region), masked=True
+        applies the kv_len validity mask (gen region).
+      kv_len: scalar or [B] total valid rows (incl. the S_new tokens).
+    """
+    b, s_new, h, dh = q.shape
+    kheads = segments[0][0].shape[1]
+    g = h // kheads
+    scale = scale if scale is not None else dh**-0.5
+    kv_len = jnp.asarray(kv_len)
+    if kv_len.ndim == 0:
+        kv_len = jnp.full((b,), kv_len)
+    qg = q.reshape(b, s_new, kheads, g, dh)
+    q_abs = kv_len[:, None] - s_new + jnp.arange(s_new)[None, :]  # [B,S]
+
+    scores = []
+    for k_hm, v_hm, base, masked in segments:
+        s = jnp.einsum(
+            "bskgd,bktd->bkgst", qg, k_hm,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if masked:
+            pos_k = base + jnp.arange(k_hm.shape[2])
+            mask = pos_k[None, None, :] <= q_abs[:, :, None]  # [B,S,T]
+            s = jnp.where(
+                mask[:, None, None], s, jnp.finfo(jnp.float32).min
+            )
+        scores.append(s)
+    probs = jax.nn.softmax(jnp.concatenate(scores, axis=-1), axis=-1)
+    out = None
+    off = 0
+    for k_hm, v_hm, base, masked in segments:
+        t = k_hm.shape[2]
+        p = jax.lax.slice_in_dim(probs, off, off + t, axis=-1)
+        o = jnp.einsum(
+            "bkgst,bktd->bskgd", p.astype(v_hm.dtype), v_hm,
+            preferred_element_type=jnp.float32,
+        )
+        out = o if out is None else out + o
+        off += t
+    return out.reshape(b, s_new, h, dh).astype(q.dtype)
+
+
 def decode_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -17,10 +17,16 @@ Shapes use B=batch, K=kv heads, G=GQA group, C=chunks, S=select_sets.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# ApproxTopK reduction_input_size_override multiplier (x next pow2 of
+# the landmark count); 0 = stock lowering. Read at TRACE time — set
+# SHADOWKV_TOPK_MULT (or assign the module var) before building jits.
+TOPK_OVERRIDE_MULT = int(os.environ.get("SHADOWKV_TOPK_MULT", "8"))
 
 
 class LandmarkState(NamedTuple):
@@ -131,15 +137,18 @@ def score_and_select(
         # (60K ctx) falls back to a FULL exact sort (the 2.7 ms/step
         # "sort.13" in prof_decode_60k_b6), and C=15352 (122K) only
         # reduces to 7680 before the aggregate sort. Overriding the
-        # claimed input size to 4x the next pow2 of C forces a deeper
-        # reduction (to ~1920 rows at both scales, probe-verified)
-        # while the TRUE collision rate stays far below the claimed
-        # one (real n << claimed n), so actual recall stays above the
-        # 0.95 target (tested on-chip vs exact top-k overlap,
-        # tests/test_kernel_tpu.py::test_approx_topk_recall).
+        # claimed input size to a multiple of the next pow2 of C
+        # forces a deeper reduction. Measured recall vs exact top-k
+        # on chip (test_approx_topk_recall): 4x -> 0.944 at C=15352
+        # (FAILS the 0.95 bar), so the default multiplier is 8x
+        # (shallower reduction, ~3840 rows, recall above target).
+        # TOPK_OVERRIDE_MULT: 0 disables the override (stock
+        # lowering); probes/benches may set it via
+        # SHADOWKV_TOPK_MULT before trace time.
         c = probs.shape[-1]
-        if c >= 4096:  # small tables: the default lowering is fine
-            override = 4 * (1 << (c - 1).bit_length())
+        mult = TOPK_OVERRIDE_MULT
+        if c >= 4096 and mult > 0:
+            override = mult * (1 << (c - 1).bit_length())
             _, top = jax.lax.approx_max_k(
                 probs, select_sets, recall_target=0.95,
                 aggregate_to_topk=True,

@@ -321,6 +321,7 @@ class Engine:
         if decode_unroll is None:
             decode_unroll = jax.devices()[0].platform != "cpu"
         self._decode_unroll = bool(decode_unroll)
+        self._decode_segmented = rt.decode_segmented
 
         @partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(1,))
         def decode_full_fn(params, cache, tokens, key, temperature, top_k, top_p):
@@ -375,6 +376,7 @@ class Engine:
                 v_host_axis=host_axis,
                 mesh=engine.mesh,
                 unroll=engine._decode_unroll,
+                segmented=engine._decode_segmented,
             )
             return _sample(logits, key, temperature, top_k, top_p), cache
 
@@ -437,6 +439,7 @@ class Engine:
                     v_host=v_host[0] if v_host else None,
                     v_host_axis=host_axis,
                     mesh=engine.mesh,
+                    segmented=engine._decode_segmented,
                 )
                 key, sub = jax.random.split(key)
                 t2 = _sample(logits, sub, temperature, top_k, top_p)

@@ -35,6 +35,7 @@ from shadowkv_tpu.core.attention import (
     causal_prefill_flash,
     causal_prefill_splash,
     decode_attention_hm,
+    decode_attention_segments,
     sp_causal_prefill_attention,
     sparse_prefill_splash,
 )
@@ -594,6 +595,7 @@ def decode_shadow(
     v_host_axis: str = "batch",  # axis a multi-part host store shards
     mesh=None,
     unroll: bool = False,
+    segmented: bool | None = None,  # None = on for the XLA/ring paths
 ):
     """One sparse decode step (reference models/base.py:315-341 decode
     branch; see SURVEY.md §3.3 for the kernel-by-kernel mapping).
@@ -616,6 +618,15 @@ def decode_shadow(
     loop so XLA doesn't copy it into while-carry buffers every step (see
     ShadowStatic docstring)."""
     from shadowkv_tpu.cache.shadow import split_cache
+
+    # Measured on chip (probe_decode_variants_r3): segmented decode is
+    # 59.8 ms/step vs 22.1 for the stacked-view path at b4/122K — the
+    # premise (slice-feeding-dot copies dominating) was wrong; the
+    # three-einsum split loses more than the view copies cost. Default
+    # stays OFF; the knob remains for future layouts.
+    if segmented is None:
+        segmented = False
+    segmented = segmented and not use_kernel
 
     b, qn = tokens.shape
     x = wquant.take_rows(params.embed, tokens, model.dtype)
@@ -646,8 +657,12 @@ def decode_shadow(
             inv_freq_full=inv_freq_full, v_store=v_store,
             approx_topk=approx_topk, ring_gather=ring_gather,
             v_host=v_host, v_host_axis=v_host_axis, mesh=mesh,
+            segmented=segmented,
         )
-        ctx = decode_attention_hm(q, k_view, v_view, valid_len)
+        if segmented:
+            ctx = decode_attention_segments(q, k_view, valid_len)
+        else:
+            ctx = decode_attention_hm(q, k_view, v_view, valid_len)
         return (_layer_tail(lp, model, x, ctx), mut), None
 
     if unroll:
