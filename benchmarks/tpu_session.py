@@ -547,6 +547,33 @@ STAGES = {
     },
     # Serving after the scanned k-step decode chunk (b2b3707 postdates
     # bench_serve_r3's 3.7 tok/s).
+    # ----- round 3c --------------------------------------------------------
+    # Headline re-measurement after the segmented-attention regression
+    # fix (f50f151): probe_decode_variants already shows 22.1 ms/step
+    # restored; this records the bench-contract number (warm prefill).
+    "bench_xla_r3c": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {"BENCH_MODE": "shadow", "BENCH_PREFILL_WARM": "1"},
+        "timeout": 5400,
+    },
+    # ApproxTopK recall at the new mult8 default (mult4 measured 0.944
+    # < 0.95 in kernel_tests_r3b).
+    "kernel_recall_r3c": {
+        "cmd": [
+            sys.executable, "-m", "pytest",
+            "tests/test_kernel_tpu.py::test_approx_topk_recall",
+            "-q", "--no-header",
+        ],
+        "env": {"SHADOWKV_TPU_TESTS": "1"},
+        "timeout": 3600,
+    },
+    # Decode-layer ablation, fixed to the bench's dense-splash prefill
+    # (the 'dense' default OOM'd b4/122K) — VERDICT #4 decomposition.
+    "prof_ablate_r3c": {
+        "cmd": [sys.executable, "benchmarks/prof_ablate.py", "122880", "4"],
+        "env": {},
+        "timeout": 5400,
+    },
     "bench_serve_r3b": {
         "cmd": [sys.executable, "bench.py"],
         "env": {"BENCH_MODE": "serve", "BENCH_DECODE_STEPS": "100"},
@@ -586,6 +613,10 @@ _ORDER = [
     "bench_xla_warm", "bench_stream_warm", "bench_vs_warm",
     "train_tiny_r2", "eval_tiny_full_r2", "eval_tiny_shadow_r2",
     "bench_serve_r3b",
+    # round 3c (post-regression-fix headline first, then recall, then
+    # the warm sparse-prefill comparison + oracle reruns ride the
+    # still-pending 3b stages above)
+    "bench_xla_r3c", "kernel_recall_r3c", "prof_ablate_r3c",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
