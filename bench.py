@@ -331,6 +331,11 @@ def main():
         offload_prefill_segments=int(
             os.environ.get("BENCH_OFFLOAD_SEGMENTS", "1")
         ),
+        # BENCH_VS_SIM=clustered: measure the VS prefill pipeline at
+        # the pattern structure real checkpoints produce (synthetic
+        # weights give adversarially scattered patterns; see
+        # RuntimeConfig.vs_sim / core/minference.py sim_vs_scores)
+        vs_sim=os.environ.get("BENCH_VS_SIM") or None,
     )
     log(f"devices: {jax.devices()}")
     wquant = os.environ.get("BENCH_WQUANT", "")

@@ -567,6 +567,18 @@ STAGES = {
         "env": {"SHADOWKV_TPU_TESTS": "1"},
         "timeout": 3600,
     },
+    # VS prefill at the REALISTIC pattern operating point (VERDICT #1):
+    # vs_sim=clustered replaces the estimated scores with the
+    # diagonal-decaying structure real checkpoints produce (estimation
+    # still runs/timed). Compare warm prefill vs bench_xla_r3c's dense.
+    "bench_vs_sim": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_PREFILL": "vs", "BENCH_VS_SIM": "clustered",
+            "BENCH_MODE": "shadow", "BENCH_PREFILL_WARM": "1",
+        },
+        "timeout": 5400,
+    },
     # Decode-layer ablation, fixed to the bench's dense-splash prefill
     # (the 'dense' default OOM'd b4/122K) — VERDICT #4 decomposition.
     "prof_ablate_r3c": {
@@ -616,7 +628,8 @@ _ORDER = [
     # round 3c (post-regression-fix headline first, then recall, then
     # the warm sparse-prefill comparison + oracle reruns ride the
     # still-pending 3b stages above)
-    "bench_xla_r3c", "kernel_recall_r3c", "prof_ablate_r3c",
+    "bench_xla_r3c", "kernel_recall_r3c", "bench_vs_sim",
+    "prof_ablate_r3c",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)

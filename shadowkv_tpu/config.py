@@ -204,6 +204,13 @@ class RuntimeConfig:
     # (core/minference.py::minference_prefill_dynamic). Takes
     # precedence over minference_patterns when both are set.
     minference_layer_patterns: Optional[tuple] = None
+    # BENCHMARK-ONLY pattern simulation (core/minference.py
+    # sim_vs_scores): 'clustered' replaces the estimated vertical/slash
+    # SCORES with the diagonal-decaying + hot-token structure real
+    # checkpoints produce (synthetic bench weights give top-k-of-noise
+    # patterns that scatter diag blocks 17x wider than real models).
+    # Estimation still runs and is timed; never set outside benchmarks.
+    vs_sim: Optional[str] = None
     # Fused Pallas sparse-refresh kernel on the decode path. None/False
     # = the vectorized-XLA gather path (wins below ~75 % hit rate);
     # True = the fused kernel (wins when selection is temporally

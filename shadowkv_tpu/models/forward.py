@@ -88,6 +88,7 @@ def _minference_ctx(
         stream_window=rt.stream_window,
         use_kernel=use_flash,
         interpret=False,
+        sim=rt.vs_sim,
         **tile_kw,
     )
 

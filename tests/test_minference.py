@@ -571,3 +571,37 @@ def test_calibration_search_and_roundtrip(tmp_path):
     )
     out, _ = eng.generate(ids[None], gen_len=4)
     assert out.shape == (1, 4)
+
+
+def test_sim_clustered_scores(rng):
+    """vs_sim='clustered' (benchmark-only): simulated slash scores
+    concentrate near the diagonal, verticals pick a hot-token subset,
+    and the prefill pipeline runs end-to-end with the sim installed."""
+    b, hm, s = 1, 2, 1024
+    k1, k2, k3 = jax.random.split(rng, 3)
+    vert_est = jax.random.normal(k1, (b, hm, s), jnp.float32)
+    slash_est = jax.random.normal(k2, (b, hm, s), jnp.float32)
+    vert_est = vert_est.at[:, :, :30].set(jnp.inf)
+    slash_est = slash_est.at[:, :, :100].set(jnp.inf)
+    vt, sl = mi.sim_vs_scores("clustered", vert_est, slash_est)
+    # forced regions survive the blend as +inf
+    assert bool(jnp.isinf(vt[:, :, :30]).all())
+    assert bool(jnp.isinf(sl[:, :, :100]).all())
+    # top-k slashes cluster near the diagonal (small d): with a /2048
+    # decay and 0.2 sigma noise, the top 64 of 1024 live in the first
+    # ~half even at this small scale
+    _, s_idx = jax.lax.top_k(sl[0, 0], 64)
+    assert float(jnp.median(s_idx)) < s / 2, s_idx
+
+    # e2e: the oracle path runs with the sim installed
+    h, kh, dh = 4, 2, 32
+    kq, kk, kv2 = jax.random.split(k3, 3)
+    q = jax.random.normal(kq, (1, 256, h, dh), jnp.float32)
+    k = jax.random.normal(kk, (1, 256, kh, dh), jnp.float32)
+    v = jax.random.normal(kv2, (1, 256, kh, dh), jnp.float32)
+    out = mi.minference_prefill_tile(
+        q, k, v, vertical_size=64, slash_size=64, block=64, tile=64,
+        use_kernel=False, sim="clustered",
+    )
+    assert out.shape == q.shape
+    assert bool(jnp.isfinite(out).all())
