@@ -579,6 +579,35 @@ STAGES = {
         },
         "timeout": 5400,
     },
+    # Ring-vs-XLA decode isolated on CLEAN code: prof_ring_decode_r3's
+    # 96/98.6 ms numbers ran with the segmented-attention regression in
+    # the working tree (both paths 4x off); re-measure at the true
+    # ~22 ms scale to answer VERDICT #7 (use ring if it wins).
+    "prof_ring_decode_r3c": {
+        "cmd": [sys.executable, "benchmarks/prof_ring_decode.py"],
+        "env": {},
+        "timeout": 3600,
+    },
+    # 60K re-baseline with the ApproxTopK mult8 override (the 2.7 ms
+    # full-sort fallback at C=7680 was the largest single op in
+    # prof_decode_60k_b6) — VERDICT #4's weak row.
+    "bench_60k_r3c": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_DATALEN": "61440", "BENCH_FULL_BATCH": "2",
+            "BENCH_SHADOW_BATCH": "6", "BENCH_MODE": "shadow",
+            "BENCH_PREFILL_WARM": "1",
+        },
+        "timeout": 5400,
+    },
+    "bench_60k_b8_r3c": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_DATALEN": "61440", "BENCH_SHADOW_BATCH": "8",
+            "BENCH_MODE": "shadow", "BENCH_PREFILL_WARM": "1",
+        },
+        "timeout": 5400,
+    },
     # Decode-layer ablation, fixed to the bench's dense-splash prefill
     # (the 'dense' default OOM'd b4/122K) — VERDICT #4 decomposition.
     "prof_ablate_r3c": {
@@ -629,6 +658,7 @@ _ORDER = [
     # the warm sparse-prefill comparison + oracle reruns ride the
     # still-pending 3b stages above)
     "bench_xla_r3c", "kernel_recall_r3c", "bench_vs_sim",
+    "prof_ring_decode_r3c", "bench_60k_r3c", "bench_60k_b8_r3c",
     "prof_ablate_r3c",
 ]
 assert set(_ORDER) == set(STAGES), (
