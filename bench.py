@@ -386,7 +386,12 @@ def main():
             max_length=datalen + 128,
             sparse_budget=2048,
             rank=160,
-            chunk_size=8,
+            # BENCH_CHUNK_SIZE=16: same 2048-token budget in half the
+            # chunks — doubles the gathered row (1-1.3 KB rows are
+            # latency-bound on v5e) and halves landmark/selection work,
+            # at coarser selection granularity (accuracy measurable
+            # via the tiny-model oracle).
+            chunk_size=int(os.environ.get("BENCH_CHUNK_SIZE", "8")),
             kv_quant=quant,
         )
         shadow_tps = run_engine(

@@ -608,6 +608,18 @@ STAGES = {
         },
         "timeout": 5400,
     },
+    # chunk_size=16: same 2048-token budget in half the chunks —
+    # doubles the latency-bound gathered row and halves selection
+    # work (decode gathers ~5 ms + selection ~2.5 ms of the 22 ms
+    # step are the two largest sparse-path items).
+    "bench_cs16_r3c": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow", "BENCH_PREFILL_WARM": "1",
+            "BENCH_CHUNK_SIZE": "16",
+        },
+        "timeout": 5400,
+    },
     # Decode-layer ablation, fixed to the bench's dense-splash prefill
     # (the 'dense' default OOM'd b4/122K) — VERDICT #4 decomposition.
     "prof_ablate_r3c": {
@@ -659,7 +671,7 @@ _ORDER = [
     # still-pending 3b stages above)
     "bench_xla_r3c", "kernel_recall_r3c", "bench_vs_sim",
     "prof_ring_decode_r3c", "bench_60k_r3c", "bench_60k_b8_r3c",
-    "prof_ablate_r3c",
+    "bench_cs16_r3c", "prof_ablate_r3c",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
