@@ -15,7 +15,8 @@ BENCH_DECODE_STEPS, BENCH_MODE (full|shadow|both|serve), BENCH_QUANT
 (none|int8, the KV/U/landmark stores), BENCH_WQUANT (none|int8,
 weight-only quantized dense path — core/wquant.py), BENCH_USE_PALLAS
 (0|1), BENCH_RING (0|1, ring-DMA chunk gather on the decode path),
-BENCH_CACHE_MODE (shadow|shadow_offload).
+BENCH_CACHE_MODE (shadow|shadow_offload), BENCH_APPROX_TOPK (0|1,
+opt-in approx_max_k selection; default exact).
 
 BENCH_MODE=serve measures continuous batching: BENCH_REQUESTS requests
 (default 2x the shadow batch) with generation lengths staggered
@@ -393,6 +394,10 @@ def main():
             # via the tiny-model oracle).
             chunk_size=int(os.environ.get("BENCH_CHUNK_SIZE", "8")),
             kv_quant=quant,
+            # BENCH_APPROX_TOPK=1: opt-in approx_max_k selection (the
+            # default is exact top-k, matching the reference; the
+            # probe-measured delta is neutral — see config.py).
+            approx_topk=os.environ.get("BENCH_APPROX_TOPK", "") == "1",
         )
         shadow_tps = run_engine(
             "shadowkv", cfg, shadow_cfg, rt, params, datalen, shadow_batch,

@@ -43,7 +43,12 @@ def main():
     from shadowkv_tpu.models.registry import toy_config
 
     datalen = int(os.environ.get("BENCH_DATALEN", 122880))
-    batch = int(os.environ.get("BENCH_SHADOW_BATCH", 4))
+    mode = os.environ.get("BENCH_MODE", "shadow")
+    batch = int(
+        os.environ.get("BENCH_FULL_BATCH", 1)
+        if mode == "full"
+        else os.environ.get("BENCH_SHADOW_BATCH", 4)
+    )
     model_size = os.environ.get("BENCH_MODEL", "1.4b")
     quant = os.environ.get("BENCH_QUANT", "int8")
     wquant = os.environ.get("BENCH_WQUANT", "")
@@ -73,7 +78,7 @@ def main():
     cfg = toy_config(**cfg_kw)
     rt = RuntimeConfig(
         prefill_sub_batch=1, prefill_block_q=256,
-        prefill_pattern="dense-splash",
+        prefill_pattern=os.environ.get("BENCH_PREFILL", "dense-splash"),
     )
     cache_cfg = CacheConfig(
         mode="shadow", max_length=datalen + 128, sparse_budget=2048,
@@ -145,7 +150,40 @@ def main():
         }), flush=True)
 
     log(f"probing {cfg.name} b{batch} @{datalen} wquant={wquant or 'none'}"
-        f" quant={quant} on {jax.devices()[0].platform}")
+        f" quant={quant} mode={mode} on {jax.devices()[0].platform}")
+
+    if mode == "full":
+        # Full-attention baseline fit (gates the bench_*_full stages):
+        # whole-prompt sub-batch-1 prefill + one decode step on the
+        # [L, B, K, T, Dh] dense cache.
+        from shadowkv_tpu.cache.full import FullCache
+
+        full_cfg = CacheConfig(mode="full", max_length=datalen + 128)
+        fcache_s = jax.eval_shape(
+            lambda: FullCache.init(cfg, full_cfg, batch)
+        )
+        prefill = jax.jit(
+            lambda p, c, ids, cos, sin, b0: forward.prefill_full(
+                cfg, rt, p, c, ids, 0, cos, sin, batch_start=b0,
+                use_flash=use_flash,
+            ),
+            donate_argnums=(1,),
+        )
+        report(
+            "prefill_full_sub1",
+            prefill.lower(params_s, fcache_s, ids_s, cos_s, sin_s, b0_s),
+        )
+        decode = jax.jit(
+            lambda p, c, tok, cos, sin: forward.decode_full(
+                cfg, p, c, tok, cos, sin
+            ),
+            donate_argnums=(1,),
+        )
+        report(
+            "decode_full_step",
+            decode.lower(params_s, fcache_s, tok_s, cos_s, sin_s),
+        )
+        return
 
     prefill = jax.jit(
         lambda p, c, ids, cos, sin, b0: forward.prefill_shadow_into(
@@ -161,7 +199,6 @@ def main():
     decode = jax.jit(
         lambda p, c, tok, cos, sin: forward.decode_shadow(
             cfg, p, c, tok, cos, sin,
-            approx_topk=jax.devices()[0].platform != "cpu",
         ),
         donate_argnums=(1,),
     )

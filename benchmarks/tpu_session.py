@@ -632,6 +632,146 @@ STAGES = {
         "env": {"BENCH_MODE": "serve", "BENCH_DECODE_STEPS": "100"},
         "timeout": 5400,
     },
+    # ----- round 4 ---------------------------------------------------------
+    # Exact-vs-approx top-k A/B at the headline config (VERDICT #2):
+    # the default flipped to EXACT (config.py approx_topk=False,
+    # reference kv_cache.py:1031-1035); the pair records the tok/s
+    # delta that justifies it.
+    "bench_xla_exact_r4": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {"BENCH_MODE": "shadow", "BENCH_PREFILL_WARM": "1"},
+        "timeout": 5400,
+    },
+    "bench_xla_approx_r4": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow", "BENCH_PREFILL_WARM": "1",
+            "BENCH_APPROX_TOPK": "1",
+        },
+        "timeout": 5400,
+    },
+    # Kernel tests green at the new defaults (mult=0 stock approx).
+    "kernel_tests_r4": {
+        "cmd": [
+            sys.executable, "-m", "pytest",
+            "tests/test_kernel_tpu.py", "-q", "--no-header",
+        ],
+        "env": {"SHADOWKV_TPU_TESTS": "1"},
+        "timeout": 5400,
+    },
+    # Accuracy oracle variants (VERDICT #1): each lossy knob scored
+    # against the trained tiny model. Require train_tiny_r2's
+    # checkpoint at /tmp/tiny-llama-trained.
+    "eval_tiny_stream_r4": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "shadow", "--sparse_budget", "512",
+            "--rank", "64", "--bucket", "1024",
+            # sink+window cover ~27% of the 4K context — comparable
+            # aggressiveness to 1K+8K at the 122K bench length
+            "--minference", "stream",
+            "--stream_sink", "64", "--stream_window", "1024",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
+    "eval_tiny_approx_r4": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "shadow", "--sparse_budget", "512",
+            "--rank", "64", "--bucket", "1024", "--approx_topk",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
+    "eval_tiny_int8_r4": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "shadow", "--sparse_budget", "512",
+            "--rank", "64", "--bucket", "1024",
+            "--kv_quant", "int8",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
+    "eval_tiny_cs16_r4": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "shadow", "--sparse_budget", "512",
+            "--rank", "64", "--bucket", "1024",
+            "--chunk_size", "16",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
+    # Full-attention baselines for the GLM/Yi family rows (VERDICT #7):
+    # 4 KV groups halve the dense cache, so b2 may fit — AOT-gated.
+    "bench_glm_full_b2": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "full", "BENCH_FAMILY": "glm",
+            "BENCH_FULL_BATCH": "2",
+        },
+        "gate": {
+            "BENCH_MODE": "full", "BENCH_FAMILY": "glm",
+            "BENCH_FULL_BATCH": "2",
+        },
+        "timeout": 5400,
+    },
+    "bench_glm_full_b1": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "full", "BENCH_FAMILY": "glm",
+            "BENCH_FULL_BATCH": "1",
+        },
+        "timeout": 5400,
+    },
+    "bench_yi_full_b2": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "full", "BENCH_FAMILY": "yi",
+            "BENCH_FULL_BATCH": "2",
+        },
+        "gate": {
+            "BENCH_MODE": "full", "BENCH_FAMILY": "yi",
+            "BENCH_FULL_BATCH": "2",
+        },
+        "timeout": 5400,
+    },
+    "bench_yi_full_b1": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "full", "BENCH_FAMILY": "yi",
+            "BENCH_FULL_BATCH": "1",
+        },
+        "timeout": 5400,
+    },
+    # Fused refresh kernel re-bench after the batched write-back DMAs
+    # (f890691 — no on-chip number exists since; VERDICT #4).
+    "bench_pallas_r4": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_USE_PALLAS": "1", "BENCH_MODE": "shadow",
+            "BENCH_PREFILL_WARM": "1",
+        },
+        "timeout": 5400,
+    },
 }
 
 
@@ -672,6 +812,15 @@ _ORDER = [
     "bench_xla_r3c", "kernel_recall_r3c", "bench_vs_sim",
     "prof_ring_decode_r3c", "bench_60k_r3c", "bench_60k_b8_r3c",
     "bench_cs16_r3c", "prof_ablate_r3c",
+    # round 4 (exact-topk A/B first — it revalidates the headline at
+    # the new default — then kernel-test greenness, then the oracle
+    # variants, then the family baselines + kernel re-bench)
+    "bench_xla_exact_r4", "bench_xla_approx_r4", "kernel_tests_r4",
+    "eval_tiny_stream_r4", "eval_tiny_approx_r4", "eval_tiny_int8_r4",
+    "eval_tiny_cs16_r4",
+    "bench_glm_full_b2", "bench_glm_full_b1",
+    "bench_yi_full_b2", "bench_yi_full_b1",
+    "bench_pallas_r4",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
@@ -773,6 +922,40 @@ def main():
         # sys.path so `import shadowkv_tpu` resolves.
         env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
         wait_for_tpu()
+        if "gate" in spec:
+            # Cheap AOT memory gate (VERDICT r3 #10): a staged config
+            # that cannot fit must never burn a full session slot. The
+            # probe compiles (never runs) the stage's programs and
+            # reports fits_16g per program.
+            genv = dict(os.environ, **spec["gate"])
+            genv["PYTHONPATH"] = env["PYTHONPATH"]
+            print(f"== {name}: AOT gate {spec['gate']}", flush=True)
+            t0 = time.time()
+            try:
+                g = subprocess.run(
+                    [sys.executable, "benchmarks/probe_memory.py"],
+                    cwd=ROOT, env=genv, capture_output=True, text=True,
+                    timeout=2400,
+                )
+                glines = [
+                    ln for ln in g.stdout.splitlines()
+                    if ln.startswith("{")
+                ]
+                unfit = any('"fits_16g": false' in ln for ln in glines)
+            except subprocess.TimeoutExpired:
+                glines, unfit = ["GATE_TIMEOUT"], False
+            if unfit:
+                rec = {
+                    "stage": name, "ok": False, "gated": True,
+                    "seconds": round(time.time() - t0, 1),
+                    "tail": ["AOT gate: does not fit 16G"] + glines[-6:],
+                    "infra": False,
+                }
+                with open(RESULTS, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+                print(f"== {name}: GATED (AOT says does not fit)",
+                      flush=True)
+                continue
         print(f"== {name}: {' '.join(spec['cmd'])} {spec['env']}",
               flush=True)
         t0 = time.time()

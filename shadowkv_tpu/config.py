@@ -104,10 +104,15 @@ class CacheConfig:
     # 'int8' quantizes the V store, U factors and landmark table with
     # per-row scales (~2x feasible batch at 122K); 'none' keeps bf16.
     kv_quant: str = "none"
-    # Approximate top-k (jax.lax.approx_max_k, recall ~0.95) for the
-    # per-step landmark selection — ~2x faster than the full sort on
-    # TPU at 4K+ landmarks. Exact top-k when False.
-    approx_topk: bool = True
+    # Approximate top-k (jax.lax.approx_max_k) for the per-step
+    # landmark selection. Default False = EXACT top-k, matching the
+    # reference (kv_cache.py:1031-1035): probe_decode_variants_r3
+    # measured the approx variants perf-NEUTRAL at the headline config
+    # while the on-chip recall at the mult8 override is 0.892 at
+    # C=7672 (< the 0.95 bar, logs/kernel_recall_r3c.log) — the
+    # accuracy loss bought nothing. Opt-in for experimentation only;
+    # SHADOWKV_TOPK_MULT tunes the reduction depth.
+    approx_topk: bool = False
 
     def resolved_outlier_chunks(self) -> int:
         if self.outlier_chunks is not None:

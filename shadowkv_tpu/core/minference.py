@@ -174,7 +174,12 @@ def estimate_vertical_slash(
     return vertical, slash
 
 
-def sim_vs_scores(regime: str, vertical: jnp.ndarray, slash: jnp.ndarray):
+def sim_vs_scores(
+    regime: str,
+    vertical: jnp.ndarray,
+    slash: jnp.ndarray,
+    salt=0,
+):
     """BENCHMARK-ONLY pattern simulation (RuntimeConfig.vs_sim).
 
     Synthetic bench weights produce top-k-of-noise patterns whose diag
@@ -190,12 +195,21 @@ def sim_vs_scores(regime: str, vertical: jnp.ndarray, slash: jnp.ndarray):
     estimates stay in the dataflow at epsilon weight so the estimation
     cost is still paid and timed exactly as a real run pays it.
     """
+    if regime != "clustered":
+        raise ValueError(
+            f"unknown vs_sim regime {regime!r} (supported: 'clustered')"
+        )
     b, hm, s = slash.shape
-    kv, ks = jax.random.split(jax.random.PRNGKey(0))
+    # salt (typically the traced layer index) varies the simulated
+    # pattern per layer the way real checkpoints do; distinct split
+    # keys decorrelate the hot-token draw from the uniform base.
+    kv, ks, ku = jax.random.split(
+        jax.random.fold_in(jax.random.PRNGKey(0), salt), 3
+    )
     d = jnp.arange(s, dtype=jnp.float32)
     sl = -d / 2048.0 + 0.2 * jax.random.normal(ks, (b, hm, s))
     hot = jax.random.randint(kv, (b, hm, 512), 0, s)
-    vt = jax.random.uniform(kv, (b, hm, s)) * 0.1
+    vt = jax.random.uniform(ku, (b, hm, s)) * 0.1
     bi = jnp.arange(b)[:, None, None]
     hi = jnp.arange(hm)[None, :, None]
     vt = vt.at[bi, hi, hot].add(1.0)
@@ -551,6 +565,7 @@ def minference_prefill(
     interpret: bool = False,
     scale: Optional[float] = None,
     sim: Optional[str] = None,  # benchmark-only: sim_vs_scores regime
+    sim_salt=0,  # per-layer pattern variation for the simulation
 ) -> jnp.ndarray:
     """Per-head dynamic sparse prefill attention (the reference's
     ``--minference`` path). Heads run their configured pattern:
@@ -582,7 +597,9 @@ def minference_prefill(
             head_kv=[i // g for i in vs_heads],
         )
         if sim is not None:
-            vertical, slash = sim_vs_scores(sim, vertical, slash)
+            vertical, slash = sim_vs_scores(
+                sim, vertical, slash, salt=sim_salt
+            )
         vs_pos = {hh: j for j, hh in enumerate(vs_heads)}
 
     # Group meta-pattern heads by config so each group's top-k is one
@@ -735,6 +752,7 @@ def minference_prefill_tile(
     use_kernel: bool = True,
     scale: Optional[float] = None,
     sim: Optional[str] = None,  # benchmark-only: sim_vs_scores regime
+    sim_salt=0,  # per-layer pattern variation for the simulation
 ) -> jnp.ndarray:
     """Per-head sparse prefill via the DECOMPOSED kernel
     (kernels/vs_tile.py): verticals token-granular (exact reference
@@ -781,7 +799,9 @@ def minference_prefill_tile(
                 head_kv=[i // g for i in vs_heads],
             )
             if sim is not None:
-                vertical, slash = sim_vs_scores(sim, vertical, slash)
+                vertical, slash = sim_vs_scores(
+                    sim, vertical, slash, salt=sim_salt
+                )
             vs_pos = {hh: j for j, hh in enumerate(vs_heads)}
 
         # Uniform vertical capacity across the launch (kernel tiles are

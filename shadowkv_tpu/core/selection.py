@@ -26,7 +26,12 @@ import jax.numpy as jnp
 # ApproxTopK reduction_input_size_override multiplier (x next pow2 of
 # the landmark count); 0 = stock lowering. Read at TRACE time — set
 # SHADOWKV_TOPK_MULT (or assign the module var) before building jits.
-TOPK_OVERRIDE_MULT = int(os.environ.get("SHADOWKV_TOPK_MULT", "8"))
+# Default 0: the deeper-reduction overrides were measured perf-NEUTRAL
+# (probe_decode_variants_r3) while mult8 recall on chip is 0.892 at
+# C=7672 and mult4 is 0.944 at C=15352 (< approx_max_k's own 0.95
+# target) — stock lowering is the only setting that honors the
+# recall_target contract.
+TOPK_OVERRIDE_MULT = int(os.environ.get("SHADOWKV_TOPK_MULT", "0"))
 
 
 class LandmarkState(NamedTuple):

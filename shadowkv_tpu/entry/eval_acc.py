@@ -45,7 +45,23 @@ def parse_args():
     p.add_argument("--bucket", type=int, default=1024,
                    help="prompt-length bucket (one XLA compile per "
                         "bucket; 0 = exact lengths)")
-    p.add_argument("--minference", action="store_true", default=False)
+    p.add_argument(
+        "--minference", nargs="?", const=True, default=False,
+        help="sparse prefill: bare flag or 'vs' = per-head "
+             "vertical_and_slash (reference --minference); 'stream' = "
+             "sink+window splash prefill",
+    )
+    p.add_argument("--kv_quant", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="int8: quantized V/U/landmark stores (the "
+                        "bench's default regime — eval it here)")
+    p.add_argument("--approx_topk", action="store_true", default=False,
+                   help="opt-in approx_max_k landmark selection "
+                        "(default exact)")
+    p.add_argument("--stream_sink", type=int, default=None)
+    p.add_argument("--stream_window", type=int, default=None,
+                   help="stream-prefill geometry; set both < datalen "
+                        "for genuinely sparse stream at short contexts")
     p.add_argument("--resume", action="store_true", default=False,
                    help="continue an interrupted run from its jsonl "
                         "archive instead of truncating it")
@@ -90,6 +106,10 @@ def main():
         dp=args.dp, tp=args.tp, sp=args.sp, pp=args.pp,
         weight_quant=args.weight_quant,
         track_hit_rate=args.track_hit_rate,
+        kv_quant=args.kv_quant,
+        approx_topk=args.approx_topk,
+        stream_sink=args.stream_sink,
+        stream_window=args.stream_window,
     )
     if dist.master_process:
         llm.print_kv_stats()
@@ -99,10 +119,17 @@ def main():
             name, llm.tokenizer, args.datalen, args.num_samples,
             dist.rank, dist.world_size, bucket=args.bucket,
         )
+        variant = ""
+        if args.minference:
+            variant += f"_{'vs' if args.minference is True else args.minference}"
+        if args.kv_quant != "none":
+            variant += f"_{args.kv_quant}"
+        if args.approx_topk:
+            variant += "_approx"
         out = (
             f"archive/{args.model_name.split('/')[-1]}/"
             f"{name}_{args.datalen}_{args.method}_{args.sparse_budget}_"
-            f"{args.rank}_{args.chunk_size}.jsonl"
+            f"{args.rank}_{args.chunk_size}{variant}.jsonl"
         )
         evaluator.test(llm, dataset, out, args.method, resume=args.resume)
 

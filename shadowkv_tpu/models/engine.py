@@ -439,6 +439,7 @@ class Engine:
                     v_host=v_host[0] if v_host else None,
                     v_host_axis=host_axis,
                     mesh=engine.mesh,
+                    unroll=engine._decode_unroll,
                     segmented=engine._decode_segmented,
                 )
                 key, sub = jax.random.split(key)

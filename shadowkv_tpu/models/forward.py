@@ -50,7 +50,8 @@ from shadowkv_tpu.core.layers import (
 
 
 def _minference_ctx(
-    rt: RuntimeConfig, q, k, v, use_flash: bool, pat_row=None, caps=None
+    rt: RuntimeConfig, q, k, v, use_flash: bool, pat_row=None, caps=None,
+    layer=0,
 ):
     """MInference per-head dynamic sparse prefill (pattern 'vs'):
     Pallas kernel on TPU, jnp oracle on CPU (tests). ``pat_row`` is
@@ -89,6 +90,7 @@ def _minference_ctx(
         use_kernel=use_flash,
         interpret=False,
         sim=rt.vs_sim,
+        sim_salt=layer,
         **tile_kw,
     )
 
@@ -247,7 +249,8 @@ def prefill_full(
         elif start_pos == 0 and rt.prefill_pattern == "vs":
             ctx = _minference_ctx(
                 rt, q, k_hist.transpose(0, 2, 1, 3),
-                v_hist.transpose(0, 2, 1, 3), use_flash, pat, pat_caps
+                v_hist.transpose(0, 2, 1, 3), use_flash, pat, pat_caps,
+                layer=layer,
             )
         elif (
             use_flash
@@ -544,7 +547,9 @@ def make_shadow_prefill_body(
                 q, k_r, v, rt.stream_window, rt.stream_sink
             )
         elif rt.prefill_pattern == "vs":
-            ctx = _minference_ctx(rt, q, k_r, v, use_flash, pat, pat_caps)
+            ctx = _minference_ctx(
+                rt, q, k_r, v, use_flash, pat, pat_caps, layer=layer
+            )
         elif use_flash and rt.prefill_pattern == "dense-splash":
             ctx = causal_prefill_splash(q, k_r, v)
         elif use_flash:
@@ -596,7 +601,8 @@ def decode_shadow(
     v_host_axis: str = "batch",  # axis a multi-part host store shards
     mesh=None,
     unroll: bool = False,
-    segmented: bool | None = None,  # None = on for the XLA/ring paths
+    segmented: bool | None = None,  # None = off (measured 2.7x slower
+    # than stacked-view attention; see probe_decode_variants_r3)
 ):
     """One sparse decode step (reference models/base.py:315-341 decode
     branch; see SURVEY.md §3.3 for the kernel-by-kernel mapping).

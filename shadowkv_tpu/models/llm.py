@@ -69,6 +69,14 @@ class LLM:
         # dense path (core/wquant.py) — fits 8B weights on a 16 GB chip
         track_hit_rate: bool = False,  # sample the slot hit rate during
         # decode; kv_stats() reports hit_rate_mean/ema
+        kv_quant: str = "none",  # 'int8': quantized V/U/landmark
+        # stores (CacheConfig.kv_quant; the bench's default regime)
+        approx_topk: bool = False,  # opt-in approx_max_k selection
+        # (default exact, matching reference kv_cache.py:1031-1035)
+        stream_sink: Optional[int] = None,  # stream-prefill sink /
+        stream_window: Optional[int] = None,  # window token counts
+        # (defaults from RuntimeConfig; set both < datalen for a
+        # genuinely sparse stream prefill at short oracle contexts)
     ):
         mode_alias = {"shadowkv": "shadow", "shadowkv_cpu": "shadow_offload"}
         attn_mode = mode_alias.get(attn_mode, attn_mode)
@@ -102,6 +110,8 @@ class LLM:
             rank=rank,
             chunk_size=chunk_size,
             gen_capacity=gen_capacity,
+            kv_quant=kv_quant,
+            approx_topk=approx_topk,
         )
         if minference is True:
             pattern = "vs"
@@ -110,12 +120,18 @@ class LLM:
         else:
             assert not minference, minference
             pattern = "dense"
+        stream_kw = {}
+        if stream_sink is not None:
+            stream_kw["stream_sink"] = stream_sink
+        if stream_window is not None:
+            stream_kw["stream_window"] = stream_window
         rt = RuntimeConfig(
             batch_size=batch_size, prefill_sub_batch=prefill_sub_batch,
             prefill_pattern=pattern,
             dp=dp, tp=tp, sp=sp, pp=pp,
             weight_quant=weight_quant or "none",
             track_hit_rate=track_hit_rate,
+            **stream_kw,
         )
         self.engine = Engine(self.config, self.cache_cfg, rt, params)
         self.stop_ids = self._resolve_stop_ids()
