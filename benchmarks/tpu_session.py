@@ -659,8 +659,47 @@ STAGES = {
         "env": {"SHADOWKV_TPU_TESTS": "1"},
         "timeout": 5400,
     },
+    # Rebuild + retrain the oracle from scratch (r2 trainer still
+    # plateaued at format-only answer loss ~4.3): word-covering
+    # tokenizer (RULER keys ~3 tokens, not ~17 char pieces), 6x512
+    # geometry, early-advance curriculum. --fresh wipes the stale
+    # checkpoint so the idempotent builder cannot short-circuit.
+    "train_tiny_r4": {
+        "cmd": [
+            sys.executable, "scripts/train_tiny_model.py",
+            "--steps", "2000", "--ctx", "4096", "--batch", "2",
+            "--fresh",
+        ],
+        "env": {},
+        "timeout": 10800,
+    },
+    "eval_tiny_full_r4": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "full", "--bucket", "1024",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
+    "eval_tiny_shadow_r4": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "shadow", "--sparse_budget", "512",
+            "--rank", "64", "--bucket", "1024", "--track_hit_rate",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
     # Accuracy oracle variants (VERDICT #1): each lossy knob scored
-    # against the trained tiny model. Require train_tiny_r2's
+    # against the trained tiny model. Require train_tiny_r4's
     # checkpoint at /tmp/tiny-llama-trained.
     "eval_tiny_stream_r4": {
         "cmd": [
@@ -772,6 +811,21 @@ STAGES = {
         },
         "timeout": 5400,
     },
+    # Kernel-vs-XLA crossover over FORCED hit rates (debug_hit_rate):
+    # the first direct measurement of WHERE the fused kernel starts
+    # winning — at cs8 (bench default) and cs16 (halved DMA count per
+    # byte; the candidate for pushing the crossover under the
+    # tiny-model-measured 45.7 %).
+    "prof_refresh_sweep": {
+        "cmd": [sys.executable, "benchmarks/prof_refresh_sweep.py"],
+        "env": {},
+        "timeout": 7200,
+    },
+    "prof_refresh_sweep_cs16": {
+        "cmd": [sys.executable, "benchmarks/prof_refresh_sweep.py"],
+        "env": {"BENCH_CHUNK_SIZE": "16"},
+        "timeout": 7200,
+    },
 }
 
 
@@ -816,11 +870,12 @@ _ORDER = [
     # the new default — then kernel-test greenness, then the oracle
     # variants, then the family baselines + kernel re-bench)
     "bench_xla_exact_r4", "bench_xla_approx_r4", "kernel_tests_r4",
+    "train_tiny_r4", "eval_tiny_full_r4", "eval_tiny_shadow_r4",
     "eval_tiny_stream_r4", "eval_tiny_approx_r4", "eval_tiny_int8_r4",
     "eval_tiny_cs16_r4",
     "bench_glm_full_b2", "bench_glm_full_b1",
     "bench_yi_full_b2", "bench_yi_full_b1",
-    "bench_pallas_r4",
+    "bench_pallas_r4", "prof_refresh_sweep", "prof_refresh_sweep_cs16",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)

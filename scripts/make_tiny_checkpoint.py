@@ -33,41 +33,61 @@ def _training_corpus():
     contain, so the trained merges are realistic."""
     import random
 
+    from shadowkv_tpu.data.wordlists import (
+        ADJECTIVES,
+        NOUNS,
+        VERBS,
+        adjective_noun_words,
+    )
+
     rng = random.Random(0)
     filler = (
         "The grass is green. The sky is blue. The sun is yellow. "
         "Here we go. There and back again. "
     )
+    # The RULER niah keys are adjective-noun pairs; without the word
+    # lists in the corpus the 2048-token BPE splits each key into ~17
+    # character-level pieces and the retrieval circuit cannot form
+    # (round-3/4 train_tiny: answer loss plateaued at format-only
+    # ~4.3). With the words as whole merges a key is ~3 tokens.
+    words = adjective_noun_words()
     lines = []
     for i in range(2000):
+        key = rng.choice(words)
         parts = [filler]
         parts.append(
-            f"One of the special magic numbers for key-{i} is: "
+            f"One of the special magic numbers for {key} is: "
             f"{rng.randint(1000000, 9999999)}."
         )
         parts.append(
-            "What is the special magic number? Answer: the number is "
+            f"What is the special magic number for {key} mentioned in "
+            "the provided text? The special magic number for "
+            f"{key} mentioned in the provided text is "
             f"{rng.randint(1000000, 9999999)}"
         )
-        parts.append(
-            "word-" + "-".join(
-                rng.choice("alpha beta gamma delta epsilon zeta eta "
-                           "theta iota kappa".split())
-                for _ in range(8)
-            )
-        )
         lines.append(" ".join(parts))
+    # whole-word coverage for every list word (keys mix all of them)
+    for _ in range(20):
+        lines.append(" ".join(NOUNS + ADJECTIVES + VERBS))
     lines.append("<|begin_of_text|> <|eot_id|> <|end_of_text|> "
                  "<|start_header_id|> <|end_header_id|> user assistant "
                  "system\n\n")
     return lines
 
 
-def build_tiny_checkpoint(out_dir: str, vocab_size: int = 2048) -> str:
+def build_tiny_checkpoint(
+    out_dir: str, vocab_size: int = 4096, fresh: bool = False
+) -> str:
     """Train the tokenizer + save the tiny model. Idempotent: returns
-    immediately if out_dir already holds a checkpoint."""
+    immediately if out_dir already holds a checkpoint (``fresh=True``
+    wipes and rebuilds — the trainer uses it so a stale broken
+    checkpoint can never short-circuit a retrain)."""
     if os.path.exists(os.path.join(out_dir, "model.safetensors")):
-        return out_dir
+        if not fresh:
+            return out_dir
+        import shutil
+
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     from tokenizers import (
@@ -105,9 +125,13 @@ def build_tiny_checkpoint(out_dir: str, vocab_size: int = 2048) -> str:
 
     cfg = LlamaConfig(
         vocab_size=fast.vocab_size,
-        hidden_size=256,
-        intermediate_size=512,
-        num_hidden_layers=4,
+        # 6 x 512 (head_dim 64): the 4 x 256 geometry never cracked
+        # retrieval (round-3/4 train_tiny answer-loss plateaus); the
+        # multi-hop induction circuit NIAH needs forms reliably with a
+        # little more depth/width, and eval cost at 4K stays trivial.
+        hidden_size=512,
+        intermediate_size=1024,
+        num_hidden_layers=6,
         num_attention_heads=8,
         num_key_value_heads=2,
         max_position_embeddings=8192,
@@ -125,7 +149,7 @@ def build_tiny_checkpoint(out_dir: str, vocab_size: int = 2048) -> str:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/tiny-llama-ruler")
-    ap.add_argument("--vocab", type=int, default=2048)
+    ap.add_argument("--vocab", type=int, default=4096)
     args = ap.parse_args()
     path = build_tiny_checkpoint(args.out, args.vocab)
     print(f"tiny checkpoint at {path}")

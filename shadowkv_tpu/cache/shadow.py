@@ -536,6 +536,10 @@ def shadow_decode_layer(
     # (probe_decode_variants_r3) — kept as a tested alternative for
     # layouts where the cap-row view copies dominate. XLA + ring paths
     # only (the fused kernel returns views).
+    debug_hit_rate: Optional[float] = None,  # BENCHMARK-ONLY: force
+    # the selection to a sliding-window id stream with exactly this
+    # step-to-step overlap (RuntimeConfig.debug_hit_rate)
+    debug_hit_layout: str = "scatter",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, ShadowMut]:
     """One layer's sparse-attention cache update at decode time.
 
@@ -571,6 +575,34 @@ def shadow_decode_layer(
         q_grouped, lms, lm_mask, lo.select_sets, approx=approx_topk,
         landmark_scale=lm_sc,
     )
+    if debug_hit_rate is not None:
+        # BENCHMARK-ONLY forced selection: window of select_sets ids
+        # sliding by m = S*(1-h) per decode step — consecutive steps
+        # overlap in exactly S-m ids, so the slot hit rate is h by
+        # construction. 'scatter' pushes the window through a fixed
+        # modular bijection (odd multiplier coprime with C) so the
+        # miss slots/chunks interleave the way real selection does;
+        # 'contig' keeps the raw window (batched-DMA best case). The
+        # real scores above are still computed and discarded, so the
+        # selection cost is paid exactly as a real step pays it.
+        import math
+
+        ssets = lo.select_sets
+        c_total = lo.chunks
+        m = max(1, int(round(ssets * (1.0 - debug_hit_rate))))
+        t = jnp.max(gen_len).astype(jnp.int32)
+        ids = (t * m + jnp.arange(ssets, dtype=jnp.int32)) % c_total
+        if debug_hit_layout == "scatter":
+            mult = 4097
+            while math.gcd(mult, c_total) != 1:
+                mult += 1
+            ids = (ids * mult) % c_total
+        # data-dependence on the real top-k so the scoring above is
+        # never dead-code-eliminated (the comparison is always False,
+        # but XLA cannot prove it)
+        new_ids = jnp.where(
+            new_ids < -1, new_ids, ids[None, None]
+        )
 
     # --- 2. slot-stable reuse assignment (TPU redesign of the
     #        reference's hash-map hits-first repack, map.cuh:754-796) ---

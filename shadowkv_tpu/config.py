@@ -227,6 +227,16 @@ class RuntimeConfig:
     use_pallas: Optional[object] = None
     pallas_hit_threshold: float = 0.75
     pallas_auto_interval: int = 16
+    # BENCHMARK-ONLY forced selection: replace every layer's top-k
+    # chunk selection with a deterministic sliding-window id stream
+    # whose step-to-step overlap is exactly this hit rate — the knob
+    # that measures the kernel-vs-XLA crossover WITHOUT needing real
+    # weights to produce the locality (benchmarks/prof_refresh_sweep).
+    # 'scatter' maps the window through a fixed bijection so miss
+    # slots/chunks interleave like real selection; 'contig' keeps the
+    # raw window (best case for batched DMA write-backs).
+    debug_hit_rate: Optional[float] = None
+    debug_hit_layout: str = "scatter"
     # Observe-only slot-hit-rate sampling on every shadow decode path
     # (one consecutive step-pair per pallas_auto_interval steps, one
     # scalar host sync each): kv_stats() then reports hit_rate_mean /

@@ -266,6 +266,9 @@ class Engine:
             self.use_pallas = bool(rt.use_pallas)
         # Live decode-path state for 'auto' (also reported by kv_stats).
         self._kernel_now = self.use_pallas
+        # Benchmark-only forced-selection rate (read at decode trace
+        # time; mutate + _decode_shadow_jit.clear_cache() to re-trace).
+        self._debug_hit_rate = rt.debug_hit_rate
         self._auto_hit_ema = None
         self._hit_samples: list = []  # every sampled per-step hit frac
         self._auto_prev_ids = None
@@ -377,8 +380,15 @@ class Engine:
                 mesh=engine.mesh,
                 unroll=engine._decode_unroll,
                 segmented=engine._decode_segmented,
+                debug_hit_rate=engine._debug_hit_rate,
+                debug_hit_layout=rt.debug_hit_layout,
             )
             return _sample(logits, key, temperature, top_k, top_p), cache
+
+        # Raw jit handle: benchmarks mutate _debug_hit_rate (the forced
+        # selection knob) and clear_cache() to retrace at a new rate
+        # without rebuilding the engine (benchmarks/prof_refresh_sweep).
+        self._decode_shadow_jit = decode_shadow_jit
 
         track = self.pallas_auto or rt.track_hit_rate
         if ring_host:
@@ -441,6 +451,8 @@ class Engine:
                     mesh=engine.mesh,
                     unroll=engine._decode_unroll,
                     segmented=engine._decode_segmented,
+                    debug_hit_rate=rt.debug_hit_rate,
+                    debug_hit_layout=rt.debug_hit_layout,
                 )
                 key, sub = jax.random.split(key)
                 t2 = _sample(logits, sub, temperature, top_k, top_p)

@@ -603,6 +603,8 @@ def decode_shadow(
     unroll: bool = False,
     segmented: bool | None = None,  # None = off (measured 2.7x slower
     # than stacked-view attention; see probe_decode_variants_r3)
+    debug_hit_rate: float | None = None,  # BENCHMARK-ONLY forced
+    debug_hit_layout: str = "scatter",  # selection (RuntimeConfig)
 ):
     """One sparse decode step (reference models/base.py:315-341 decode
     branch; see SURVEY.md §3.3 for the kernel-by-kernel mapping).
@@ -665,6 +667,8 @@ def decode_shadow(
             approx_topk=approx_topk, ring_gather=ring_gather,
             v_host=v_host, v_host_axis=v_host_axis, mesh=mesh,
             segmented=segmented,
+            debug_hit_rate=debug_hit_rate,
+            debug_hit_layout=debug_hit_layout,
         )
         if segmented:
             ctx = decode_attention_segments(q, k_view, valid_len)
