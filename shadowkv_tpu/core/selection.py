@@ -266,23 +266,26 @@ def assign_slots_stable(
     eq_in = new_ids[..., :, None] == prev_slot_ids[..., None, :]
     incoming = jnp.logical_not(jnp.any(eq_in, axis=-1))  # [B,K,S]
 
-    # Rank-match incoming chunks to vacant slots, scatter- and
-    # argsort-free (everything is a VPU compare/reduce):
-    #   vacancy rank of slot i  = #vacant slots before i
-    #   incoming rank of pick j = #incoming picks before j
-    # slot i (if vacant) receives the incoming pick with equal rank.
+    # Vacant slots (ascending) receive the incoming chunks in
+    # ASCENDING CHUNK-ID order: one [.., S] sort replaces the old
+    # rank-matching select-reduce, and — because the hits-first miss
+    # compaction (kernels/reconstruct.py compact_misses) preserves
+    # slot order — each step's miss list comes out sorted in BOTH slot
+    # and chunk space. Clustered real-model selections then produce
+    # contiguous chunk RUNS the refresh kernel fetches with one DMA
+    # per run instead of one per chunk (the per-DMA ~0.25 us issue
+    # cost is its miss-regime deficit). Attention is
+    # permutation-invariant over buffer rows, so placement order is
+    # free to choose.
     vac_rank = jnp.cumsum(
         jnp.logical_not(stay).astype(jnp.int32), axis=-1
     ) - 1  # [B,K,S] valid where ~stay
-    in_rank = jnp.cumsum(incoming.astype(jnp.int32), axis=-1) - 1
-    r_iota = jax.lax.broadcasted_iota(
-        jnp.int32, incoming.shape[:-1] + (s, s), incoming.ndim - 1
-    )  # [B,K,R,S] value = R index
-    sel = (in_rank[..., None, :] == r_iota) & incoming[..., None, :]
-    incoming_dense = jnp.sum(
-        jnp.where(sel, new_ids[..., None, :], 0), axis=-1
-    )  # [B,K,S] rank -> incoming chunk id
-    new_for_slot = take_small_int(incoming_dense, jnp.maximum(vac_rank, 0))
+    incoming_sorted = jnp.sort(
+        jnp.where(incoming, new_ids, jnp.int32(2**30)), axis=-1
+    )  # ascending incoming chunk ids, padded at the tail
+    new_for_slot = take_small_int(
+        incoming_sorted, jnp.maximum(vac_rank, 0)
+    )
     slot_ids = jnp.where(stay, prev_slot_ids, new_for_slot)
     stay_count = jnp.sum(stay, axis=-1).astype(jnp.int32)
     return SlotAssignment(slot_ids, stay, stay_count)

@@ -144,8 +144,18 @@ def _refresh_kernel(
     layer = layer_ref[0]
     n = miss_cnt_ref[bk]
     cs, dh = chunk_size, head_dim
-    pt = 32 // cs  # chunks per 32-sublane int8 tile
+    pt = 32 // cs  # chunks per 32-sublane int8 tile (host windows)
     n_groups = (n + GROUP - 1) // GROUP
+
+    # Device-resident U and V arrive as FLAT row-space views
+    # ([.., C*cs, r] / [.., C*cs, Dh]; the wrapper's free leading-dim
+    # reshape of the tiled stores): chunk cid's rows are
+    # [cid*cs, cid*cs + cs) — an 8-aligned sublane slice either dtype
+    # (int8 tile 32, bf16 tile 8; cs % 8 == 0) — and a RUN of
+    # contiguous chunk ids is ONE contiguous row range, fetchable by a
+    # single DMA (assign_slots_stable hands out incoming slots in
+    # ascending chunk order precisely so these runs survive into the
+    # compacted miss list).
 
     def v_dma(j, buf, i):
         cid = miss_chunk_ref[bk, j]
@@ -154,7 +164,8 @@ def _refresh_kernel(
             # LLO finding): fetch a clamped window of host_win
             # consecutive leading-axis elements — one contiguous
             # >=4096 B run — into the VMEM stage; the sub-chunk is
-            # selected locally afterwards.
+            # selected locally afterwards. (Host V keeps the TILED
+            # layout; only device-resident stores are flattened.)
             ct = v_full_hbm.shape[3]
             lead = cid // pt if quant else cid
             wstart = jnp.minimum(
@@ -166,17 +177,15 @@ def _refresh_kernel(
                 v_sems.at[buf, i],
             )
         if quant:
-            # tiled int8 chunk -> VMEM (dequantized + written out later)
+            # flat int8 rows -> VMEM (dequantized + written out later)
             return pltpu.make_async_copy(
-                v_full_hbm.at[
-                    layer, b, k, cid // pt, pl.ds((cid % pt) * cs, cs), :
-                ],
+                v_full_hbm.at[layer, b, k, pl.ds(cid * cs, cs), :],
                 v8_tile.at[buf, pl.ds(i * cs, cs), :],
                 v_sems.at[buf, i],
             )
         row = sparse_start + miss_slot_ref[bk, j] * cs
         return pltpu.make_async_copy(
-            v_full_hbm.at[layer, b, k, cid],
+            v_full_hbm.at[layer, b, k, pl.ds(cid * cs, cs), :],
             v_out_hbm.at[layer, b, k, pl.ds(row, cs), :],
             v_sems.at[buf, i],
         )
@@ -211,18 +220,77 @@ def _refresh_kernel(
 
     def u_dma(j, buf, i):
         cid = miss_chunk_ref[bk, j]
+        tile = u8_tile if quant else u_tile
+        return pltpu.make_async_copy(
+            u_hbm.at[layer, b, pl.ds(cid * cs, cs), :],
+            tile.at[buf, pl.ds(i * cs, cs), :],
+            u_sems.at[buf, i],
+        )
+
+    # ---- run-batched fetches: when a group's GROUP miss chunks are
+    # one contiguous id run, its GROUP*cs rows are one row range and
+    # the whole group's U (and, int8-device, V) input moves in ONE DMA
+    # instead of GROUP scalar-issued ones. bf16-device V additionally
+    # needs the slot run contiguous (the fetch IS the scattered write).
+
+    # A GROUP*cs-row batched slice must be addressable in the flat
+    # stores (tiny test buffers are smaller) — python-level so the
+    # batched copies are never even constructed when impossible.
+    can_fetch = (
+        (not host_win)
+        and u_hbm.shape[2] >= GROUP * cs
+        and v_full_hbm.shape[3] >= GROUP * cs
+    )
+
+    def fetch_contig(g):
+        if not can_fetch:
+            return jnp.bool_(False)
+        j0 = g * GROUP
+        last = jnp.minimum(j0 + GROUP - 1, jnp.maximum(n - 1, 0))
+        return (j0 + GROUP <= n) & (
+            miss_chunk_ref[bk, last] - miss_chunk_ref[bk, j0]
+            == GROUP - 1
+        )
+
+    def v_fetch_batchable(g):
+        """None = V never batches here (host windows; bf16-device with
+        an un-addressable output slice); else the traced predicate:
+        int8-device needs the chunk run, bf16-device (fetch IS the
+        scattered write) additionally the slot run."""
+        if host_win:
+            return None
+        if quant:
+            return fetch_contig(g)
+        if not can_batch:
+            return None  # python-level: the batched copy's GROUP*cs
+            # output slice must never be constructed
+        return fetch_contig(g) & group_contig(g)
+
+    def u_batched(g, buf):
+        cid0 = miss_chunk_ref[bk, g * GROUP]
+        tile = u8_tile if quant else u_tile
+        return pltpu.make_async_copy(
+            u_hbm.at[layer, b, pl.ds(cid0 * cs, GROUP * cs), :],
+            tile.at[buf],
+            u_sems.at[buf, 0],
+        )
+
+    def v_batched_fetch(g, buf):
+        # device modes only (host windows never batch)
+        cid0 = miss_chunk_ref[bk, g * GROUP]
         if quant:
             return pltpu.make_async_copy(
-                u_hbm.at[
-                    layer, b, cid // pt, pl.ds((cid % pt) * cs, cs), :
+                v_full_hbm.at[
+                    layer, b, k, pl.ds(cid0 * cs, GROUP * cs), :
                 ],
-                u8_tile.at[buf, pl.ds(i * cs, cs), :],
-                u_sems.at[buf, i],
+                v8_tile.at[buf],
+                v_sems.at[buf, 0],
             )
+        row0 = sparse_start + miss_slot_ref[bk, g * GROUP] * cs
         return pltpu.make_async_copy(
-            u_hbm.at[layer, b, cid],
-            u_tile.at[buf, pl.ds(i * cs, cs), :],
-            u_sems.at[buf, i],
+            v_full_hbm.at[layer, b, k, pl.ds(cid0 * cs, GROUP * cs), :],
+            v_out_hbm.at[layer, b, k, pl.ds(row0, GROUP * cs), :],
+            v_sems.at[buf, 0],
         )
 
     def k_write_dma(j, buf, i):
@@ -279,15 +347,35 @@ def _refresh_kernel(
         )
 
     def start_group(g):
-        """Issue the group's GROUP U loads + V copies back-to-back."""
+        """Issue the group's U loads + V copies: one DMA per kind when
+        the group is a contiguous chunk run, else GROUP each."""
         buf = g % NBUF
+        fc = fetch_contig(g)
+        vb = v_fetch_batchable(g)
+
+        if can_fetch:
+            @pl.when(fc)
+            def _():
+                u_batched(g, buf).start()
+
+        if vb is not None and can_fetch:
+            @pl.when(vb)
+            def _():
+                v_batched_fetch(g, buf).start()
 
         def issue(i, _):
             j = g * GROUP + i
 
-            @pl.when(j < n)
+            @pl.when((j < n) & jnp.logical_not(fc))
             def _():
                 u_dma(j, buf, i).start()
+
+            no_vb = (
+                jnp.logical_not(vb) if vb is not None else True
+            )
+
+            @pl.when((j < n) & no_vb)
+            def _():
                 v_dma(j, buf, i).start()
 
             return 0
@@ -337,15 +425,43 @@ def _refresh_kernel(
         # writes (and, bf16 mode, its direct V copies) before any reuse
         # (exact semaphore accounting: every started DMA is waited
         # exactly once).
+        fc_g = fetch_contig(g)
+        vb_g = v_fetch_batchable(g)
+
         def wait_in(i, _):
             j = j0 + i
 
-            @pl.when(j < n)
+            if can_fetch:
+                @pl.when(fc_g & (i == 0))
+                def _():
+                    u_batched(g, buf).wait()
+
+            @pl.when((j < n) & jnp.logical_not(fc_g))
             def _():
                 u_dma(j, buf, i).wait()
-                if quant or host_win:
-                    v_dma(j, buf, i).wait()
-                if quant and host_win:
+
+            if quant or host_win:
+                if vb_g is None or not can_fetch:
+                    # host windows / tiny stores: always per-miss
+
+                    @pl.when(j < n)
+                    def _():
+                        v_dma(j, buf, i).wait()
+
+                else:
+
+                    @pl.when(vb_g & (i == 0))
+                    def _():
+                        v_batched_fetch(g, buf).wait()
+
+                    @pl.when((j < n) & jnp.logical_not(vb_g))
+                    def _():
+                        v_dma(j, buf, i).wait()
+
+            if quant and host_win:
+
+                @pl.when(j < n)
+                def _():
                     v_select(j, buf, i)
 
             jp = (g - NBUF) * GROUP + i
@@ -373,9 +489,23 @@ def _refresh_kernel(
                         v_write_dma(jp, buf, i).wait()
 
                 if not (quant or host_win):
-                    # bf16 device mode: the V fetch IS the write
-                    # (scattered HBM->HBM), never batched
-                    v_dma(jp, buf, i).wait()
+                    # bf16 device mode: the V fetch IS the scattered
+                    # write; batched iff BOTH runs were contiguous at
+                    # issue time (v_fetch_batchable)
+                    if can_fetch and can_batch:
+                        vbp = v_fetch_batchable(jnp.maximum(gp, 0))
+
+                        @pl.when(vbp & (i == 0))
+                        def _():
+                            v_batched_fetch(
+                                jnp.maximum(gp, 0), buf
+                            ).wait()
+
+                        @pl.when(jnp.logical_not(vbp))
+                        def _():
+                            v_dma(jp, buf, i).wait()
+                    else:
+                        v_dma(jp, buf, i).wait()
 
             if not quant and host_win:
                 # bf16 host: drain the stage into v_tile only AFTER the
@@ -509,10 +639,19 @@ def _refresh_kernel(
                 jax.lax.fori_loop(0, GROUP, w, 0)
 
             if not (quant or host_win):
+                vbg = (
+                    v_fetch_batchable(g) if can_fetch and can_batch
+                    else jnp.bool_(False)
+                )
+                if can_fetch and can_batch:
+                    @pl.when(vbg)
+                    def _():
+                        v_batched_fetch(g, buf).wait()
+
                 def wv(i, _):
                     j = g * GROUP + i
 
-                    @pl.when(j < n)
+                    @pl.when((j < n) & jnp.logical_not(vbg))
                     def _():
                         v_dma(j, buf, i).wait()
 
@@ -599,6 +738,16 @@ def sparse_refresh(
         # rank padding must hold the scale lanes clear of real SV rows
         assert r >= scale_lanes_for(total_kh), (r, total_kh)
     bk = bsz * kh
+
+    # FLAT row-space views of the device-resident stores (free
+    # leading-dim reshapes — same bytes): chunk cid = rows
+    # [cid*cs, cid*cs+cs), so per-chunk DMAs are 8-aligned sublane
+    # slices and contiguous chunk RUNS are single DMAs. Host-resident
+    # V keeps the tiled layout (host DMAs move 4096-B window units).
+    u = u.reshape(l, bsz, -1, u.shape[-1])
+    if not host_win:  # host_win (not host_v): interpret-mode host
+        # tests emulate the window addressing on a device array
+        v_full = v_full.reshape(l, bsz, kh, -1, dh)
 
     kernel = functools.partial(
         _refresh_kernel,

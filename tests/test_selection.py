@@ -138,9 +138,12 @@ def test_assign_slots_stable_properties():
     np.testing.assert_array_equal(np.asarray(asg2.slot_ids), prev_np)
     assert np.asarray(asg2.stay_mask).all()
 
-    # All-miss: every slot replaced, occupancy = new ids in order.
+    # All-miss: every slot replaced; incoming chunks land in ASCENDING
+    # chunk-id order (slot order == chunk order for each step's
+    # misses — the property the refresh kernel's run-batched fetch
+    # DMAs rely on; attention is permutation-invariant over slots).
     asg3 = assign_slots_stable(prev, prev + 500)
     assert not np.asarray(asg3.stay_mask).any()
     np.testing.assert_array_equal(
-        np.asarray(asg3.slot_ids), np.asarray(prev + 500)
+        np.asarray(asg3.slot_ids), np.sort(np.asarray(prev + 500), -1)
     )
