@@ -113,6 +113,56 @@ def test_sparse_refresh_compiled_matches_interpret(quant):
     )
 
 
+@pytest.mark.parametrize("quant", [False, True])
+def test_sparse_refresh_batched_runs_compiled(quant):
+    """Contiguous-run batched fetch DMAs (flat row-space addressing):
+    32 misses whose chunk ids AND slots are ascending runs — both
+    16-chunk groups take the single-DMA path on real Mosaic. Verified
+    against interpret mode."""
+    from shadowkv_tpu.core.quant import SCALE_LANES, pack_shadow_int8
+
+    c_big, s_big = 64, 32
+    cap = SPARSE_START + s_big * CS + 16
+    ks = jax.random.split(jax.random.PRNGKey(1), 8)
+    u = jax.random.normal(ks[0], (L, B, c_big, CS, R), jnp.bfloat16)
+    sv = jax.random.normal(ks[1], (L, B, K, R, DH), jnp.bfloat16)
+    v_full = jax.random.normal(
+        ks[2], (L, B, K, c_big, CS, DH), jnp.bfloat16
+    )
+    k_buf = jnp.zeros((L, B, K, cap, DH), jnp.bfloat16)
+    v_buf = jnp.zeros((L, B, K, cap, DH), jnp.bfloat16)
+    # all-miss, chunk ids = one contiguous run per (b, k) row
+    slot_ids = jnp.broadcast_to(
+        jnp.arange(8, 8 + s_big, dtype=jnp.int32), (B, K, s_big)
+    )
+    stay = jnp.zeros((B, K, s_big), jnp.bool_)
+    invf = jnp.asarray(
+        np.concatenate(
+            [1.0 / 1e4 ** (np.arange(0, DH, 2) / DH)] * 2
+        )[None],
+        jnp.float32,
+    )
+    if quant:
+        rp = ((R + SCALE_LANES + 127) // 128) * 128
+        u = jnp.pad(u, ((0, 0),) * 3 + ((0, 0), (0, rp - R)))
+        sv = jnp.pad(sv, ((0, 0),) * 3 + ((0, rp - R), (0, 0)))
+        u, v_full = pack_shadow_int8(u, v_full)
+    mc, ms, cnt = compact_misses(slot_ids, stay)
+    args = (jnp.asarray(0, jnp.int32), mc, ms, cnt, u, sv, v_full,
+            invf, k_buf, v_buf)
+    kw = dict(chunk_size=CS, sparse_start=SPARSE_START, rope_dim=DH)
+    k_c, v_c = sparse_refresh(*args, **kw)
+    k_i, v_i = sparse_refresh(*args, interpret=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(v_c, np.float32), np.asarray(v_i, np.float32),
+        rtol=0.05, atol=0.05,
+    )
+    np.testing.assert_allclose(
+        np.asarray(k_c, np.float32), np.asarray(k_i, np.float32),
+        rtol=0.05, atol=0.05,
+    )
+
+
 @pytest.mark.parametrize(
     "dtype,tile_sub",
     [("bf16", 8), ("int8", 32)],

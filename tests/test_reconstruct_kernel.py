@@ -278,3 +278,82 @@ def test_sparse_refresh_batched_contiguous_writes(rng, quant):
     np.testing.assert_allclose(
         np.array(k_out), k_exp, rtol=0.05, atol=tol
     )
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_sparse_refresh_batched_contiguous_fetch(rng, quant):
+    """Contiguous CHUNK-ID runs (the post-round-3 flat row-space fetch
+    batching): all-miss with chunk ids ascending runs per (b, k) — the
+    full groups take the single-fetch-DMA path (U always; V int8 via
+    the chunk run; V bf16 direct via chunk+slot runs) and must match
+    the per-chunk reference. A second head starts mid-run so group
+    boundaries and the partial tail group are exercised too."""
+    from shadowkv_tpu.core.quant import pack_shadow_int8, scale_lanes_for
+
+    l, b, kh, c, cs, dh = 2, 1, 2, 80, 8, 128
+    s_sets = 40
+    sparse_start = 16
+    cap = sparse_start + s_sets * cs + 16
+    rank = 32
+    rp = rank + (scale_lanes_for(kh) if quant else 0)
+    ks = jax.random.split(rng, 8)
+    u = jax.random.normal(ks[0], (l, b, c, cs, rp), jnp.float32)
+    u = u.at[..., rank:].set(0.0)
+    sv = jax.random.normal(ks[1], (l, b, kh, rp, dh), jnp.float32)
+    sv = sv.at[:, :, :, rank:, :].set(0.0) if quant else sv
+    v_full = jax.random.normal(ks[2], (l, b, kh, c, cs, dh), jnp.float32)
+    k_buf = jax.random.normal(ks[3], (l, b, kh, cap, dh), jnp.float32)
+    v_buf = jax.random.normal(ks[4], (l, b, kh, cap, dh), jnp.float32)
+    # head 0: run starting at chunk 0 (tile-aligned); head 1: at 13
+    # (misaligned with the int8 pt-tile, still one flat row run)
+    slot_ids = jnp.stack(
+        [
+            jnp.arange(0, s_sets, dtype=jnp.int32),
+            jnp.arange(13, 13 + s_sets, dtype=jnp.int32),
+        ]
+    )[None]
+    stay = jnp.zeros((b, kh, s_sets), bool)
+    invf = _inv_freq_full()
+    miss_chunk, miss_slot, miss_cnt = compact_misses(slot_ids, stay)
+    if quant:
+        u_in, v_in = pack_shadow_int8(u, v_full, rank=rank)
+    else:
+        u_in, v_in = u, v_full
+    k_out, v_out = sparse_refresh(
+        jnp.asarray(1, jnp.int32),
+        miss_chunk, miss_slot, miss_cnt,
+        u_in, sv, v_in, invf, k_buf, v_buf,
+        chunk_size=cs, sparse_start=sparse_start, rope_dim=dh,
+        interpret=True,
+    )
+    if quant:
+        from shadowkv_tpu.core.quant import unpack_u_int8, unpack_v_int8
+
+        u_ref = unpack_u_int8(u_in, cs, rp, jnp.float32)[..., :rank]
+        v_ref_full = unpack_v_int8(v_in, u_in, cs, rp, dh, jnp.float32)
+    else:
+        u_ref, v_ref_full = u, v_full
+    k_exp, v_exp = np.array(k_buf), np.array(v_buf)
+    for bb in range(b):
+        for kk in range(kh):
+            for ss in range(s_sets):
+                cid = int(slot_ids[bb, kk, ss])
+                row = sparse_start + ss * cs
+                v_exp[1, bb, kk, row : row + cs] = np.asarray(
+                    v_ref_full
+                ).reshape(l, b, kh, c, cs, dh)[1, bb, kk, cid]
+                k_rec = (
+                    np.asarray(u_ref).reshape(l, b, c, cs, rank)[
+                        1, bb, cid
+                    ]
+                    @ np.asarray(sv)[1, bb, kk, :rank]
+                )
+                pos = cid * cs + jnp.arange(cs, dtype=jnp.float32)
+                k_exp[1, bb, kk, row : row + cs] = np.array(
+                    _rope_ref(jnp.asarray(k_rec), pos, invf)
+                )
+    tol = 0.06 if quant else 1e-5
+    np.testing.assert_allclose(np.array(v_out), v_exp, atol=tol)
+    np.testing.assert_allclose(
+        np.array(k_out), k_exp, rtol=0.05, atol=tol
+    )
