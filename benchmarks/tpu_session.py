@@ -826,6 +826,27 @@ STAGES = {
         "env": {"BENCH_CHUNK_SIZE": "16"},
         "timeout": 7200,
     },
+    # Serve dispatch A/B under EQUAL compile-cache state (adjacent
+    # stages): absolute serve numbers swung 4.6 -> 3.7 -> 3.5 across
+    # rounds while the cold/warm compile state of the 122K programs
+    # differed per run; chunk=1 vs chunk=8 back-to-back isolates the
+    # scanned k-step dispatch (b2b3707) cleanly.
+    "bench_serve_chunk1_r4": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "serve", "BENCH_DECODE_STEPS": "100",
+            "BENCH_SERVE_CHUNK": "1",
+        },
+        "timeout": 5400,
+    },
+    "bench_serve_chunk8_r4": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "serve", "BENCH_DECODE_STEPS": "100",
+            "BENCH_SERVE_CHUNK": "8",
+        },
+        "timeout": 5400,
+    },
 }
 
 
@@ -876,6 +897,7 @@ _ORDER = [
     "bench_glm_full_b2", "bench_glm_full_b1",
     "bench_yi_full_b2", "bench_yi_full_b1",
     "bench_pallas_r4", "prof_refresh_sweep", "prof_refresh_sweep_cs16",
+    "bench_serve_chunk1_r4", "bench_serve_chunk8_r4",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
