@@ -76,46 +76,65 @@ def main():
     rank = lo.rank_pad
     q = jax.random.normal(jax.random.PRNGKey(2), (b, 1, cfg.num_heads, dh), cfg.dtype)
 
-    lms0, idx0, prev0 = cache.landmarks[0], cache.landmark_idx[0], cache.cached_ids[0]
-    kbuf0, vbuf0, sv0, u0 = cache.k_buf[0], cache.v_buf[0], cache.sv[0], cache.u[0]
+    # Flat row-space views of the (possibly int8-tiled) stores: chunk
+    # cid = rows [cid*cs, cid*cs+cs) — matches the decode path's
+    # addressing; dequant scales are omitted (byte traffic, not scale
+    # math, is what this ablation times).
+    lms0, mask0, prev0 = (
+        cache.landmarks[0], cache.landmark_mask[0], cache.cached_ids[0]
+    )
+    lm_sc0 = cache.lm_scale[0] if cache.lm_scale is not None else None
+    kbuf0, vbuf0, sv0 = cache.k_buf[0], cache.v_buf[0], cache.sv[0]
+    u_flat0 = cache.u[0].reshape(b, -1, rank)  # [B, C*cs, rank_pad]
+    v_flat = cache.v_full.reshape(
+        cache.v_full.shape[0], b, kh, -1, dh
+    )
 
-    def sel_only(q, lms, idx, prev):
+    def sel_only(q, lms, mask, prev):
         qg = q.transpose(0, 2, 1, 3).reshape(b, kh, g, 1, dh)
-        ids_new = score_and_select(qg, lms, idx, ssets)
+        ids_new = score_and_select(
+            qg, lms, mask, ssets, landmark_scale=lm_sc0
+        )
         ro = reorder_hits_first(prev, ids_new)
         return ro.ids, ro.hit_count
 
-    t = timeit(jax.jit(sel_only), q, lms0, idx0, prev0)
+    t = timeit(jax.jit(sel_only), q, lms0, mask0, prev0)
     print(f"selection+reorder     x{nlayers}: {t*nlayers*1e3:7.2f} ms ({t*1e3:.3f}/layer)")
-    ids_new = jax.jit(sel_only)(q, lms0, idx0, prev0)[0]
+    ids_new = jax.jit(sel_only)(q, lms0, mask0, prev0)[0]
+    rows_of = lambda ids_sel: (
+        ids_sel[..., None] * cs + jnp.arange(cs, dtype=jnp.int32)
+    ).reshape(b, kh, ssets * cs)
 
-    def v_path(ids_sel, v_full, vbuf):
+    def v_path(ids_sel, v_flat, vbuf):
         bi = jnp.arange(b)[:, None, None]
         ki = jnp.arange(kh)[None, :, None]
         v_old = vbuf[:, :, lo.sparse_start:lo.sparse_end].reshape(b, kh, ssets, cs*dh)
         v_hits = jnp.take_along_axis(v_old, ids_sel[..., None] % ssets, axis=2)
-        v_miss = v_full[0, bi, ki, ids_sel].reshape(b, kh, ssets, cs*dh)
+        v_miss = v_flat[0, bi, ki, rows_of(ids_sel)].astype(
+            vbuf.dtype
+        ).reshape(b, kh, ssets, cs*dh)
         v_sp = jnp.where((ids_sel % 2 == 0)[..., None], v_hits, v_miss)
         return jax.lax.dynamic_update_slice(
             vbuf, v_sp.reshape(b, kh, ssets*cs, dh), (0, 0, lo.sparse_start, 0))
 
-    t = timeit(jax.jit(v_path), ids_new, cache.v_full, vbuf0)
+    t = timeit(jax.jit(v_path), ids_new, v_flat, vbuf0)
     print(f"v hits+miss+write     x{nlayers}: {t*nlayers*1e3:7.2f} ms ({t*1e3:.3f}/layer)")
 
     def u_gather_only(ids_sel, u_l):
         bi = jnp.arange(b)[:, None, None]
-        return u_l[bi, ids_sel]  # [B,K,S,cs*r]
+        return u_l[bi, rows_of(ids_sel)]  # [B,K,S*cs,r]
 
-    t = timeit(jax.jit(u_gather_only), ids_new, u0)
+    t = timeit(jax.jit(u_gather_only), ids_new, u_flat0)
     print(f"u chunk gather        x{nlayers}: {t*nlayers*1e3:7.2f} ms ({t*1e3:.3f}/layer)")
 
     def k_gemm_only(ids_sel, u_l, sv_l):
         bi = jnp.arange(b)[:, None, None]
-        u_rows = u_l[bi, ids_sel].reshape(b, kh, ssets*cs, rank)
-        return jnp.einsum("bknr,bkrd->bknd", u_rows, sv_l,
+        u_rows = u_l[bi, rows_of(ids_sel)].astype(jnp.bfloat16)
+        return jnp.einsum("bknr,bkrd->bknd", u_rows,
+                          sv_l.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
-    t = timeit(jax.jit(k_gemm_only), ids_new, u0, sv0)
+    t = timeit(jax.jit(k_gemm_only), ids_new, u_flat0, sv0)
     print(f"u gather + gemm       x{nlayers}: {t*nlayers*1e3:7.2f} ms ({t*1e3:.3f}/layer)")
 
     half = cos.shape[-1]
@@ -124,8 +143,9 @@ def main():
 
     def k_full_path(ids_sel, u_l, sv_l, kbuf):
         bi = jnp.arange(b)[:, None, None]
-        u_rows = u_l[bi, ids_sel].reshape(b, kh, ssets*cs, rank)
-        k_rec = jnp.einsum("bknr,bkrd->bknd", u_rows, sv_l,
+        u_rows = u_l[bi, rows_of(ids_sel)].astype(jnp.bfloat16)
+        k_rec = jnp.einsum("bknr,bkrd->bknd", u_rows,
+                           sv_l.astype(jnp.bfloat16),
                            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
         cos_g = cos_ctx[ids_sel].reshape(b, kh, ssets*cs, half)
         sin_g = sin_ctx[ids_sel].reshape(b, kh, ssets*cs, half)
@@ -137,7 +157,7 @@ def main():
         return jax.lax.dynamic_update_slice(
             kbuf, k_sp.reshape(b, kh, ssets*cs, dh), (0, 0, lo.sparse_start, 0))
 
-    t = timeit(jax.jit(k_full_path), ids_new, u0, sv0, kbuf0)
+    t = timeit(jax.jit(k_full_path), ids_new, u_flat0, sv0, kbuf0)
     print(f"k full path           x{nlayers}: {t*nlayers*1e3:7.2f} ms ({t*1e3:.3f}/layer)")
 
     def attn(q, kbuf, vbuf):

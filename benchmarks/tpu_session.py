@@ -847,6 +847,26 @@ STAGES = {
         },
         "timeout": 5400,
     },
+    # Per-term decode ablation at the bench config (fixed for the
+    # current cache API + flat row views; 4th attempt).
+    "prof_ablate_r4": {
+        "cmd": [
+            sys.executable, "benchmarks/prof_ablate.py", "122880", "4",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
+    # Compiled validation of the run-batched fetch path (the two
+    # tests added after kernel_tests_r4 ran).
+    "kernel_tests_r4b": {
+        "cmd": [
+            sys.executable, "-m", "pytest",
+            "tests/test_kernel_tpu.py::test_sparse_refresh_batched_runs_compiled",
+            "-q", "--no-header",
+        ],
+        "env": {"SHADOWKV_TPU_TESTS": "1"},
+        "timeout": 3600,
+    },
 }
 
 
@@ -898,6 +918,7 @@ _ORDER = [
     "bench_yi_full_b2", "bench_yi_full_b1",
     "bench_pallas_r4", "prof_refresh_sweep", "prof_refresh_sweep_cs16",
     "bench_serve_chunk1_r4", "bench_serve_chunk8_r4",
+    "prof_ablate_r4", "kernel_tests_r4b",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
