@@ -856,6 +856,20 @@ STAGES = {
         "env": {},
         "timeout": 5400,
     },
+    # 60K b8 knee recovery attempt: the prof_decode_60k_b8 traces show
+    # XLA rematerializing the int8 dequant chain past a memory knee
+    # (README "60K batch-8 knee"); int8 weights free ~1.4 GB of
+    # headroom — if the remat disappears, b8 should beat b6's 202.9.
+    "bench_60k_b8_wq8": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_DATALEN": "61440",
+            "BENCH_SHADOW_BATCH": "8",
+            "BENCH_WQUANT": "int8",
+        },
+        "timeout": 3600,
+    },
     # Compiled validation of the run-batched fetch path (the two
     # tests added after kernel_tests_r4 ran).
     "kernel_tests_r4b": {
@@ -918,7 +932,7 @@ _ORDER = [
     "bench_yi_full_b2", "bench_yi_full_b1",
     "bench_pallas_r4", "prof_refresh_sweep", "prof_refresh_sweep_cs16",
     "bench_serve_chunk1_r4", "bench_serve_chunk8_r4",
-    "prof_ablate_r4", "kernel_tests_r4b",
+    "prof_ablate_r4", "kernel_tests_r4b", "bench_60k_b8_wq8",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
