@@ -856,6 +856,15 @@ STAGES = {
         "env": {},
         "timeout": 5400,
     },
+    # Top-k variant recall/latency grid (exact 156.0 vs stock-approx
+    # 188.4 vs mult8 201.7 tok/s at b4/122K): find the variant with
+    # >=0.95 on-chip recall at BOTH bench scales and the least sort
+    # time (two-stage candidates included).
+    "probe_topk_recall": {
+        "cmd": [sys.executable, "benchmarks/probe_topk_recall.py"],
+        "env": {},
+        "timeout": 3600,
+    },
     # 60K b8 knee recovery attempt: the prof_decode_60k_b8 traces show
     # XLA rematerializing the int8 dequant chain past a memory knee
     # (README "60K batch-8 knee"); int8 weights free ~1.4 GB of
@@ -933,6 +942,7 @@ _ORDER = [
     "bench_pallas_r4", "prof_refresh_sweep", "prof_refresh_sweep_cs16",
     "bench_serve_chunk1_r4", "bench_serve_chunk8_r4",
     "prof_ablate_r4", "kernel_tests_r4b", "bench_60k_b8_wq8",
+    "probe_topk_recall",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)

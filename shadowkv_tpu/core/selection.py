@@ -32,6 +32,10 @@ import jax.numpy as jnp
 # target) — stock lowering is the only setting that honors the
 # recall_target contract.
 TOPK_OVERRIDE_MULT = int(os.environ.get("SHADOWKV_TOPK_MULT", "0"))
+# Two-stage approx top-k: deep-approx to TOPK_TWO_STAGE*select_sets
+# candidates, exact top-k over them. 0 = off (single-stage). Read at
+# TRACE time like the mult override.
+TOPK_TWO_STAGE = int(os.environ.get("SHADOWKV_TOPK_TWO_STAGE", "0"))
 
 
 class LandmarkState(NamedTuple):
@@ -135,24 +139,40 @@ def score_and_select(
     probs = jnp.max(probs, axis=-2)  # over G -> [B, K, C]
     if approx:
         # TPU ApproxTopK partial reduction. In the decode program the
-        # exact lax.top_k lowers to a full sort costing ~4.5 ms/step at
-        # 15K landmarks; approx_max_k replaces most of it with a
-        # PartialReduce. BUT (compiled-HLO probes, /tmp/probe_topk*):
-        # at default settings the reduction is far too shy — C=7672
-        # (60K ctx) falls back to a FULL exact sort (the 2.7 ms/step
-        # "sort.13" in prof_decode_60k_b6), and C=15352 (122K) only
-        # reduces to 7680 before the aggregate sort. Overriding the
-        # claimed input size to a multiple of the next pow2 of C
-        # forces a deeper reduction. Measured recall vs exact top-k
-        # on chip (test_approx_topk_recall): 4x -> 0.944 at C=15352
-        # (FAILS the 0.95 bar), so the default multiplier is 8x
-        # (shallower reduction, ~3840 rows, recall above target).
-        # TOPK_OVERRIDE_MULT: 0 disables the override (stock
-        # lowering); probes/benches may set it via
-        # SHADOWKV_TOPK_MULT before trace time.
+        # exact lax.top_k lowers to a full sort (measured on chip,
+        # bench_xla_exact_r4: 156.0 tok/s vs 188.4 stock-approx vs
+        # 201.7 mult8 at b4/122K — exact costs ~5.9 ms/step). The
+        # variants on the recall/speed frontier:
+        #   stock (mult=0): XLA's own >=0.95 recall contract — at
+        #     C=7672 it falls back to a FULL sort, at C=15352 it
+        #     reduces to 7680 rows before the aggregate sort.
+        #   reduction_input_size_override (SHADOWKV_TOPK_MULT=m):
+        #     claims m * next_pow2(C) inputs, forcing a DEEPER
+        #     reduction — faster, but measured recall on chip drops
+        #     below the bar (mult8: 0.892 at C=7672; mult4: 0.944 at
+        #     C=15352, kernel_recall_r3c / kernel_tests_r3b).
+        #   two-stage (SHADOWKV_TOPK_TWO_STAGE=f, default 4): deep
+        #     approx down to f*select_sets CANDIDATES (top-S recall
+        #     of a deep reduce to 4S is far higher than its top-S-
+        #     direct recall), then EXACT top-k over the f*S survivors
+        #     (a small sort). Candidate indices map back through the
+        #     stage-1 gather.
         c = probs.shape[-1]
         mult = TOPK_OVERRIDE_MULT
-        if c >= 4096 and mult > 0:
+        if TOPK_TWO_STAGE > 0 and c >= 4096:
+            m = TOPK_TWO_STAGE * select_sets
+            ov = {}
+            if mult > 0:
+                ov["reduction_input_size_override"] = (
+                    mult * (1 << (c - 1).bit_length())
+                )
+            cand_val, cand_idx = jax.lax.approx_max_k(
+                probs, m, recall_target=0.95,
+                aggregate_to_topk=True, **ov,
+            )
+            _, pos = jax.lax.top_k(cand_val, select_sets)
+            top = jnp.take_along_axis(cand_idx, pos, axis=-1)
+        elif c >= 4096 and mult > 0:
             override = mult * (1 << (c - 1).bit_length())
             _, top = jax.lax.approx_max_k(
                 probs, select_sets, recall_target=0.95,
