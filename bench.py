@@ -16,7 +16,8 @@ BENCH_DECODE_STEPS, BENCH_MODE (full|shadow|both|serve), BENCH_QUANT
 weight-only quantized dense path — core/wquant.py), BENCH_USE_PALLAS
 (0|1), BENCH_RING (0|1, ring-DMA chunk gather on the decode path),
 BENCH_CACHE_MODE (shadow|shadow_offload), BENCH_APPROX_TOPK (0|1,
-opt-in approx_max_k selection; default exact).
+default 1 = approx_max_k selection with the measured mult2 override;
+0 = exact top-k).
 
 BENCH_MODE=serve measures continuous batching: BENCH_REQUESTS requests
 (default 2x the shadow batch) with generation lengths staggered
@@ -394,10 +395,10 @@ def main():
             # via the tiny-model oracle).
             chunk_size=int(os.environ.get("BENCH_CHUNK_SIZE", "8")),
             kv_quant=quant,
-            # BENCH_APPROX_TOPK=1: opt-in approx_max_k selection (the
-            # default is exact top-k, matching the reference; the
-            # probe-measured delta is neutral — see config.py).
-            approx_topk=os.environ.get("BENCH_APPROX_TOPK", "") == "1",
+            # BENCH_APPROX_TOPK=0 forces exact top-k; default follows
+            # CacheConfig (approx + mult2 override — the measured
+            # recall/latency frontier, probe_topk_recall).
+            approx_topk=os.environ.get("BENCH_APPROX_TOPK", "1") == "1",
         )
         shadow_tps = run_engine(
             "shadowkv", cfg, shadow_cfg, rt, params, datalen, shadow_batch,

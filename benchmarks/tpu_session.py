@@ -865,6 +865,14 @@ STAGES = {
         "env": {},
         "timeout": 3600,
     },
+    # Headline at the FINAL selection default (approx + mult2): the
+    # probe-picked recall/latency frontier point, expected ~201 tok/s
+    # with green recall (probe_topk_recall).
+    "bench_xla_mult2_r4": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {"BENCH_MODE": "shadow", "BENCH_PREFILL_WARM": "1"},
+        "timeout": 5400,
+    },
     # 60K b8 knee recovery attempt: the prof_decode_60k_b8 traces show
     # XLA rematerializing the int8 dequant chain past a memory knee
     # (README "60K batch-8 knee"); int8 weights free ~1.4 GB of
@@ -942,7 +950,7 @@ _ORDER = [
     "bench_pallas_r4", "prof_refresh_sweep", "prof_refresh_sweep_cs16",
     "bench_serve_chunk1_r4", "bench_serve_chunk8_r4",
     "prof_ablate_r4", "kernel_tests_r4b", "bench_60k_b8_wq8",
-    "probe_topk_recall",
+    "probe_topk_recall", "bench_xla_mult2_r4",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)

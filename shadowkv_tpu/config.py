@@ -105,14 +105,14 @@ class CacheConfig:
     # per-row scales (~2x feasible batch at 122K); 'none' keeps bf16.
     kv_quant: str = "none"
     # Approximate top-k (jax.lax.approx_max_k) for the per-step
-    # landmark selection. Default False = EXACT top-k, matching the
-    # reference (kv_cache.py:1031-1035): probe_decode_variants_r3
-    # measured the approx variants perf-NEUTRAL at the headline config
-    # while the on-chip recall at the mult8 override is 0.892 at
-    # C=7672 (< the 0.95 bar, logs/kernel_recall_r3c.log) — the
-    # accuracy loss bought nothing. Opt-in for experimentation only;
-    # SHADOWKV_TOPK_MULT tunes the reduction depth.
-    approx_topk: bool = False
+    # landmark selection. Default True with the measured mult2
+    # reduction override (core/selection.py): exact top-k costs ~6
+    # ms/step at the headline config (bench_xla_exact_r4: 156.0 vs
+    # 201.7 tok/s) while mult2 keeps on-chip recall at 0.986/0.976
+    # for the 60K/122K landmark scales (probe_topk_recall — above the
+    # 0.95 bar the r3 mult8 default failed). The reference uses exact
+    # top-k (kv_cache.py:1031-1035); False restores that.
+    approx_topk: bool = True
 
     def resolved_outlier_chunks(self) -> int:
         if self.outlier_chunks is not None:

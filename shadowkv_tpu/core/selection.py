@@ -26,12 +26,14 @@ import jax.numpy as jnp
 # ApproxTopK reduction_input_size_override multiplier (x next pow2 of
 # the landmark count); 0 = stock lowering. Read at TRACE time — set
 # SHADOWKV_TOPK_MULT (or assign the module var) before building jits.
-# Default 0: the deeper-reduction overrides were measured perf-NEUTRAL
-# (probe_decode_variants_r3) while mult8 recall on chip is 0.892 at
-# C=7672 and mult4 is 0.944 at C=15352 (< approx_max_k's own 0.95
-# target) — stock lowering is the only setting that honors the
-# recall_target contract.
-TOPK_OVERRIDE_MULT = int(os.environ.get("SHADOWKV_TOPK_MULT", "0"))
+# Default 2 — the measured recall/latency frontier on chip
+# (probe_topk_recall, per-layer selection ms at the bench shapes):
+#   C=7672 : exact 1.0/--  stock 1.0/0.99  mult2 .986/.76  mult8 .892/.72
+#   C=15352: exact 1.0/1.26 stock .993/.89 mult2 .976/.85  mult8 .890/.82
+# mult2 is the deepest reduction with >=0.95 recall at BOTH bench
+# scales and is within noise of mult8's speed; exact costs ~6 ms/step
+# e2e (bench_xla_exact_r4 156.0 vs 201.7 tok/s).
+TOPK_OVERRIDE_MULT = int(os.environ.get("SHADOWKV_TOPK_MULT", "2"))
 # Two-stage approx top-k: deep-approx to TOPK_TWO_STAGE*select_sets
 # candidates, exact top-k over them. 0 = off (single-stage). Read at
 # TRACE time like the mult override.

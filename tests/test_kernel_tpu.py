@@ -311,17 +311,14 @@ def test_vs_sparse_compiles_at_122k_metadata_scale():
 
 
 def test_approx_topk_recall():
-    """The opt-in ApproxTopK path (stock lowering, mult=0 default) must
-    keep >= 0.95 recall vs exact top-k at both bench landmark-table
-    scales — XLA's own recall_target contract. The forced-deeper
-    reduction overrides (SHADOWKV_TOPK_MULT=4/8) measured 0.944/0.892
-    on chip (kernel_tests_r3b, kernel_recall_r3c) and were perf-neutral
-    (probe_decode_variants_r3), so the default selection is now EXACT
-    (config.py approx_topk=False) and the override default is 0."""
-    from shadowkv_tpu.core import selection
+    """The DEFAULT ApproxTopK config (approx_topk=True + mult2
+    override) must keep >= 0.95 recall vs exact top-k at both bench
+    landmark-table scales. probe_topk_recall measured the frontier:
+    mult2 = 0.986/0.976 recall at mult8's speed; mult8 (the r3
+    default) fails at 0.892 and exact costs ~6 ms/step e2e
+    (bench_xla_exact_r4)."""
     from shadowkv_tpu.core.selection import score_and_select
 
-    assert selection.TOPK_OVERRIDE_MULT == 0 or "SHADOWKV_TOPK_MULT" in os.environ
     for c in (7672, 15352):
         key = jax.random.PRNGKey(c)
         q = jax.random.normal(key, (4, 8, 2, 1, 128), jnp.bfloat16)
