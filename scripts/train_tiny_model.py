@@ -47,6 +47,66 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+def make_samples_dense(tokenizer, n: int, ctx: int, seed: int):
+    """DENSE associative recall in RULER's exact phrasing: many
+    "One of the special magic numbers for {k} is: {v}." lines, then
+    several query lines each teacher-forcing its value. One RULER
+    niah sample carries ~4 answer tokens per 4K context — far too
+    sparse a gradient for the retrieval circuit to form (r3/r4
+    trainers plateaued at format-only answer loss); here every sample
+    carries dozens of retrieval targets, and the learned circuit
+    transfers to the sparse single-needle eval distribution (phase-B
+    fine-tuning below).
+
+    Returns (ids [n, ctx], mask [n, ctx]) with mask 2 on query-answer
+    tokens, 1 elsewhere (light LM loss), 0 on padding.
+    """
+    import random
+
+    from shadowkv_tpu.data.wordlists import adjective_noun_words
+
+    words = adjective_noun_words()
+    rng = random.Random(seed)
+    ids = np.zeros((n, ctx), np.int32)
+    mask = np.zeros((n, ctx), np.int32)
+    for i in range(n):
+        pairs = []
+        toks: list = []
+        marks: list = []
+
+        def put(text, answer=False):
+            t = tokenizer.encode(text, add_special_tokens=False)
+            toks.extend(t)
+            marks.extend([2 if answer else 1] * len(t))
+
+        while True:
+            # a few needle lines, then a query over a random one
+            fresh = []
+            for _ in range(rng.randint(2, 4)):
+                k = rng.choice(words)
+                v = str(rng.randint(1000000, 9999999))
+                fresh.append((k, v))
+                put(
+                    f"One of the special magic numbers for {k} is: "
+                    f"{v}.\n"
+                )
+            pairs.extend(fresh)
+            k, v = rng.choice(pairs)
+            put(
+                f"What is the special magic number for {k} mentioned "
+                "in the provided text? The special magic number for "
+                f"{k} mentioned in the provided text is"
+            )
+            put(" " + v, answer=True)
+            put(tokenizer.eos_token + "\n")
+            if len(toks) > ctx - 40:
+                break
+        seq = toks[:ctx]
+        ids[i, : len(seq)] = seq
+        mask[i, : len(seq)] = marks[: len(seq)]
+    return ids, mask
+
+
 def make_samples(tokenizer, n: int, ctx: int, seed: int, task="niah_single_1"):
     """RULER samples packed to exactly ``ctx`` tokens: returns
     (ids [n, ctx], mask [n, ctx]) with mask 2 on ANSWER tokens, 1 on
@@ -272,12 +332,21 @@ def main():
         )
         return jnp.argmax(logits, axis=-1)  # [n, s-1] token ids
 
-    def retrieval_acc(params, n, ctx, seed):
-        """Teacher-forced FULL-answer exact match (every answer token
-        predicted correctly) — the tightest cheap proxy for the eval
-        harness's greedy string score."""
-        ids, mask = make_samples(tokenizer, n, ctx, seed=seed)
+    def retrieval_acc(params, n, ctx, seed, kind="ruler"):
+        """kind='ruler': teacher-forced FULL-answer exact match per
+        sample (the tightest cheap proxy for the eval harness's greedy
+        string score). kind='dense': per-answer-token accuracy over
+        the many query answers of the dense recall samples."""
+        mk = make_samples_dense if kind == "dense" else make_samples
+        ids, mask = mk(tokenizer, n, ctx, seed=seed)
         pred = np.asarray(probe_step(params, jnp.asarray(ids), ctx))
+        if kind == "dense":
+            ok = tot = 0
+            for i in range(n):
+                for p in np.nonzero(mask[i] == 2)[0]:
+                    ok += int(pred[i, p - 1] == ids[i, p])
+                    tot += 1
+            return ok / max(tot, 1)
         hits = 0
         for i in range(n):
             ans_pos = np.nonzero(mask[i] == 2)[0]
@@ -286,30 +355,38 @@ def main():
             )
         return hits / n
 
-    # Length curriculum: the retrieval circuit forms at short context
-    # (short needle-query distance) and transfers up. Each phase runs
-    # until full-answer retrieval >= 0.9 (checked every 100 steps) or
-    # its step budget runs out — early advance keeps the budget for
-    # the lengths that still need it.
+    # Two-stage curriculum. Stage A ("dense"): dense associative
+    # recall in RULER phrasing — dozens of retrieval targets per
+    # sample, the gradient density the circuit needs to FORM (one
+    # needle per 4K gave ~4 answer tokens/sample; the r3/r4 runs
+    # plateaued at format-only answer loss and never retrieved; the
+    # pure-copy CPU probe showed zero induction signal at that
+    # sparsity too). Stage B ("ruler"): the actual single-needle eval
+    # distribution — the formed circuit only needs to generalize to
+    # diluted context. Phases early-advance on their probes.
     if args.ctx > 1024:
         phases = [
-            (256, args.batch * 16, max(1, args.steps // 2)),
-            (512, args.batch * 8, max(1, args.steps // 2)),
-            (1024, args.batch * 4, max(1, args.steps // 3)),
-            (2048, args.batch * 2, max(1, args.steps // 3)),
-            (args.ctx, args.batch, max(1, args.steps // 3)),
+            ("dense", 256, args.batch * 16, max(1, args.steps // 2)),
+            ("dense", 512, args.batch * 8, max(1, args.steps // 2)),
+            ("ruler", 1024, args.batch * 4, max(1, args.steps // 2)),
+            ("ruler", 2048, args.batch * 2, max(1, args.steps // 3)),
+            ("ruler", args.ctx, args.batch, max(1, args.steps // 3)),
         ]
     else:
-        phases = [(args.ctx, args.batch, args.steps)]
+        phases = [("ruler", args.ctx, args.batch, args.steps)]
 
     rng = np.random.RandomState(args.seed)
     t0 = time.time()
     step = 0
-    for ctx, batch, n_steps in phases:
-        print(f"-- phase ctx={ctx} batch={batch} steps<={n_steps}",
-              flush=True)
+    for kind, ctx, batch, n_steps in phases:
+        print(
+            f"-- phase {kind} ctx={ctx} batch={batch} steps<={n_steps}",
+            flush=True,
+        )
+        mk = make_samples_dense if kind == "dense" else make_samples
+        bar = 0.8 if kind == "dense" else 0.9
         for i_phase in range(n_steps):
-            ids, mask = make_samples(
+            ids, mask = mk(
                 tokenizer, batch, ctx,
                 seed=int(rng.randint(0, 2**31)),
             )
@@ -328,11 +405,16 @@ def main():
                 print(f"  checkpointed at step {step}", flush=True)
             step += 1
             if i_phase and i_phase % 100 == 0:
-                acc = retrieval_acc(params, 16, ctx, seed=7_000_000 + step)
-                print(f"  retrieval@{ctx}: {acc:.2f}", flush=True)
-                if acc >= 0.9:
-                    print(f"  phase ctx={ctx} done early at step {step}",
-                          flush=True)
+                acc = retrieval_acc(
+                    params, 16, ctx, seed=7_000_000 + step, kind=kind
+                )
+                print(f"  retrieval[{kind}]@{ctx}: {acc:.2f}",
+                      flush=True)
+                if acc >= bar:
+                    print(
+                        f"  phase {kind}@{ctx} done early at step "
+                        f"{step}", flush=True,
+                    )
                     break
     save_hf_checkpoint(params, cfg, out)
     print(f"trained checkpoint at {out}")
