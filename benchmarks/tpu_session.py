@@ -759,6 +759,20 @@ STAGES = {
         "env": {},
         "timeout": 5400,
     },
+    "eval_tiny_vs_r4": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "shadow", "--sparse_budget", "512",
+            "--rank", "64", "--bucket", "1024",
+            "--minference", "vs",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
     # Full-attention baselines for the GLM/Yi family rows (VERDICT #7):
     # 4 KV groups halve the dense cache, so b2 may fit — AOT-gated.
     "bench_glm_full_b2": {
@@ -950,7 +964,7 @@ _ORDER = [
     "bench_pallas_r4", "prof_refresh_sweep", "prof_refresh_sweep_cs16",
     "bench_serve_chunk1_r4", "bench_serve_chunk8_r4",
     "prof_ablate_r4", "kernel_tests_r4b", "bench_60k_b8_wq8",
-    "probe_topk_recall", "bench_xla_mult2_r4",
+    "probe_topk_recall", "bench_xla_mult2_r4", "eval_tiny_vs_r4",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
