@@ -388,12 +388,14 @@ def main():
             max_length=datalen + 128,
             sparse_budget=2048,
             rank=160,
-            # BENCH_CHUNK_SIZE=16: same 2048-token budget in half the
-            # chunks — doubles the gathered row (1-1.3 KB rows are
-            # latency-bound on v5e) and halves landmark/selection work,
-            # at coarser selection granularity (accuracy measurable
-            # via the tiny-model oracle).
-            chunk_size=int(os.environ.get("BENCH_CHUNK_SIZE", "8")),
+            # Default 16 (measured): same 2048-token budget in half
+            # the chunks — doubles the gathered row and halves the
+            # landmark/selection work. 214.8 tok/s vs 201.7 at cs8
+            # (bench_cs16_r3c vs bench_xla_r3c, b4/122K) with the
+            # tiny-model oracle scoring EQUAL (0.70 cs16 vs 0.70 cs8
+            # shadow, eval_tiny_cs16_r4). The reference's canonical
+            # chunk_size stays 8 (CacheConfig default).
+            chunk_size=int(os.environ.get("BENCH_CHUNK_SIZE", "16")),
             kv_quant=quant,
             # BENCH_APPROX_TOPK=0 forces exact top-k; default follows
             # CacheConfig (approx + mult2 override — the measured
