@@ -759,6 +759,31 @@ STAGES = {
         "env": {},
         "timeout": 5400,
     },
+    # cs32: 8 KB gathered rows, 64 slots — the next point on the
+    # chunk-granularity axis (cs16 measured +6.5% at equal oracle
+    # accuracy); eval_tiny_cs32_r4 guards the accuracy side.
+    "bench_cs32_r4": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow", "BENCH_PREFILL_WARM": "1",
+            "BENCH_CHUNK_SIZE": "32",
+        },
+        "timeout": 5400,
+    },
+    "eval_tiny_cs32_r4": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "shadow", "--sparse_budget", "512",
+            "--rank", "64", "--bucket", "1024",
+            "--chunk_size", "32",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
     "eval_tiny_vs_r4": {
         "cmd": [
             sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
@@ -965,6 +990,7 @@ _ORDER = [
     "bench_serve_chunk1_r4", "bench_serve_chunk8_r4",
     "prof_ablate_r4", "kernel_tests_r4b", "bench_60k_b8_wq8",
     "probe_topk_recall", "bench_xla_mult2_r4", "eval_tiny_vs_r4",
+    "bench_cs32_r4", "eval_tiny_cs32_r4",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
