@@ -759,6 +759,24 @@ STAGES = {
         "env": {},
         "timeout": 5400,
     },
+    # GLM/Yi shadow rows at the round-4 defaults (cs16 + mult2; the
+    # r3 rows predate both).
+    "bench_glm_r4": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow", "BENCH_FAMILY": "glm",
+            "BENCH_SHADOW_BATCH": "6", "BENCH_PREFILL_WARM": "1",
+        },
+        "timeout": 5400,
+    },
+    "bench_yi_r4": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow", "BENCH_FAMILY": "yi",
+            "BENCH_SHADOW_BATCH": "6", "BENCH_PREFILL_WARM": "1",
+        },
+        "timeout": 5400,
+    },
     # cs32: 8 KB gathered rows, 64 slots — the next point on the
     # chunk-granularity axis (cs16 measured +6.5% at equal oracle
     # accuracy); eval_tiny_cs32_r4 guards the accuracy side.
@@ -990,7 +1008,7 @@ _ORDER = [
     "bench_serve_chunk1_r4", "bench_serve_chunk8_r4",
     "prof_ablate_r4", "kernel_tests_r4b", "bench_60k_b8_wq8",
     "probe_topk_recall", "bench_xla_mult2_r4", "eval_tiny_vs_r4",
-    "bench_cs32_r4", "eval_tiny_cs32_r4",
+    "bench_cs32_r4", "eval_tiny_cs32_r4", "bench_glm_r4", "bench_yi_r4",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
