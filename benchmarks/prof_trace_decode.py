@@ -46,7 +46,9 @@ def main():
     )
     cc = CacheConfig(
         mode="shadow", max_length=datalen + 128, sparse_budget=2048,
-        rank=160, chunk_size=8, kv_quant=quant,
+        rank=160,
+        chunk_size=int(os.environ.get("BENCH_CHUNK_SIZE", "8")),
+        kv_quant=quant,
     )
     params = init_synthetic_params(cfg, jax.random.PRNGKey(0))
     eng = Engine(cfg, cc, rt, params)

@@ -759,6 +759,16 @@ STAGES = {
         "env": {},
         "timeout": 5400,
     },
+    # Decode trace at the round-4 default config (cs16 + mult2): aim
+    # the next optimization at the new per-term breakdown.
+    "prof_trace_decode_r4": {
+        "cmd": [
+            sys.executable, "benchmarks/prof_trace_decode.py",
+            "122880", "4",
+        ],
+        "env": {"BENCH_CHUNK_SIZE": "16"},
+        "timeout": 5400,
+    },
     # GLM/Yi shadow rows at the round-4 defaults (cs16 + mult2; the
     # r3 rows predate both).
     "bench_glm_r4": {
@@ -1009,6 +1019,7 @@ _ORDER = [
     "prof_ablate_r4", "kernel_tests_r4b", "bench_60k_b8_wq8",
     "probe_topk_recall", "bench_xla_mult2_r4", "eval_tiny_vs_r4",
     "bench_cs32_r4", "eval_tiny_cs32_r4", "bench_glm_r4", "bench_yi_r4",
+    "prof_trace_decode_r4",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
