@@ -225,7 +225,11 @@ class RuntimeConfig:
     # paths when its EMA crosses pallas_hit_threshold ('shadow' HBM
     # mode only — offload commits the V store differently per path).
     use_pallas: Optional[object] = None
-    pallas_hit_threshold: float = 0.75
+    # None = resolve from the measured crossover for the cache's chunk
+    # size (prof_refresh_sweep, forced-rate scatter layout on v5e):
+    # cs8 kernel wins >=~0.7 (16.8 vs 21.1 ms/step at 0.75), cs16
+    # >=~0.45 (18.0 vs 19.3; 2x faster by 0.9). A float pins it.
+    pallas_hit_threshold: Optional[float] = None
     pallas_auto_interval: int = 16
     # BENCHMARK-ONLY forced selection: replace every layer's top-k
     # chunk selection with a deterministic sliding-window id stream

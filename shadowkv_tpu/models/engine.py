@@ -1300,7 +1300,13 @@ class Engine:
             self._hit_samples.append(frac)
             if not self.pallas_auto:
                 return  # rt.track_hit_rate: observe only, never switch
-            want = self._auto_hit_ema >= rt.pallas_hit_threshold
+            thresh = rt.pallas_hit_threshold
+            if thresh is None:
+                # measured crossovers (prof_refresh_sweep cs8/cs16)
+                thresh = (
+                    0.45 if self.cache_cfg.chunk_size >= 16 else 0.7
+                )
+            want = self._auto_hit_ema >= thresh
             if want != self._kernel_now:
                 self._kernel_now = want
                 self._auto_switches += 1
