@@ -726,7 +726,7 @@ STAGES = {
             "--datalen", "4096", "--num_samples", "20",
             "--batch_size", "4",
             "--method", "shadow", "--sparse_budget", "512",
-            "--rank", "64", "--bucket", "1024", "--approx_topk",
+            "--rank", "64", "--bucket", "1024", "--approx_topk", "1",
         ],
         "env": {},
         "timeout": 5400,
@@ -808,6 +808,26 @@ STAGES = {
             "--method", "shadow", "--sparse_budget", "512",
             "--rank", "64", "--bucket", "1024",
             "--chunk_size", "32",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
+    # The auto-path demonstration (round-2/3 open item "auto has never
+    # flipped on hardware"): at cs16 the measured crossover is 0.45
+    # and the trained oracle's locality is ~0.55 — the EMA should flip
+    # the fused kernel ON mid-eval (kernel_now=True in the [hit-rate]
+    # line, auto_switches >= 1).
+    "eval_tiny_auto_r4": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "shadow", "--sparse_budget", "512",
+            "--rank", "64", "--bucket", "1024",
+            "--chunk_size", "16", "--kv_quant", "int8",
+            "--use_pallas", "auto", "--track_hit_rate",
         ],
         "env": {},
         "timeout": 5400,
@@ -1019,7 +1039,7 @@ _ORDER = [
     "prof_ablate_r4", "kernel_tests_r4b", "bench_60k_b8_wq8",
     "probe_topk_recall", "bench_xla_mult2_r4", "eval_tiny_vs_r4",
     "bench_cs32_r4", "eval_tiny_cs32_r4", "bench_glm_r4", "bench_yi_r4",
-    "prof_trace_decode_r4",
+    "prof_trace_decode_r4", "eval_tiny_auto_r4",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)

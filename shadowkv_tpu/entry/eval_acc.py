@@ -55,9 +55,11 @@ def parse_args():
                    choices=["none", "int8"],
                    help="int8: quantized V/U/landmark stores (the "
                         "bench's default regime — eval it here)")
-    p.add_argument("--approx_topk", action="store_true", default=False,
-                   help="opt-in approx_max_k landmark selection "
-                        "(default exact)")
+    p.add_argument("--approx_topk", type=int, default=None,
+                   choices=[0, 1],
+                   help="1 = approx_max_k landmark selection, 0 = "
+                        "exact top-k; default follows CacheConfig "
+                        "(approx + measured mult2 override)")
     p.add_argument("--stream_sink", type=int, default=None)
     p.add_argument("--stream_window", type=int, default=None,
                    help="stream-prefill geometry; set both < datalen "
@@ -76,6 +78,11 @@ def parse_args():
                    choices=["none", "int8"],
                    help="int8: weight-only quantized dense path "
                         "(core/wquant.py)")
+    p.add_argument("--use_pallas", type=str, default=None,
+                   choices=["0", "1", "auto"],
+                   help="fused refresh kernel on the decode path; "
+                        "'auto' switches on the measured hit-rate "
+                        "crossover")
     p.add_argument("--track_hit_rate", action="store_true",
                    default=False,
                    help="sample the decode slot hit rate; the final "
@@ -107,9 +114,15 @@ def main():
         weight_quant=args.weight_quant,
         track_hit_rate=args.track_hit_rate,
         kv_quant=args.kv_quant,
-        approx_topk=args.approx_topk,
+        approx_topk=(
+            None if args.approx_topk is None else bool(args.approx_topk)
+        ),
         stream_sink=args.stream_sink,
         stream_window=args.stream_window,
+        use_pallas=(
+            None if args.use_pallas is None
+            else {"0": False, "1": True, "auto": "auto"}[args.use_pallas]
+        ),
     )
     if dist.master_process:
         llm.print_kv_stats()
@@ -124,8 +137,8 @@ def main():
             variant += f"_{'vs' if args.minference is True else args.minference}"
         if args.kv_quant != "none":
             variant += f"_{args.kv_quant}"
-        if args.approx_topk:
-            variant += "_approx"
+        if args.approx_topk is not None:
+            variant += f"_topk{args.approx_topk}"
         out = (
             f"archive/{args.model_name.split('/')[-1]}/"
             f"{name}_{args.datalen}_{args.method}_{args.sparse_budget}_"
@@ -133,12 +146,14 @@ def main():
         )
         evaluator.test(llm, dataset, out, args.method, resume=args.resume)
 
-    if dist.master_process and args.track_hit_rate:
+    if dist.master_process and (args.track_hit_rate or args.use_pallas):
         stats = llm.engine.kv_stats()
         print(
             f"[hit-rate] mean={stats.get('hit_rate_mean')} "
             f"ema={stats.get('hit_rate_ema')} "
-            f"samples={stats.get('hit_samples')}"
+            f"samples={stats.get('hit_samples')} "
+            f"auto_switches={stats.get('auto_switches')} "
+            f"kernel_now={llm.engine._kernel_now}"
         )
     evaluator.summarize()
 

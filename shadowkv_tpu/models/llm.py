@@ -71,12 +71,17 @@ class LLM:
         # decode; kv_stats() reports hit_rate_mean/ema
         kv_quant: str = "none",  # 'int8': quantized V/U/landmark
         # stores (CacheConfig.kv_quant; the bench's default regime)
-        approx_topk: bool = False,  # opt-in approx_max_k selection
-        # (default exact, matching reference kv_cache.py:1031-1035)
+        approx_topk: Optional[bool] = None,  # None = CacheConfig
+        # default (approx + measured mult2 override); False = exact
+        # top-k (the reference's choice, kv_cache.py:1031-1035, ~6
+        # ms/step slower at the headline config)
         stream_sink: Optional[int] = None,  # stream-prefill sink /
         stream_window: Optional[int] = None,  # window token counts
         # (defaults from RuntimeConfig; set both < datalen for a
         # genuinely sparse stream prefill at short oracle contexts)
+        use_pallas=None,  # fused refresh kernel: True / False / 'auto'
+        # (RuntimeConfig.use_pallas; 'auto' flips on the measured
+        # chunk-size-aware hit-rate crossover)
     ):
         mode_alias = {"shadowkv": "shadow", "shadowkv_cpu": "shadow_offload"}
         attn_mode = mode_alias.get(attn_mode, attn_mode)
@@ -111,7 +116,8 @@ class LLM:
             chunk_size=chunk_size,
             gen_capacity=gen_capacity,
             kv_quant=kv_quant,
-            approx_topk=approx_topk,
+            **({} if approx_topk is None else
+               {"approx_topk": approx_topk}),
         )
         if minference is True:
             pattern = "vs"
@@ -131,6 +137,7 @@ class LLM:
             dp=dp, tp=tp, sp=sp, pp=pp,
             weight_quant=weight_quant or "none",
             track_hit_rate=track_hit_rate,
+            use_pallas=use_pallas,
             **stream_kw,
         )
         self.engine = Engine(self.config, self.cache_cfg, rt, params)
