@@ -90,17 +90,17 @@ def main():
         cache.v_full.shape[0], b, kh, -1, dh
     )
 
-    def sel_only(q, lms, mask, prev):
+    def sel_only(q, lms, mask, prev, lm_sc):
         qg = q.transpose(0, 2, 1, 3).reshape(b, kh, g, 1, dh)
         ids_new = score_and_select(
-            qg, lms, mask, ssets, landmark_scale=lm_sc0
+            qg, lms, mask, ssets, landmark_scale=lm_sc
         )
         ro = reorder_hits_first(prev, ids_new)
         return ro.ids, ro.hit_count
 
-    t = timeit(jax.jit(sel_only), q, lms0, mask0, prev0)
+    t = timeit(jax.jit(sel_only), q, lms0, mask0, prev0, lm_sc0)
     print(f"selection+reorder     x{nlayers}: {t*nlayers*1e3:7.2f} ms ({t*1e3:.3f}/layer)")
-    ids_new = jax.jit(sel_only)(q, lms0, mask0, prev0)[0]
+    ids_new = jax.jit(sel_only)(q, lms0, mask0, prev0, lm_sc0)[0]
     rows_of = lambda ids_sel: (
         ids_sel[..., None] * cs + jnp.arange(cs, dtype=jnp.int32)
     ).reshape(b, kh, ssets * cs)
@@ -141,7 +141,7 @@ def main():
     cos_ctx = cos[: lo.chunks * cs].reshape(lo.chunks, cs, half)
     sin_ctx = sin[: lo.chunks * cs].reshape(lo.chunks, cs, half)
 
-    def k_full_path(ids_sel, u_l, sv_l, kbuf):
+    def k_full_path(ids_sel, u_l, sv_l, kbuf, cos_ctx, sin_ctx):
         bi = jnp.arange(b)[:, None, None]
         u_rows = u_l[bi, rows_of(ids_sel)].astype(jnp.bfloat16)
         k_rec = jnp.einsum("bknr,bkrd->bknd", u_rows,
@@ -157,7 +157,8 @@ def main():
         return jax.lax.dynamic_update_slice(
             kbuf, k_sp.reshape(b, kh, ssets*cs, dh), (0, 0, lo.sparse_start, 0))
 
-    t = timeit(jax.jit(k_full_path), ids_new, u_flat0, sv0, kbuf0)
+    t = timeit(jax.jit(k_full_path), ids_new, u_flat0, sv0, kbuf0,
+               cos_ctx, sin_ctx)
     print(f"k full path           x{nlayers}: {t*nlayers*1e3:7.2f} ms ({t*1e3:.3f}/layer)")
 
     def attn(q, kbuf, vbuf):
@@ -184,9 +185,13 @@ def main():
     t = timeit(jax.jit(mlp_qkv_only), params, x0)
     print(f"dense compute (all layers+head): {t*1e3:7.2f} ms")
 
-    step = jax.jit(lambda p, c, t_: forward.decode_shadow(cfg, p, c, t_, cos, sin))
+    step = jax.jit(
+        lambda p, c, t_, cos_, sin_: forward.decode_shadow(
+            cfg, p, c, t_, cos_, sin_
+        )
+    )
     tokens = jnp.ones((batch, 1), jnp.int32)
-    t = timeit(step, params, cache, tokens)
+    t = timeit(step, params, cache, tokens, cos, sin)
     print(f"WHOLE shadow step ({nlayers} layers): {t*1e3:.2f} ms")
 
 

@@ -812,6 +812,89 @@ STAGES = {
         "env": {},
         "timeout": 5400,
     },
+    # dh-128 oracle retrain (the dh-64 model cannot run the fused
+    # refresh / VS kernels — Dh % 128 contracts) + the kernel-path
+    # accuracy/auto rows it unlocks.
+    "train_tiny_r5": {
+        "cmd": [
+            sys.executable, "scripts/train_tiny_model.py",
+            "--steps", "2400", "--ctx", "4096", "--batch", "2",
+            "--fresh", "--ckpt-every", "0",
+        ],
+        "env": {},
+        "timeout": 10800,
+    },
+    "eval5_full": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "full", "--bucket", "1024",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
+    "eval5_shadow": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "shadow", "--sparse_budget", "512",
+            "--rank", "64", "--bucket", "1024", "--track_hit_rate",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
+    # Fused-kernel decode accuracy (the reference ShadowKVCache
+    # architecture end to end) at the bench's cs16/int8 regime.
+    "eval5_kernel": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "shadow", "--sparse_budget", "512",
+            "--rank", "64", "--bucket", "1024",
+            "--chunk_size", "16", "--kv_quant", "int8",
+            "--use_pallas", "1",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
+    "eval5_auto": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "shadow", "--sparse_budget", "512",
+            "--rank", "64", "--bucket", "1024",
+            "--chunk_size", "16", "--kv_quant", "int8",
+            "--use_pallas", "auto", "--track_hit_rate",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
+    "eval5_vs": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "shadow", "--sparse_budget", "512",
+            "--rank", "64", "--bucket", "1024",
+            "--minference", "vs",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
     # The auto-path demonstration (round-2/3 open item "auto has never
     # flipped on hardware"): at cs16 the measured crossover is 0.45
     # and the trained oracle's locality is ~0.55 — the EMA should flip
@@ -943,6 +1026,15 @@ STAGES = {
         "env": {},
         "timeout": 5400,
     },
+    # 5th attempt: closure-captured cos/sin/lm_scale tables were baked
+    # into the jits as multi-GB constants (the r4 OOM); now args.
+    "prof_ablate_r4b": {
+        "cmd": [
+            sys.executable, "benchmarks/prof_ablate.py", "122880", "4",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
     # Top-k variant recall/latency grid (exact 156.0 vs stock-approx
     # 188.4 vs mult8 201.7 tok/s at b4/122K): find the variant with
     # >=0.95 on-chip recall at BOTH bench scales and the least sort
@@ -1040,6 +1132,8 @@ _ORDER = [
     "probe_topk_recall", "bench_xla_mult2_r4", "eval_tiny_vs_r4",
     "bench_cs32_r4", "eval_tiny_cs32_r4", "bench_glm_r4", "bench_yi_r4",
     "prof_trace_decode_r4", "eval_tiny_auto_r4",
+    "train_tiny_r5", "eval5_full", "eval5_shadow", "eval5_kernel",
+    "eval5_auto", "eval5_vs", "prof_ablate_r4b",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)

@@ -125,14 +125,16 @@ def build_tiny_checkpoint(
 
     cfg = LlamaConfig(
         vocab_size=fast.vocab_size,
-        # 6 x 512 (head_dim 64): the 4 x 256 geometry never cracked
-        # retrieval (round-3/4 train_tiny answer-loss plateaus); the
-        # multi-hop induction circuit NIAH needs forms reliably with a
-        # little more depth/width, and eval cost at 4K stays trivial.
+        # 6 x 512 with HEAD_DIM 128 (4 heads): the 4 x 256 geometry
+        # never cracked retrieval (round-3/4 answer-loss plateaus),
+        # and head_dim must be 128 so the oracle exercises the SAME
+        # kernel contracts as production (the fused refresh kernel's
+        # DMA lane width and the VS tile kernel assume Dh % 128 == 0;
+        # the first dh-64 oracle could only validate the XLA path).
         hidden_size=512,
         intermediate_size=1024,
         num_hidden_layers=6,
-        num_attention_heads=8,
+        num_attention_heads=4,
         num_key_value_heads=2,
         max_position_embeddings=8192,
         rope_theta=500000.0,
