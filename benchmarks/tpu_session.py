@@ -812,6 +812,18 @@ STAGES = {
         "env": {},
         "timeout": 5400,
     },
+    # bench_yi_r4 measured a physically impossible 12815 tok/s
+    # (decode 0.047 s for 600 toks; warm prefill 13.1 s vs GLM's 101)
+    # — re-measure greedy for diagnosis before quoting any r4 Yi row.
+    "bench_yi_r4b": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow", "BENCH_FAMILY": "yi",
+            "BENCH_SHADOW_BATCH": "6", "BENCH_PREFILL_WARM": "1",
+            "BENCH_TEMP": "0",
+        },
+        "timeout": 5400,
+    },
     # dh-128 oracle retrain (the dh-64 model cannot run the fused
     # refresh / VS kernels — Dh % 128 contracts) + the kernel-path
     # accuracy/auto rows it unlocks.
@@ -1133,7 +1145,7 @@ _ORDER = [
     "bench_cs32_r4", "eval_tiny_cs32_r4", "bench_glm_r4", "bench_yi_r4",
     "prof_trace_decode_r4", "eval_tiny_auto_r4",
     "train_tiny_r5", "eval5_full", "eval5_shadow", "eval5_kernel",
-    "eval5_auto", "eval5_vs", "prof_ablate_r4b",
+    "eval5_auto", "eval5_vs", "prof_ablate_r4b", "bench_yi_r4b",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
