@@ -125,16 +125,18 @@ def build_tiny_checkpoint(
 
     cfg = LlamaConfig(
         vocab_size=fast.vocab_size,
-        # 6 x 512 with HEAD_DIM 128 (4 heads): the 4 x 256 geometry
-        # never cracked retrieval (round-3/4 answer-loss plateaus),
-        # and head_dim must be 128 so the oracle exercises the SAME
-        # kernel contracts as production (the fused refresh kernel's
-        # DMA lane width and the VS tile kernel assume Dh % 128 == 0;
-        # the first dh-64 oracle could only validate the XLA path).
-        hidden_size=512,
-        intermediate_size=1024,
+        # 6 x 1024 with 8 HEADS x HEAD_DIM 128: head_dim must be 128
+        # so the oracle exercises the SAME kernel contracts as
+        # production (fused refresh + VS tile assume Dh % 128 == 0;
+        # the first working dh-64 oracle could only validate the XLA
+        # path), and EIGHT heads because the 4-head x 128 variant
+        # failed to form the retrieval circuit under the identical
+        # curriculum that cracked with 8 heads (train_tiny_r5 dense
+        # acc 0.02-0.07 vs 0.10-0.16 — induction needs head roles).
+        hidden_size=1024,
+        intermediate_size=2048,
         num_hidden_layers=6,
-        num_attention_heads=4,
+        num_attention_heads=8,
         num_key_value_heads=2,
         max_position_embeddings=8192,
         rope_theta=500000.0,
