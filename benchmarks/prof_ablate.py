@@ -76,6 +76,39 @@ def main():
     rank = lo.rank_pad
     q = jax.random.normal(jax.random.PRNGKey(2), (b, 1, cfg.num_heads, dh), cfg.dtype)
 
+    # Whole-step + dense timings FIRST (they need the live engine/
+    # params); everything engine-side is then freed before the
+    # micro-ablations — keeping the full cache resident next to the
+    # per-layer ablation slices OOM'd the chip twice (r4/r4b).
+    step = jax.jit(
+        lambda p, c, t_, cos_, sin_: forward.decode_shadow(
+            cfg, p, c, t_, cos_, sin_
+        )
+    )
+    tokens = jnp.ones((batch, 1), jnp.int32)
+    t = timeit(step, params, cache, tokens, cos, sin)
+    print(f"WHOLE shadow step ({nlayers} layers): {t*1e3:.2f} ms",
+          flush=True)
+
+    def mlp_qkv_only(params, x):
+        # the dense compute of one step without any cache logic
+        from shadowkv_tpu.core.layers import qkv_proj, rms_norm, swiglu_mlp, o_proj
+        def body(x, inputs):
+            _, lp = inputs
+            h = rms_norm(x, lp.attn_norm, cfg.rms_norm_eps)
+            q_, k_, v_ = qkv_proj(h, lp, cfg.num_heads, cfg.num_kv_heads, dh)
+            ctx = q_  # skip attention
+            x = x + o_proj(ctx, lp)
+            h2 = rms_norm(x, lp.mlp_norm, cfg.rms_norm_eps)
+            return x + swiglu_mlp(h2, lp), None
+        x, _ = jax.lax.scan(body, x, (jnp.arange(nlayers), params.layers))
+        return x @ params.lm_head
+
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (b, 1, cfg.hidden_size), cfg.dtype)
+    t = timeit(jax.jit(mlp_qkv_only), params, x0)
+    print(f"dense compute (all layers+head): {t*1e3:7.2f} ms",
+          flush=True)
+
     # Flat row-space views of the (possibly int8-tiled) stores: chunk
     # cid = rows [cid*cs, cid*cs+cs) — matches the decode path's
     # addressing; dequant scales are omitted (byte traffic, not scale
@@ -89,6 +122,10 @@ def main():
     v_flat = cache.v_full.reshape(
         cache.v_full.shape[0], b, kh, -1, dh
     )
+    import gc
+    jax.block_until_ready((lms0, kbuf0, vbuf0, sv0, u_flat0))
+    del cache, eng, params
+    gc.collect()
 
     def sel_only(q, lms, mask, prev, lm_sc):
         qg = q.transpose(0, 2, 1, 3).reshape(b, kh, g, 1, dh)
@@ -166,33 +203,6 @@ def main():
 
     t = timeit(jax.jit(attn), q, kbuf0, vbuf0)
     print(f"attention (head-major) x{nlayers}: {t*nlayers*1e3:7.2f} ms ({t*1e3:.3f}/layer)")
-
-    def mlp_qkv_only(params, x):
-        # the dense compute of one step without any cache logic
-        from shadowkv_tpu.core.layers import qkv_proj, rms_norm, swiglu_mlp, o_proj
-        def body(x, inputs):
-            _, lp = inputs
-            h = rms_norm(x, lp.attn_norm, cfg.rms_norm_eps)
-            q_, k_, v_ = qkv_proj(h, lp, cfg.num_heads, cfg.num_kv_heads, dh)
-            ctx = q_  # skip attention
-            x = x + o_proj(ctx, lp)
-            h2 = rms_norm(x, lp.mlp_norm, cfg.rms_norm_eps)
-            return x + swiglu_mlp(h2, lp), None
-        x, _ = jax.lax.scan(body, x, (jnp.arange(nlayers), params.layers))
-        return x @ params.lm_head
-
-    x0 = jax.random.normal(jax.random.PRNGKey(3), (b, 1, cfg.hidden_size), cfg.dtype)
-    t = timeit(jax.jit(mlp_qkv_only), params, x0)
-    print(f"dense compute (all layers+head): {t*1e3:7.2f} ms")
-
-    step = jax.jit(
-        lambda p, c, t_, cos_, sin_: forward.decode_shadow(
-            cfg, p, c, t_, cos_, sin_
-        )
-    )
-    tokens = jnp.ones((batch, 1), jnp.int32)
-    t = timeit(step, params, cache, tokens, cos, sin)
-    print(f"WHOLE shadow step ({nlayers} layers): {t*1e3:.2f} ms")
 
 
 if __name__ == "__main__":

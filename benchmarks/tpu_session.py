@@ -812,6 +812,15 @@ STAGES = {
         "env": {},
         "timeout": 5400,
     },
+    # 6th ablate attempt: whole-step/dense first, engine freed before
+    # the micro-ablation slices (the r4/r4b OOMs held both at once).
+    "prof_ablate_r4c": {
+        "cmd": [
+            sys.executable, "benchmarks/prof_ablate.py", "122880", "4",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
     # bench_yi_r4 measured a physically impossible 12815 tok/s
     # (decode 0.047 s for 600 toks; warm prefill 13.1 s vs GLM's 101)
     # — re-measure greedy for diagnosis before quoting any r4 Yi row.
@@ -1145,7 +1154,7 @@ _ORDER = [
     "bench_cs32_r4", "eval_tiny_cs32_r4", "bench_glm_r4", "bench_yi_r4",
     "prof_trace_decode_r4", "eval_tiny_auto_r4",
     "train_tiny_r5", "eval5_full", "eval5_shadow", "eval5_kernel",
-    "eval5_auto", "eval5_vs", "prof_ablate_r4b", "bench_yi_r4b",
+    "eval5_auto", "eval5_vs", "prof_ablate_r4b", "bench_yi_r4b", "prof_ablate_r4c",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
