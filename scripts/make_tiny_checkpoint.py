@@ -139,7 +139,14 @@ def build_tiny_checkpoint(
         num_attention_heads=8,
         num_key_value_heads=2,
         max_position_embeddings=8192,
-        rope_theta=500000.0,
+        # theta 10000 (not the llama-3 500000): both dh-128 oracle
+        # attempts at theta 5e5 failed to form the retrieval circuit
+        # under the curriculum that cracked at dh 64 — the flatter
+        # rotation spectrum appears to starve position-matching heads
+        # at small scale. 10000 is plenty for the 4K eval context and
+        # changes nothing the engine cares about (theta is ModelConfig
+        # data).
+        rope_theta=10000.0,
         rms_norm_eps=1e-5,
         tie_word_embeddings=False,
         torch_dtype=torch.float32,
