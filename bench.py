@@ -126,7 +126,8 @@ def run_serve(cfg, rt, params, datalen, slots, steps, quant, cache_mode):
     budget = 2048 if datalen >= 8192 else max(64, datalen // 4)
     cache_cfg = CacheConfig(
         mode=cache_mode, max_length=datalen + 128, sparse_budget=budget,
-        rank=160 if datalen >= 8192 else 32, chunk_size=8,
+        rank=160 if datalen >= 8192 else 32,
+        chunk_size=int(os.environ.get("BENCH_CHUNK_SIZE", "16")),
         kv_quant=quant, gen_capacity=max(256, steps + suffix_len + 8),
     )
     rng = np.random.RandomState(0)

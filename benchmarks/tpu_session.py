@@ -812,6 +812,33 @@ STAGES = {
         "env": {},
         "timeout": 5400,
     },
+    # Re-measures at the round-4 defaults (cs16 + mult2):
+    "bench_244k_r4": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow", "BENCH_DATALEN": "249856",
+            "BENCH_SHADOW_BATCH": "1", "BENCH_PREFILL_WARM": "1",
+        },
+        "timeout": 5400,
+    },
+    "bench_8b_60k_r4": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODEL": "8b", "BENCH_DATALEN": "61440",
+            "BENCH_MODE": "shadow", "BENCH_SHADOW_BATCH": "1",
+            "BENCH_WQUANT": "int8", "BENCH_PREFILL_WARM": "1",
+        },
+        "timeout": 7200,
+    },
+    # Serve at cs16 (run_serve previously hardcoded chunk_size 8).
+    "bench_serve_cs16_r4": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "serve", "BENCH_DECODE_STEPS": "100",
+            "BENCH_SERVE_CHUNK": "8",
+        },
+        "timeout": 5400,
+    },
     # 6th ablate attempt: whole-step/dense first, engine freed before
     # the micro-ablation slices (the r4/r4b OOMs held both at once).
     "prof_ablate_r4c": {
@@ -1155,6 +1182,7 @@ _ORDER = [
     "prof_trace_decode_r4", "eval_tiny_auto_r4",
     "train_tiny_r5", "eval5_full", "eval5_shadow", "eval5_kernel",
     "eval5_auto", "eval5_vs", "prof_ablate_r4b", "bench_yi_r4b", "prof_ablate_r4c",
+    "bench_244k_r4", "bench_8b_60k_r4", "bench_serve_cs16_r4",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
