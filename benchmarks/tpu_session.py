@@ -867,7 +867,7 @@ STAGES = {
         "cmd": [
             sys.executable, "scripts/train_tiny_model.py",
             "--steps", "2400", "--ctx", "4096", "--batch", "2",
-            "--fresh", "--ckpt-every", "0",
+            "--fresh", "--ckpt-every", "0", "--lr", "3e-4",
         ],
         "env": {},
         "timeout": 10800,
