@@ -1,5 +1,6 @@
 """Ablation timing of the shadow decode layer to find the bottleneck."""
 
+import os
 import sys
 import time
 
@@ -54,7 +55,9 @@ def main():
     )
     cache_cfg = CacheConfig(
         mode="shadow", max_length=datalen + 128, sparse_budget=2048,
-        rank=160, chunk_size=8, kv_quant="int8",
+        rank=160,
+        chunk_size=int(os.environ.get("BENCH_CHUNK_SIZE", "16")),
+        kv_quant="int8",
     )
     params = init_synthetic_params(cfg, jax.random.PRNGKey(0))
     layout = ShadowLayout.build(cache_cfg, datalen)
@@ -80,13 +83,25 @@ def main():
     # params); everything engine-side is then freed before the
     # micro-ablations — keeping the full cache resident next to the
     # per-layer ablation slices OOM'd the chip twice (r4/r4b).
+    # The cache must be DONATED (it flows through to the outputs;
+    # without donation XLA materializes a second multi-GB copy of the
+    # pass-through stores — the r4c OOM), so the timing loop rebinds
+    # it each step instead of using timeit.
     step = jax.jit(
         lambda p, c, t_, cos_, sin_: forward.decode_shadow(
             cfg, p, c, t_, cos_, sin_
-        )
+        ),
+        donate_argnums=(1,),
     )
     tokens = jnp.ones((batch, 1), jnp.int32)
-    t = timeit(step, params, cache, tokens, cos, sin)
+    for _ in range(2):
+        logits, cache = step(params, cache, tokens, cos, sin)
+    jax.block_until_ready(logits)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        logits, cache = step(params, cache, tokens, cos, sin)
+    jax.block_until_ready(logits)
+    t = (time.perf_counter() - t0) / 10
     print(f"WHOLE shadow step ({nlayers} layers): {t*1e3:.2f} ms",
           flush=True)
 

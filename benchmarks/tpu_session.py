@@ -812,6 +812,15 @@ STAGES = {
         "env": {},
         "timeout": 5400,
     },
+    # 7th ablate attempt: whole-step jit now DONATES the cache (the
+    # pass-through stores doubled without it — the r4c OOM).
+    "prof_ablate_r4d": {
+        "cmd": [
+            sys.executable, "benchmarks/prof_ablate.py", "122880", "4",
+        ],
+        "env": {"BENCH_CHUNK_SIZE": "16"},
+        "timeout": 5400,
+    },
     # Re-measures at the round-4 defaults (cs16 + mult2):
     "bench_244k_r4": {
         "cmd": [sys.executable, "bench.py"],
@@ -1183,6 +1192,7 @@ _ORDER = [
     "train_tiny_r5", "eval5_full", "eval5_shadow", "eval5_kernel",
     "eval5_auto", "eval5_vs", "prof_ablate_r4b", "bench_yi_r4b", "prof_ablate_r4c",
     "bench_244k_r4", "bench_8b_60k_r4", "bench_serve_cs16_r4",
+    "prof_ablate_r4d",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
