@@ -134,9 +134,12 @@ def main():
     lm_sc0 = cache.lm_scale[0] if cache.lm_scale is not None else None
     kbuf0, vbuf0, sv0 = cache.k_buf[0], cache.v_buf[0], cache.sv[0]
     u_flat0 = cache.u[0].reshape(b, -1, rank)  # [B, C*cs, rank_pad]
-    v_flat = cache.v_full.reshape(
-        cache.v_full.shape[0], b, kh, -1, dh
-    )
+    # v_full stays in its TILED layout ([L,B,K,C/pt,32,dh] int8):
+    # reshaping the 8 GB store materializes a second copy next to the
+    # original (the r4d OOM) — v_path below does the two-level
+    # row//32, row%32 indexing instead.
+    v_store = cache.v_full
+    v_sub = v_store.shape[-2]  # 32 (int8 tile) or cs (bf16 chunks)
     import gc
     jax.block_until_ready((lms0, kbuf0, vbuf0, sv0, u_flat0))
     del cache, eng, params
@@ -157,19 +160,24 @@ def main():
         ids_sel[..., None] * cs + jnp.arange(cs, dtype=jnp.int32)
     ).reshape(b, kh, ssets * cs)
 
-    def v_path(ids_sel, v_flat, vbuf):
+    def v_path(ids_sel, v_store, vbuf):
         bi = jnp.arange(b)[:, None, None]
         ki = jnp.arange(kh)[None, :, None]
         v_old = vbuf[:, :, lo.sparse_start:lo.sparse_end].reshape(b, kh, ssets, cs*dh)
         v_hits = jnp.take_along_axis(v_old, ids_sel[..., None] % ssets, axis=2)
-        v_miss = v_flat[0, bi, ki, rows_of(ids_sel)].astype(
-            vbuf.dtype
-        ).reshape(b, kh, ssets, cs*dh)
+        if v_store.ndim == 5:  # XLA-path store: flat chunk rows
+            # [L, B, K, C, cs*dh]
+            v_miss = v_store[0, bi, ki, ids_sel].astype(vbuf.dtype)
+        else:  # kernel-path tiled [L, B, K, C/pt, 32, dh]
+            rows = rows_of(ids_sel)
+            v_miss = v_store[
+                0, bi, ki, rows // v_sub, rows % v_sub
+            ].astype(vbuf.dtype).reshape(b, kh, ssets, cs*dh)
         v_sp = jnp.where((ids_sel % 2 == 0)[..., None], v_hits, v_miss)
         return jax.lax.dynamic_update_slice(
             vbuf, v_sp.reshape(b, kh, ssets*cs, dh), (0, 0, lo.sparse_start, 0))
 
-    t = timeit(jax.jit(v_path), ids_new, v_flat, vbuf0)
+    t = timeit(jax.jit(v_path), ids_new, v_store, vbuf0)
     print(f"v hits+miss+write     x{nlayers}: {t*nlayers*1e3:7.2f} ms ({t*1e3:.3f}/layer)")
 
     def u_gather_only(ids_sel, u_l):

@@ -821,6 +821,15 @@ STAGES = {
         "env": {"BENCH_CHUNK_SIZE": "16"},
         "timeout": 5400,
     },
+    # 8th (successful) ablate: flat-chunk-row vs tiled store indexing
+    # dispatched by ndim, no 8 GB reshape copy.
+    "prof_ablate_r4e": {
+        "cmd": [
+            sys.executable, "benchmarks/prof_ablate.py", "122880", "4",
+        ],
+        "env": {"BENCH_CHUNK_SIZE": "16"},
+        "timeout": 5400,
+    },
     # Re-measures at the round-4 defaults (cs16 + mult2):
     "bench_244k_r4": {
         "cmd": [sys.executable, "bench.py"],
@@ -1192,7 +1201,7 @@ _ORDER = [
     "train_tiny_r5", "eval5_full", "eval5_shadow", "eval5_kernel",
     "eval5_auto", "eval5_vs", "prof_ablate_r4b", "bench_yi_r4b", "prof_ablate_r4c",
     "bench_244k_r4", "bench_8b_60k_r4", "bench_serve_cs16_r4",
-    "prof_ablate_r4d",
+    "prof_ablate_r4d", "prof_ablate_r4e",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
