@@ -339,6 +339,15 @@ def main():
         # weights give adversarially scattered patterns; see
         # RuntimeConfig.vs_sim / core/minference.py sim_vs_scores)
         vs_sim=os.environ.get("BENCH_VS_SIM") or None,
+        # BENCH_HIT_RATE: benchmark-only forced selection locality
+        # (RuntimeConfig.debug_hit_rate) — measures the decode paths
+        # at the hit rates REAL models produce (50-60 %) instead of
+        # the ~3 % synthetic-weight churn.
+        debug_hit_rate=(
+            float(os.environ["BENCH_HIT_RATE"])
+            if os.environ.get("BENCH_HIT_RATE")
+            else None
+        ),
     )
     log(f"devices: {jax.devices()}")
     wquant = os.environ.get("BENCH_WQUANT", "")

@@ -821,6 +821,25 @@ STAGES = {
         "env": {"BENCH_CHUNK_SIZE": "16"},
         "timeout": 5400,
     },
+    # E2E decode at the reference's real-model locality (~60 % hits,
+    # index.html:326) via BENCH_HIT_RATE forced selection: the fused
+    # kernel's first e2e WIN (262.3 vs 215.1 tok/s measured 20:3x).
+    "bench_kernel_hit60": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow", "BENCH_PREFILL_WARM": "1",
+            "BENCH_HIT_RATE": "0.6", "BENCH_USE_PALLAS": "1",
+        },
+        "timeout": 5400,
+    },
+    "bench_xla_hit60": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow", "BENCH_PREFILL_WARM": "1",
+            "BENCH_HIT_RATE": "0.6",
+        },
+        "timeout": 5400,
+    },
     # 8th (successful) ablate: flat-chunk-row vs tiled store indexing
     # dispatched by ndim, no 8 GB reshape copy.
     "prof_ablate_r4e": {
@@ -1202,6 +1221,7 @@ _ORDER = [
     "eval5_auto", "eval5_vs", "prof_ablate_r4b", "bench_yi_r4b", "prof_ablate_r4c",
     "bench_244k_r4", "bench_8b_60k_r4", "bench_serve_cs16_r4",
     "prof_ablate_r4d", "prof_ablate_r4e",
+    "bench_kernel_hit60", "bench_xla_hit60",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
