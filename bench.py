@@ -265,7 +265,8 @@ def main():
     steps = int(os.environ.get("BENCH_DECODE_STEPS", 100))
     bench_mode = os.environ.get("BENCH_MODE", "both")
     quant = os.environ.get("BENCH_QUANT", "int8")
-    use_pallas = os.environ.get("BENCH_USE_PALLAS", "") == "1"
+    _up = os.environ.get("BENCH_USE_PALLAS", "")
+    use_pallas = "auto" if _up == "auto" else _up == "1"
     ring = os.environ.get("BENCH_RING", "") == "1"
     cache_mode = os.environ.get("BENCH_CACHE_MODE", "shadow")
     # dense-splash keeps the prefill HBM peak low enough for batch 4 at
@@ -328,7 +329,7 @@ def main():
     cfg = toy_config(**cfg_kw)
     rt = RuntimeConfig(
         prefill_sub_batch=1, prefill_block_q=256,
-        use_pallas=True if use_pallas else None,
+        use_pallas=use_pallas if use_pallas else None,
         ring_gather=True if ring else None,
         prefill_pattern=prefill_pattern,
         offload_prefill_segments=int(
