@@ -14,7 +14,10 @@ Env overrides: BENCH_DATALEN, BENCH_FULL_BATCH, BENCH_SHADOW_BATCH,
 BENCH_DECODE_STEPS, BENCH_MODE (full|shadow|both|serve), BENCH_QUANT
 (none|int8, the KV/U/landmark stores), BENCH_WQUANT (none|int8,
 weight-only quantized dense path — core/wquant.py), BENCH_USE_PALLAS
-(0|1), BENCH_RING (0|1, ring-DMA chunk gather on the decode path),
+(0|1|auto — fused refresh kernel / adaptive path; 'auto' needs ~0.5 GB
+of headroom for the second decode executable), BENCH_HIT_RATE (float:
+forced selection locality, measures the decode paths at real-model
+hit rates), BENCH_RING (0|1, ring-DMA chunk gather on the decode path),
 BENCH_CACHE_MODE (shadow|shadow_offload), BENCH_APPROX_TOPK (0|1,
 default 1 = approx_max_k selection with the measured mult2 override;
 0 = exact top-k).
