@@ -840,6 +840,24 @@ STAGES = {
         },
         "timeout": 5400,
     },
+    "bench_60k_kernel_hit60": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow", "BENCH_DATALEN": "61440",
+            "BENCH_SHADOW_BATCH": "6", "BENCH_PREFILL_WARM": "1",
+            "BENCH_HIT_RATE": "0.6", "BENCH_USE_PALLAS": "1",
+        },
+        "timeout": 5400,
+    },
+    "bench_glm_kernel_hit60": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow", "BENCH_FAMILY": "glm",
+            "BENCH_SHADOW_BATCH": "6", "BENCH_PREFILL_WARM": "1",
+            "BENCH_HIT_RATE": "0.6", "BENCH_USE_PALLAS": "1",
+        },
+        "timeout": 5400,
+    },
     # 8th (successful) ablate: flat-chunk-row vs tiled store indexing
     # dispatched by ndim, no 8 GB reshape copy.
     "prof_ablate_r4e": {
@@ -1222,6 +1240,7 @@ _ORDER = [
     "bench_244k_r4", "bench_8b_60k_r4", "bench_serve_cs16_r4",
     "prof_ablate_r4d", "prof_ablate_r4e",
     "bench_kernel_hit60", "bench_xla_hit60",
+    "bench_60k_kernel_hit60", "bench_glm_kernel_hit60",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
