@@ -22,6 +22,15 @@ BENCH_CACHE_MODE (shadow|shadow_offload), BENCH_APPROX_TOPK (0|1,
 default 1 = approx_max_k selection with the measured mult2 override;
 0 = exact top-k).
 
+Driver-robustness knobs (round 5): the headline shadow engine runs
+FIRST and the full baseline only starts if it fits the remaining
+wall-clock budget — BENCH_DEADLINE (s, default 1500) minus
+BENCH_FULL_BUDGET (s, default 540); otherwise the JSON emits with
+vs_baseline null instead of dying in the baseline's cold compile
+(round-4's rc=124). A persistent XLA compilation cache at ./.jax_cache
+(BENCH_NO_COMPILE_CACHE=1 disables) makes repeat runs warm-compile,
+and SIGTERM flushes the partial result as the JSON line.
+
 BENCH_MODE=serve measures continuous batching: BENCH_REQUESTS requests
 (default 2x the shadow batch) with generation lengths staggered
 BENCH_DECODE_STEPS/2 .. BENCH_DECODE_STEPS, served through
@@ -42,6 +51,7 @@ from __future__ import annotations
 import gc
 import json
 import os
+import signal
 import sys
 import time
 
@@ -49,18 +59,67 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_T_START = time.time()
+# Partial results, so a deadline/SIGTERM can still emit the JSON line
+# the driver parses (round-4's run died at rc=124 with nothing printed).
+_PARTIAL = {"shadow": None, "full": None, "datalen": 122880}
+
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def run_engine(mode, cfg, cache_cfg, rt, params, datalen, batch, steps):
+def _elapsed() -> float:
+    return time.time() - _T_START
+
+
+def _emit(shadow_tps, full_tps, datalen):
+    value = shadow_tps if shadow_tps is not None else full_tps
+    vs = round(shadow_tps / full_tps, 3) if (shadow_tps and full_tps) else None
+    print(json.dumps({
+        "metric": f"shadowkv_decode_tokens_per_sec_{datalen // 1024}k",
+        "value": round(value, 1),
+        "unit": "tokens/s",
+        "vs_baseline": vs,
+    }), flush=True)
+
+
+def _on_term(sig, frame):  # pragma: no cover - driver timeout path
+    # The driver runs `timeout N python bench.py`; GNU timeout sends
+    # SIGTERM first. Flush whatever number we already measured so the
+    # round still records a parsed result (even at rc=124).
+    if _PARTIAL["shadow"] is not None or _PARTIAL["full"] is not None:
+        log(f"[deadline] SIGTERM at {_elapsed():.0f}s - emitting partial")
+        _emit(_PARTIAL["shadow"], _PARTIAL["full"], _PARTIAL["datalen"])
+    os._exit(0)
+
+
+def _enable_compile_cache():
+    """Persistent compilation cache: cold 122K prefill compiles swung
+    137.9 -> 417.9 s across rounds (no cache survives the process), and
+    one slow compile starves the driver's timeout. Probe-verified on
+    axon: executables serialize/deserialize through the tunnel fine."""
+    if os.environ.get("BENCH_NO_COMPILE_CACHE") == "1":
+        return
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # pragma: no cover
+        log(f"compile cache unavailable: {e}")
+
+
+def run_engine(mode, cfg, cache_cfg, rt, params, datalen, batch, steps,
+               prompt=None):
     # The axon tunnel occasionally aborts a request transiently
     # (ABORTED/UNAVAILABLE at trace-time transfers); one retry keeps a
     # one-shot scoring run alive without masking real failures.
     try:
         return _run_engine(mode, cfg, cache_cfg, rt, params, datalen,
-                           batch, steps)
+                           batch, steps, prompt)
     except Exception as e:  # pragma: no cover - infra flake path
         err = f"{type(e).__name__}: {e}"
     # Retry OUTSIDE the except block: the exception's traceback pins
@@ -71,14 +130,20 @@ def run_engine(mode, cfg, cache_cfg, rt, params, datalen, batch, steps):
     gc.collect()
     time.sleep(10)
     return _run_engine(mode, cfg, cache_cfg, rt, params, datalen,
-                       batch, steps)
+                       batch, steps, prompt)
 
 
-def _run_engine(mode, cfg, cache_cfg, rt, params, datalen, batch, steps):
+def _run_engine(mode, cfg, cache_cfg, rt, params, datalen, batch, steps,
+                prompt=None):
     from shadowkv_tpu.models.engine import Engine
 
     eng = Engine(cfg, cache_cfg, rt, params)
-    ids = np.random.RandomState(0).randint(1, cfg.vocab_size, (batch, datalen))
+    if prompt is not None:
+        ids = np.broadcast_to(prompt[:datalen], (batch, datalen))
+    else:
+        ids = np.random.RandomState(0).randint(
+            1, cfg.vocab_size, (batch, datalen)
+        )
     if os.environ.get("BENCH_PREFILL_WARM", "") == "1":
         # Compile+run prefill once untimed so the timed run below
         # reports WARM prefill: XLA compiles through the axon tunnel
@@ -107,6 +172,15 @@ def _run_engine(mode, cfg, cache_cfg, rt, params, datalen, batch, steps):
         f"-> {stats.decode_tokens_per_second:.1f} tok/s "
         f"(total {time.perf_counter() - t0:.1f}s)"
     )
+    if rt.track_hit_rate or rt.use_pallas == "auto":
+        ks = eng.kv_stats()
+        log(
+            f"[{mode}] hit-rate mean={ks.get('hit_rate_mean')} "
+            f"ema={ks.get('hit_rate_ema')} "
+            f"samples={ks.get('hit_samples')} "
+            f"auto_switches={ks.get('auto_switches')} "
+            f"kernel_now={getattr(eng, '_kernel_now', None)}"
+        )
     return stats.decode_tokens_per_second
 
 
@@ -252,6 +326,8 @@ def main():
     from shadowkv_tpu.models.params import init_synthetic_params
     from shadowkv_tpu.models.registry import toy_config
 
+    _enable_compile_cache()
+    signal.signal(signal.SIGTERM, _on_term)
     if not _probe_backend():
         log("backend probe failed (TPU tunnel down?) — failing fast")
         print(json.dumps({
@@ -352,10 +428,37 @@ def main():
             if os.environ.get("BENCH_HIT_RATE")
             else None
         ),
+        # BENCH_TRACK_HIT=1: observe-only slot-hit-rate sampling — the
+        # measurement behind the organic-locality story (trained
+        # weights via BENCH_WEIGHTS, no BENCH_HIT_RATE forcing).
+        track_hit_rate=os.environ.get("BENCH_TRACK_HIT", "") == "1",
     )
     log(f"devices: {jax.devices()}")
     wquant = os.environ.get("BENCH_WQUANT", "")
-    if model_size == "8b":
+    prompt = None
+    weights_dir = os.environ.get("BENCH_WEIGHTS", "")
+    if weights_dir:
+        # TRAINED bench-shape weights + an in-distribution recall-style
+        # prompt stream (scripts/train_bench_weights.py): real attention
+        # structure -> organic selection locality, the regime every
+        # reference number runs in (index.html:326, ~60 % hit reuse).
+        from shadowkv_tpu.models.params import load_params_npz
+
+        params = load_params_npz(
+            os.path.join(weights_dir, "params.npz"),
+            weight_quant=wquant or "none",
+        )
+        params = jax.device_put(params)
+        ppath = os.path.join(weights_dir, "prompt.npy")
+        if os.path.exists(ppath):
+            prompt = np.load(ppath)
+            assert prompt.shape[0] >= datalen, (
+                f"prompt stream {prompt.shape[0]} < datalen {datalen}"
+            )
+        log(f"weights: trained snapshot {weights_dir} "
+            f"(wquant={wquant or 'none'}, prompt="
+            f"{None if prompt is None else prompt.shape[0]})")
+    elif model_size == "8b":
         # host-side init + forced int8: a device bf16 8B init would
         # fill HBM before quantization could run
         from shadowkv_tpu.models.params import init_synthetic_params_host
@@ -376,24 +479,17 @@ def main():
                   cache_mode)
         return
 
-    full_tps = None
-    if bench_mode in ("full", "both"):
-        full_cfg = CacheConfig(mode="full", max_length=datalen + 128)
-        try:
-            full_tps = run_engine(
-                "full", cfg, full_cfg, rt, params, datalen, full_batch,
-                steps,
-            )
-        except Exception as e:
-            # Full attention often simply does not fit where shadow
-            # does (that gap IS the headline) — report the shadow
-            # number with vs_baseline null instead of dying.
-            if bench_mode != "both":
-                raise
-            log(f"[full] infeasible at b{full_batch}/{datalen}: "
-                f"{type(e).__name__}: {str(e)[:200]}")
-            jax.clear_caches()
-        gc.collect()
+    # Headline (shadow) FIRST: the round-4 driver run timed out inside
+    # the full baseline's cold prefill compile and printed nothing.
+    # Shadow-first + the deadline guard below mean the JSON line always
+    # carries the headline value; the baseline runs only if the budget
+    # still allows it (vs_baseline: null otherwise).
+    _PARTIAL["datalen"] = datalen
+    deadline = float(os.environ.get("BENCH_DEADLINE", "1500"))
+    # conservative cost of the full-baseline leg: cold 122K prefill
+    # compile measured 137.9-417.9 s across rounds without the compile
+    # cache; with it, warm prefill is ~70-140 s.
+    full_budget = float(os.environ.get("BENCH_FULL_BUDGET", "540"))
 
     shadow_tps = None
     if bench_mode in ("shadow", "both"):
@@ -418,25 +514,39 @@ def main():
         )
         shadow_tps = run_engine(
             "shadowkv", cfg, shadow_cfg, rt, params, datalen, shadow_batch,
-            steps,
+            steps, prompt=prompt,
         )
+        _PARTIAL["shadow"] = shadow_tps
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
 
-    value = shadow_tps if shadow_tps is not None else full_tps
-    vs_baseline = (
-        round(shadow_tps / full_tps, 3)
-        if (shadow_tps and full_tps)
-        else None
-    )
-    print(
-        json.dumps(
-            {
-                "metric": f"shadowkv_decode_tokens_per_sec_{datalen // 1024}k",
-                "value": round(value, 1),
-                "unit": "tokens/s",
-                "vs_baseline": vs_baseline,
-            }
-        )
-    )
+    full_tps = None
+    if bench_mode in ("full", "both"):
+        if bench_mode == "both" and _elapsed() + full_budget > deadline:
+            log(f"[full] skipped: {_elapsed():.0f}s elapsed + "
+                f"{full_budget:.0f}s budget > {deadline:.0f}s deadline "
+                f"(vs_baseline: null this run)")
+        else:
+            full_cfg = CacheConfig(mode="full", max_length=datalen + 128)
+            try:
+                full_tps = run_engine(
+                    "full", cfg, full_cfg, rt, params, datalen, full_batch,
+                    steps, prompt=prompt,
+                )
+                _PARTIAL["full"] = full_tps
+            except Exception as e:
+                # Full attention often simply does not fit where shadow
+                # does (that gap IS the headline) — report the shadow
+                # number with vs_baseline null instead of dying.
+                if bench_mode != "both":
+                    raise
+                log(f"[full] infeasible at b{full_batch}/{datalen}: "
+                    f"{type(e).__name__}: {str(e)[:200]}")
+                jax.clear_caches()
+        gc.collect()
+
+    _emit(shadow_tps, full_tps, datalen)
 
 
 if __name__ == "__main__":

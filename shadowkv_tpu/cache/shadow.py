@@ -816,39 +816,42 @@ def shadow_decode_layer(
                 b, kh, ssets, cs, dh
             )
         else:
-            # Tiled stores read by the XLA path (interpret tests /
-            # fallbacks only — the engine pairs tiled stores with the
-            # Pallas kernel): windowed gather, chunk cid = sublane rows
-            # (cid % pt)*cs .. +cs of tile cid // pt.
+            # Tiled stores read by the XLA path (the 'auto' regime:
+            # ONE tiled format must serve both decode programs).
+            # Gather WHOLE [32, W] tiles by tile id — a plain
+            # major-dim gather, the same machinery as the flat path —
+            # then select the chunk's cs rows from the small gathered
+            # temp with take_along_axis. The previous vmapped
+            # dynamic_slice addressed the sublane dim of the store at
+            # dynamic offsets, which made XLA RELAYOUT the whole
+            # 7.5 GB v_full into an HLO temp (copy of cache.v_full,
+            # layout {5,3,2,1,0,4}) — the actual bench_auto_hit60 OOM
+            # at b4/122K (19.93G > 15.75G). Cost of the fix: gathers
+            # read pt = 32/cs chunks per tile instead of one (2x bytes
+            # at cs16) on ~17 MB/layer temps — noise next to a
+            # full-store copy.
             pt = 32 // cs
-            tiles = (asg.slot_ids // pt).ravel()
-            rows0 = ((asg.slot_ids % pt) * cs).ravel()
-            bi_f = jnp.broadcast_to(bi, asg.slot_ids.shape).ravel()
-            ki_f = jnp.broadcast_to(ki, asg.slot_ids.shape).ravel()
-
-            def slc_u(bb, t, r):
-                return jax.lax.dynamic_slice(
-                    static.u, (layer, bb, t, r, 0),
-                    (1, 1, 1, cs, lo.rank_pad),
-                )[0, 0, 0]
-
-            def slc_v(bb, kk, t, r):
-                return jax.lax.dynamic_slice(
-                    static.v_full, (layer, bb, kk, t, r, 0),
-                    (1, 1, 1, 1, cs, dh),
-                )[0, 0, 0, 0]
-
-            u_rows = jax.vmap(slc_u)(bi_f, tiles, rows0).reshape(
-                b, kh, ssets, cs, lo.rank_pad
-            )
+            tiles = asg.slot_ids // pt  # [B, K, S]
+            row_sel = (
+                (asg.slot_ids % pt) * cs  # [B, K, S]
+            )[..., None, None] + jnp.arange(cs)[:, None]  # [B,K,S,cs,1]
+            u_tiles = static.u[layer, bi, tiles]  # [B,K,S,32,rp]
+            u_rows = jnp.take_along_axis(
+                u_tiles,
+                jnp.broadcast_to(row_sel, (b, kh, ssets, cs, 1)),
+                axis=-2,
+            )  # [B,K,S,cs,rp]
             u_q = u_rows.reshape(b, kh, ssets * cs, lo.rank_pad)
             u_sc = u_scales_from_rows(u_rows, lo.rank_pad, kh)
             v_sc = v_scales_from_rows(
                 u_rows, lo.rank_pad, kh, ki.reshape(1, kh, 1, 1, 1)
             )
-            v_q = jax.vmap(slc_v)(bi_f, ki_f, tiles, rows0).reshape(
-                b, kh, ssets, cs, dh
-            )
+            v_tiles = static.v_full[layer, bi, ki, tiles]  # [B,K,S,32,dh]
+            v_q = jnp.take_along_axis(
+                v_tiles,
+                jnp.broadcast_to(row_sel, (b, kh, ssets, cs, 1)),
+                axis=-2,
+            )  # [B,K,S,cs,dh]
         v_new_rows = (
             v_q.astype(buf_dtype)
             * v_sc[..., None].astype(buf_dtype)

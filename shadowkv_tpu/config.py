@@ -239,6 +239,11 @@ class RuntimeConfig:
     # 'scatter' maps the window through a fixed bijection so miss
     # slots/chunks interleave like real selection; 'contig' keeps the
     # raw window (best case for batched DMA write-backs).
+    # LIMITATION (advisor r4): the forced window slides over ALL
+    # lo.chunks without consulting landmark_mask, so it can select
+    # outlier chunks (whose positions are data-dependent) that real
+    # selection would mask out. Timing-exact, but never combine this
+    # knob with an accuracy measurement.
     debug_hit_rate: Optional[float] = None
     debug_hit_layout: str = "scatter"
     # Observe-only slot-hit-rate sampling on every shadow decode path

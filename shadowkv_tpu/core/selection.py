@@ -153,7 +153,8 @@ def score_and_select(
         #     reduction — faster, but measured recall on chip drops
         #     below the bar (mult8: 0.892 at C=7672; mult4: 0.944 at
         #     C=15352, kernel_recall_r3c / kernel_tests_r3b).
-        #   two-stage (SHADOWKV_TOPK_TWO_STAGE=f, default 4): deep
+        #   two-stage (SHADOWKV_TOPK_TWO_STAGE=f, default 0 = off;
+        #     probe_topk_recall's grid used f=4): deep
         #     approx down to f*select_sets CANDIDATES (top-S recall
         #     of a deep reduce to 4S is far higher than its top-S-
         #     direct recall), then EXACT top-k over the f*S survivors

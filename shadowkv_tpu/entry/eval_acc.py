@@ -146,7 +146,11 @@ def main():
         )
         evaluator.test(llm, dataset, out, args.method, resume=args.resume)
 
-    if dist.master_process and (args.track_hit_rate or args.use_pallas):
+    # args.use_pallas is a string flag: "0" disables the kernel, so it
+    # must not count as truthy for the stats print (advisor r4).
+    if dist.master_process and (
+        args.track_hit_rate or args.use_pallas not in (None, "", "0")
+    ):
         stats = llm.engine.kv_stats()
         print(
             f"[hit-rate] mean={stats.get('hit_rate_mean')} "

@@ -49,6 +49,7 @@ Layout contracts (asserted in the wrapper):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -89,8 +90,13 @@ def _refresh_kernel(
     miss_slot_ref,  # [BK, S]
     miss_cnt_ref,  # [BK]
     # tensors
-    u_hbm,  # [L, B, C, cs, r] | tiled int8 [L, B, C/pt, 32, r], ANY
-    v_full_hbm,  # [L, B, K, C, cs, Dh] | tiled int8 [L, B, K, C/pt, 32, Dh], ANY
+    u_hbm,  # FLAT row-space view [L, B, C*cs, r] (bf16 or int8), ANY —
+    # sparse_refresh reshapes the chunked/tiled store before the call;
+    # chunk cid occupies rows [cid*cs, cid*cs+cs)
+    v_full_hbm,  # FLAT [L, B, K, C*cs, Dh] (bf16 or int8), ANY — except
+    # host-resident V (host_win>0), which keeps the TILED layout
+    # ([L, B, K, C/pt, 32, Dh] int8 | [L, B, K, C, cs, Dh] bf16): host
+    # DMAs move whole 4096-B window units over the leading axis
     sv_hbm,  # [L, B, K, r, Dh] ANY (manually DMA'd ONLY when misses
     # exist: a VMEM BlockSpec would fetch 64 KB per program with no
     # compute to hide it — at steady-state ~99 % hits most programs
@@ -705,7 +711,36 @@ def sparse_refresh(
     miss V fetch becomes a host->HBM DMA — hit reuse + host gather of
     misses only, the reference ShadowKVCache_CPU architecture exactly
     (kv_cache.py:1081-1095 + copy.cuh:785-846).
+
+    INVARIANT (load-bearing for the batched contiguous-run fetch): each
+    (b, k)'s ``miss_chunk[:miss_cnt]`` must be sorted ASCENDING and
+    duplicate-free. ``fetch_contig`` detects a GROUP-chunk run purely
+    from ``miss_chunk[last] - miss_chunk[first] == GROUP-1``, which is
+    only equivalent to "contiguous run" under that ordering; an
+    unsorted or duplicated list silently fetches the wrong chunk rows.
+    The producing paths guarantee it (``compact_misses``'s stable
+    argsort over ascending slot assignments from
+    ``assign_slots_stable``); new callers can verify with
+    ``SHADOWKV_DEBUG_MISS=1``, which makes violations print loudly at
+    runtime instead of corrupting the cache.
     """
+    if os.environ.get("SHADOWKV_DEBUG_MISS") == "1":
+        within = (
+            jnp.arange(miss_chunk.shape[-1] - 1)[None, None, :]
+            < miss_cnt[..., None] - 1
+        )
+        viol = jnp.sum(
+            within & (jnp.diff(miss_chunk, axis=-1) < 1)
+        )
+        jax.lax.cond(
+            viol > 0,
+            lambda v: jax.debug.print(
+                "SHADOWKV MISS-LIST INVARIANT VIOLATED: {} non-ascending"
+                " adjacent pairs — batched run fetches are WRONG", v
+            ),
+            lambda v: None,
+            viol,
+        )
     quant = u.dtype == jnp.int8
     # Host V windows: >=4096 B per DMA over the leading store axis
     # (tiles when int8, chunks when bf16) — see kernels/gather.py.

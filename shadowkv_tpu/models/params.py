@@ -51,6 +51,77 @@ def init_synthetic_params(
     )
 
 
+def save_params_npz(params: ModelParams, path: str) -> None:
+    """Flat npz snapshot of a ModelParams pytree (bf16 leaves saved as
+    uint16 bit-patterns — np.savez has no native bfloat16). Used by the
+    bench-shape locality trainer (scripts/train_bench_weights.py) so
+    bench.py can run on TRAINED weights (BENCH_WEIGHTS=dir)."""
+    flat = {
+        "embed": params.embed,
+        "final_norm": params.final_norm,
+        "lm_head": params.lm_head,
+    }
+    for f in LayerParams._fields:
+        v = getattr(params.layers, f)
+        if v is not None:
+            flat[f"layers.{f}"] = v
+    out = {}
+    for k, v in flat.items():
+        a = np.asarray(v)
+        if a.dtype == jnp.bfloat16:
+            out[k + ".bf16"] = a.view(np.uint16)
+        else:
+            out[k] = a
+    np.savez(path, **out)
+
+
+def load_params_npz(
+    path: str, weight_quant: str = "none"
+) -> ModelParams:
+    """Load a save_params_npz snapshot; ``weight_quant='int8'``
+    quantizes matmul weights host-side during the load (per-channel,
+    bit-identical to core/wquant) so the device never holds the bf16
+    copy — the disk-side analogue of the in-loader quant that cost
+    ~150 s of prefill budget at bench r2."""
+    from shadowkv_tpu.core.wquant import QTensor
+
+    z = np.load(path)
+    flat = {}
+    for k in z.files:
+        if k.endswith(".bf16"):
+            flat[k[:-5]] = z[k].view(jnp.bfloat16)
+        else:
+            flat[k] = z[k]
+    q8 = weight_quant == "int8"
+
+    def leaf(name, mat=False, reduce_axis=-2):
+        v = flat.get(name)
+        if v is None:
+            return None
+        if mat and q8:
+            return QTensor(*map(
+                jnp.asarray,
+                _quantize_np(v.astype(np.float32), reduce_axis),
+            ))
+        return jnp.asarray(v)
+
+    layers = LayerParams(
+        attn_norm=leaf("layers.attn_norm"),
+        wqkv=leaf("layers.wqkv", mat=True),
+        bqkv=leaf("layers.bqkv"),
+        wo=leaf("layers.wo", mat=True),
+        mlp_norm=leaf("layers.mlp_norm"),
+        w_gate_up=leaf("layers.w_gate_up", mat=True),
+        w_down=leaf("layers.w_down", mat=True),
+    )
+    return ModelParams(
+        embed=leaf("embed", mat=True, reduce_axis=-1),
+        layers=layers,
+        final_norm=leaf("final_norm"),
+        lm_head=leaf("lm_head", mat=True),
+    )
+
+
 # ---------------------------------------------------------------------------
 # HF safetensors loading (no torch dependency)
 # ---------------------------------------------------------------------------

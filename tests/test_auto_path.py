@@ -119,3 +119,37 @@ def test_auto_with_int8_stores(toy):
                                 warmup_steps=2)
     assert out.shape == (2, 10)
     assert eng._kernel_now is True  # degenerate threshold -> flipped
+
+
+def test_tiled_xla_decode_matches_flat(toy):
+    """The int8 TILED store read by the XLA decode path (the 'auto'
+    regime before any flip) must produce tokens bit-identical to the
+    flat-row store's XLA decode. Pins the round-5 whole-tile gather
+    rewrite of the tiled branch (cache/shadow.py): the old vmapped
+    dynamic_slice addressed the store's sublane dim dynamically and
+    made XLA relayout the whole 7.5 GB store (bench_auto_hit60 OOM)."""
+    cfg, params = toy
+    ids = np.random.RandomState(5).randint(1, cfg.vocab_size, (2, 1024))
+    outs = {}
+    for ks in (False, True):
+        eng = Engine(
+            cfg,
+            CacheConfig(
+                mode="shadow", max_length=1024, sparse_budget=128,
+                rank=64, outlier_chunks=4, gen_capacity=32,
+                kv_quant="int8",
+            ),
+            RuntimeConfig(
+                prefill_block_q=128,
+                # force the tiled store WITHOUT enabling the kernel:
+                # auto keeps the XLA program until the hit EMA crosses
+                use_pallas="auto" if ks else None,
+                pallas_hit_threshold=2.0,  # never flips
+            ),
+            params,
+        )
+        out, _ = eng.batch_generate(
+            ids, gen_len=12, temperature=0.0, warmup_steps=0
+        )
+        outs[ks] = np.asarray(out)
+    np.testing.assert_array_equal(outs[False], outs[True])
