@@ -53,12 +53,13 @@ def main():
     quant = os.environ.get("BENCH_QUANT", "int8")
     wquant = os.environ.get("BENCH_WQUANT", "")
     family = os.environ.get("BENCH_FAMILY", "llama")
-    family_kw = (
-        dict(num_kv_heads=4, rope_style="glm", rope_partial_dim=64,
-             qkv_bias=True)
-        if family == "glm"
-        else {}
-    )
+    family_kw = {
+        "glm": dict(num_kv_heads=4, rope_style="glm",
+                    rope_partial_dim=64, qkv_bias=True),
+        "yi": dict(num_kv_heads=4, rope_theta=5_000_000.0,
+                   vocab_size=64000),
+        "llama": {},
+    }[family]
     if model_size == "8b":
         wquant = "int8"
         cfg_kw = dict(
@@ -82,8 +83,15 @@ def main():
     )
     cache_cfg = CacheConfig(
         mode="shadow", max_length=datalen + 128, sparse_budget=2048,
-        rank=160, chunk_size=8, kv_quant=quant,
+        rank=160,
+        chunk_size=int(os.environ.get("BENCH_CHUNK_SIZE", "16")),
+        kv_quant=quant,
+        gen_capacity=int(os.environ.get("BENCH_GEN_CAPACITY", "256")),
     )
+    # BENCH_KERNEL_STORE=1: probe the 'auto' regime — tiled stores with
+    # BOTH decode programs compiled (XLA-on-tiled + fused kernel), the
+    # pair that OOM'd at b4/122K in bench_auto_hit60.
+    kernel_store = os.environ.get("BENCH_KERNEL_STORE", "") == "1"
 
     def params_struct():
         base = jax.eval_shape(
@@ -93,7 +101,10 @@ def main():
             return jax.eval_shape(quantize_params, base)
         return base
 
-    layout = ShadowLayout.build(cache_cfg, datalen)
+    layout = ShadowLayout.build(
+        cache_cfg, datalen, kernel_store=kernel_store,
+        num_kv_heads=cfg.num_kv_heads,
+    )
     cache_s = jax.eval_shape(lambda: ShadowCache.init(cfg, layout, batch))
     params_s = params_struct()
     max_pos = datalen + cache_cfg.gen_capacity
@@ -206,6 +217,20 @@ def main():
         "decode_step",
         decode.lower(params_s, cache_s, tok_s, cos_s, sin_s),
     )
+
+    if kernel_store:
+        # the 'auto' pair: the fused-kernel decode program coexists in
+        # HBM with the XLA one above (both executables live at once)
+        decode_k = jax.jit(
+            lambda p, c, tok, cos, sin: forward.decode_shadow(
+                cfg, p, c, tok, cos, sin, use_kernel=True,
+            ),
+            donate_argnums=(1,),
+        )
+        report(
+            "decode_step_kernel",
+            decode_k.lower(params_s, cache_s, tok_s, cos_s, sin_s),
+        )
 
 
 if __name__ == "__main__":
