@@ -93,6 +93,25 @@ def main():
     for ms, n, name in top_ops(logdir, limit=40):
         print(f"{ms:9.2f} ms  x{n:<5d} {name[:110]}", flush=True)
 
+    # round-5 grouped views: device-only, unroll-suffix-proof — the
+    # tables the README step-anatomy quotes
+    from shadowkv_tpu.utils.profiling import (
+        op_table, print_op_table, program_table,
+    )
+
+    print("\n-- programs --", flush=True)
+    for r in program_table(logdir):
+        print(r, flush=True)
+    step_ms = next(
+        (r["ms_per_call"] for r in program_table(logdir)
+         if "decode" in r["key"]), None,
+    )
+    tot = step_ms * n if step_ms else None
+    print("\n-- by source line --", flush=True)
+    print_op_table(op_table(logdir, by="source", limit=20), tot)
+    print("\n-- by hlo category --", flush=True)
+    print_op_table(op_table(logdir, by="category", limit=12), tot)
+
 
 if __name__ == "__main__":
     main()

@@ -1180,6 +1180,180 @@ STAGES = {
         "env": {"SHADOWKV_TPU_TESTS": "1"},
         "timeout": 3600,
     },
+    # ---- round 5 ----
+    # Full compiled kernel suite at HEAD (reconstruct.py grew a debug
+    # check and shadow.py's tiled-XLA gather was rewritten).
+    "kernel_tests_r5": {
+        "cmd": [
+            sys.executable, "-m", "pytest", "tests/test_kernel_tpu.py",
+            "-q", "--no-header",
+        ],
+        "env": {"SHADOWKV_TPU_TESTS": "1"},
+        "timeout": 5400,
+    },
+    # ORGANIC locality (VERDICT r4 #2): trained bench-shape weights +
+    # recall-style prompt (scripts/train_bench_weights.py), no
+    # BENCH_HIT_RATE forcing. XLA path with hit-rate tracking first...
+    "bench_trained_xla_r5": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_WEIGHTS": "checkpoints/bench1p4b",
+            "BENCH_TRACK_HIT": "1",
+        },
+        "timeout": 3600,
+    },
+    # ...then 'auto' in the same config: the EMA should flip the fused
+    # kernel ON (cs16 crossover 0.45) and beat the XLA row above. The
+    # b4/122K auto OOM is fixed (whole-tile gather; probe shows 13.4 G
+    # peak, was 19.9 G).
+    "bench_trained_auto_r5": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_WEIGHTS": "checkpoints/bench1p4b",
+            "BENCH_USE_PALLAS": "auto",
+        },
+        "timeout": 3600,
+    },
+    # Driver rehearsal at the EXACT driver config (both engines, warm
+    # .jax_cache): BENCH_r05.json must parse (VERDICT r4 #1).
+    "bench_r5_headline": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {},
+        "timeout": 3600,
+    },
+    # VS/MInference prefill with patterns ESTIMATED FROM TRAINED
+    # WEIGHTS at bench scale (VERDICT r4 #4: the vs_sim win must
+    # become a real-pattern win). Warm prefill A/B vs dense-splash.
+    "bench_vs_trained_r5": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_WEIGHTS": "checkpoints/bench1p4b",
+            "BENCH_PREFILL": "vs",
+            "BENCH_PREFILL_WARM": "1",
+        },
+        "timeout": 5400,
+    },
+    "bench_dense_trained_warm_r5": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_WEIGHTS": "checkpoints/bench1p4b",
+            "BENCH_PREFILL_WARM": "1",
+        },
+        "timeout": 5400,
+    },
+    # 16K oracle (VERDICT r4 #5): curriculum to 16384, then full vs
+    # shadow at the reference's 1.56 % budget ratio (256 @ 16K) —
+    # selection over ~2K landmarks/head, the regime 4K never touches.
+    "train_tiny16k_r5": {
+        "cmd": [
+            sys.executable, "scripts/train_tiny_model.py",
+            "--steps", "2400", "--ctx", "16384", "--batch", "2",
+            "--fresh", "--ckpt-every", "0", "--lr", "3e-4",
+            "--out", "/tmp/tiny-llama-16k",
+        ],
+        "env": {},
+        "timeout": 14400,
+    },
+    "eval16k_full": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-16k",
+            "--model_dir", "/tmp/tiny-llama-16k",
+            "--datalen", "16384", "--num_samples", "16",
+            "--batch_size", "2",
+            "--method", "full", "--bucket", "4096",
+        ],
+        "env": {},
+        "timeout": 7200,
+    },
+    "eval16k_shadow": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-16k",
+            "--model_dir", "/tmp/tiny-llama-16k",
+            "--datalen", "16384", "--num_samples", "16",
+            "--batch_size", "2",
+            "--method", "shadow", "--sparse_budget", "256",
+            "--rank", "64", "--bucket", "4096", "--track_hit_rate",
+        ],
+        "env": {},
+        "timeout": 7200,
+    },
+    "eval16k_kernel": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-16k",
+            "--model_dir", "/tmp/tiny-llama-16k",
+            "--datalen", "16384", "--num_samples", "16",
+            "--batch_size", "2",
+            "--method", "shadow", "--sparse_budget", "256",
+            "--rank", "64", "--bucket", "4096",
+            "--chunk_size", "16", "--kv_quant", "int8",
+            "--use_pallas", "1", "--track_hit_rate",
+        ],
+        "env": {},
+        "timeout": 7200,
+    },
+    # Yi full-attention b2 feasibility PROOF (VERDICT r4 #6): the AOT
+    # byte table that justifies (or retires) the b1-only baseline.
+    "probe_mem_yi_full_b2": {
+        "cmd": [sys.executable, "benchmarks/probe_memory.py"],
+        "env": {
+            "BENCH_FAMILY": "yi", "BENCH_MODE": "full",
+            "BENCH_FULL_BATCH": "2",
+        },
+        "timeout": 2400,
+    },
+    # 60K b8 knee, attempt 2 (VERDICT r4 #7): trained weights loaded
+    # PRE-QUANTIZED from disk (load_params_npz int8 — no in-loader
+    # bf16 copy, no quant jit) frees ~0.9 GB vs bf16 weights; if the
+    # dequant remat disappears, b8 should finally beat b6.
+    "bench_60k_b8_wq8disk_r5": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_DATALEN": "61440",
+            "BENCH_SHADOW_BATCH": "8",
+            "BENCH_WEIGHTS": "checkpoints/bench1p4b",
+            "BENCH_WQUANT": "int8",
+        },
+        "timeout": 3600,
+    },
+    "bench_60k_b6_trained_r5": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_DATALEN": "61440",
+            "BENCH_SHADOW_BATCH": "6",
+            "BENCH_WEIGHTS": "checkpoints/bench1p4b",
+            "BENCH_TRACK_HIT": "1",
+        },
+        "timeout": 3600,
+    },
+    # 8B b2 regime push (VERDICT r4 #8): AOT probe first, bench only
+    # if it fits (cs16 + int8 KV + trimmed gen capacity).
+    "probe_mem_8b_60k_b2": {
+        "cmd": [sys.executable, "benchmarks/probe_memory.py"],
+        "env": {
+            "BENCH_MODEL": "8b", "BENCH_DATALEN": "61440",
+            "BENCH_SHADOW_BATCH": "2", "BENCH_GEN_CAPACITY": "128",
+        },
+        "timeout": 2400,
+    },
+    # Step-anatomy trace at the r5 defaults with the grouped op_table
+    # (the README quotes this).
+    "prof_trace_r5": {
+        "cmd": [
+            sys.executable, "benchmarks/prof_trace_decode.py",
+            "122880", "4",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
 }
 
 
@@ -1241,6 +1415,18 @@ _ORDER = [
     "prof_ablate_r4d", "prof_ablate_r4e",
     "bench_kernel_hit60", "bench_xla_hit60",
     "bench_60k_kernel_hit60", "bench_glm_kernel_hit60",
+    # round 5 (kernel health first, then the organic-locality pair,
+    # then the driver rehearsal, then the VS real-pattern A/B, the 16K
+    # oracle campaign, the proofs, profiling last)
+    "kernel_tests_r5",
+    "bench_trained_xla_r5", "bench_trained_auto_r5",
+    "bench_r5_headline",
+    "bench_vs_trained_r5", "bench_dense_trained_warm_r5",
+    "train_tiny16k_r5", "eval16k_full", "eval16k_shadow",
+    "eval16k_kernel",
+    "probe_mem_yi_full_b2", "bench_60k_b8_wq8disk_r5",
+    "bench_60k_b6_trained_r5", "probe_mem_8b_60k_b2",
+    "prof_trace_r5",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)

@@ -368,10 +368,23 @@ def main():
         phases = [
             ("dense", 256, args.batch * 16, max(1, args.steps // 2)),
             ("dense", 512, args.batch * 8, max(1, args.steps // 2)),
-            ("ruler", 1024, args.batch * 4, max(1, args.steps // 2)),
-            ("ruler", 2048, args.batch * 2, max(1, args.steps // 3)),
-            ("ruler", args.ctx, args.batch, max(1, args.steps // 3)),
         ]
+        # Geometric RULER ladder up to the target context (round 5
+        # extends the oracle to 16K+: the long-range selection regime
+        # with thousands of landmarks per head, VERDICT r4 #5). Batch
+        # shrinks with context so the [B, chunk, S] attention temps and
+        # the [B, S, V] logits stay bounded on the 16 GB chip.
+        c = 1024
+        while True:
+            bsz = max(1, (args.batch * 4096) // c)
+            frac = 2 if c <= 2048 else 3
+            phases.append(
+                ("ruler", min(c, args.ctx), bsz,
+                 max(1, args.steps // frac))
+            )
+            if c >= args.ctx:
+                break
+            c *= 2
     else:
         phases = [("ruler", args.ctx, args.batch, args.steps)]
 
