@@ -250,6 +250,9 @@ def save_hf_checkpoint(params, cfg, out_dir: str):
 
 
 def main():
+    from shadowkv_tpu.utils.compile_cache import enable as _cc
+
+    _cc()
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/tiny-llama-trained")
     ap.add_argument("--steps", type=int, default=1500)

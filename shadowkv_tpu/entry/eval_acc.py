@@ -91,6 +91,9 @@ def parse_args():
 
 
 def main():
+    from shadowkv_tpu.utils.compile_cache import enable as _cc
+
+    _cc()
     args = parse_args()
 
     from shadowkv_tpu.data.dataset import Dataset
