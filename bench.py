@@ -432,6 +432,11 @@ def main():
         # measurement behind the organic-locality story (trained
         # weights via BENCH_WEIGHTS, no BENCH_HIT_RATE forcing).
         track_hit_rate=os.environ.get("BENCH_TRACK_HIT", "") == "1",
+        # BENCH_HYSTERESIS (float, default 0 = reference-exact):
+        # selection hysteresis, RuntimeConfig.selection_hysteresis.
+        selection_hysteresis=float(
+            os.environ.get("BENCH_HYSTERESIS", "0") or 0
+        ),
     )
     log(f"devices: {jax.devices()}")
     wquant = os.environ.get("BENCH_WQUANT", "")
@@ -449,7 +454,11 @@ def main():
             weight_quant=wquant or "none",
         )
         params = jax.device_put(params)
-        ppath = os.path.join(weights_dir, "prompt.npy")
+        # BENCH_PROMPT: override the snapshot's prompt stream (A/B the
+        # prompt distribution against fixed weights)
+        ppath = os.environ.get(
+            "BENCH_PROMPT", os.path.join(weights_dir, "prompt.npy")
+        )
         if os.path.exists(ppath):
             prompt = np.load(ppath)
             assert prompt.shape[0] >= datalen, (

@@ -540,6 +540,9 @@ def shadow_decode_layer(
     # the selection to a sliding-window id stream with exactly this
     # step-to-step overlap (RuntimeConfig.debug_hit_rate)
     debug_hit_layout: str = "scatter",
+    hysteresis: float = 0.0,  # selection hysteresis: relative score
+    # bonus for chunks already resident in the sparse buffer
+    # (core/selection.py; RuntimeConfig.selection_hysteresis)
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, ShadowMut]:
     """One layer's sparse-attention cache update at decode time.
 
@@ -571,9 +574,14 @@ def shadow_decode_layer(
         lm_sc = jax.lax.dynamic_index_in_dim(
             static.lm_scale, layer, axis=0, keepdims=False
         )
+    prev_ids = jax.lax.dynamic_index_in_dim(
+        mut.cached_ids, layer, axis=0, keepdims=False
+    )
     new_ids = score_and_select(
         q_grouped, lms, lm_mask, lo.select_sets, approx=approx_topk,
         landmark_scale=lm_sc,
+        resident_ids=prev_ids if hysteresis else None,
+        hysteresis=hysteresis,
     )
     if debug_hit_rate is not None:
         # BENCHMARK-ONLY forced selection: window of select_sets ids
@@ -605,10 +613,8 @@ def shadow_decode_layer(
         )
 
     # --- 2. slot-stable reuse assignment (TPU redesign of the
-    #        reference's hash-map hits-first repack, map.cuh:754-796) ---
-    prev_ids = jax.lax.dynamic_index_in_dim(
-        mut.cached_ids, layer, axis=0, keepdims=False
-    )
+    #        reference's hash-map hits-first repack, map.cuh:754-796;
+    #        prev_ids extracted above for the hysteresis term) ---
     asg = assign_slots_stable(prev_ids, new_ids)
 
     if use_kernel:

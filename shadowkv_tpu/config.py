@@ -246,6 +246,15 @@ class RuntimeConfig:
     # knob with an accuracy measurement.
     debug_hit_rate: Optional[float] = None
     debug_hit_layout: str = "scatter"
+    # Selection hysteresis (beyond-reference, round 5): multiplicative
+    # score bonus h for chunks already resident in the sparse buffer —
+    # a challenger must beat a resident by >h RELATIVE to evict it.
+    # Near-tied landmark scores otherwise thrash the top-S set between
+    # adjacent decode steps (measured 0.32 organic slot-stay at
+    # b4/122K) even though the evicted/admitted chunks carry near-
+    # identical attention mass. 0.0 = reference-exact selection
+    # (default); oracle-validated values documented in README.
+    selection_hysteresis: float = 0.0
     # Observe-only slot-hit-rate sampling on every shadow decode path
     # (one consecutive step-pair per pallas_auto_interval steps, one
     # scalar host sync each): kv_stats() then reports hit_rate_mean /

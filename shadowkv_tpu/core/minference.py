@@ -875,25 +875,27 @@ def minference_prefill_tile(
         )
         k_f = k_p.transpose(0, 2, 1, 3).reshape(b * kh, s_pad, dh)
         v_f = v_p.transpose(0, 2, 1, 3).reshape(b * kh, s_pad, dh)
-        parts = []
-        for b0 in range(b):
-            hs = slice(b0 * hm, (b0 + 1) * hm)
-            ks_ = slice(b0 * kh, (b0 + 1) * kh)
-            fn = vs_tile_attention if use_kernel else (
-                lambda *a, tq=None, tk=None, **kw:
-                vs_tok_attention_reference(*a, **kw)
-            )
-            parts.append(
-                fn(
-                    q_f[hs], k_f[ks_], v_f[ks_],
-                    v_idx_all[hs], dflag_all[hs],
-                    jnp.asarray(kv_rows, jnp.int32),
-                    block=block, scale=scale, seq_len=s,
-                    tq=tile, tk=tile,
-                    **({"interpret": interpret} if use_kernel else {}),
-                )
-            )
-        o_f = parts[0] if b == 1 else jnp.concatenate(parts, axis=0)
+        # ONE launch for the whole [b*hm] row space (round 5): the
+        # kernel's metadata now rides per-row SMEM blocks, so the old
+        # per-batch python loop (SMEM-budget workaround, b kernel
+        # invocations per layer) is gone; kv_map addresses the global
+        # [b*kh] k/v row space directly.
+        kv_map = jnp.asarray(
+            (
+                _np.arange(b)[:, None] * kh + kv_rows[None, :]
+            ).reshape(-1),
+            jnp.int32,
+        )
+        fn = vs_tile_attention if use_kernel else (
+            lambda *a, tq=None, tk=None, **kw:
+            vs_tok_attention_reference(*a, **kw)
+        )
+        o_f = fn(
+            q_f, k_f, v_f, v_idx_all, dflag_all, kv_map,
+            block=block, scale=scale, seq_len=s,
+            tq=tile, tk=tile,
+            **({"interpret": interpret} if use_kernel else {}),
+        )
         o_meta = (
             o_f.reshape(b, hm, s_pad, dh)[:, :, :s]
             .transpose(0, 2, 1, 3)
@@ -1192,24 +1194,21 @@ def minference_prefill_dynamic_tile(
     q_f = q_p.transpose(0, 2, 1, 3).reshape(b * h, s_pad, dh)
     k_f = k_p.transpose(0, 2, 1, 3).reshape(b * kh, s_pad, dh)
     v_f = v_p.transpose(0, 2, 1, 3).reshape(b * kh, s_pad, dh)
-    parts = []
-    for b0 in range(b):
-        hs = slice(b0 * h, (b0 + 1) * h)
-        ks_ = slice(b0 * kh, (b0 + 1) * kh)
-        fn = vs_tile_attention if use_kernel else (
-            lambda *a, tq=None, tk=None, **kw:
-            vs_tok_attention_reference(*a, **kw)
-        )
-        parts.append(
-            fn(
-                q_f[hs], k_f[ks_], v_f[ks_],
-                v_idx[hs], dflag[hs], kv_rows,
-                block=block, scale=scale, seq_len=s,
-                tq=tile, tk=tile,
-                **({"interpret": interpret} if use_kernel else {}),
-            )
-        )
-    o_f = parts[0] if b == 1 else jnp.concatenate(parts, axis=0)
+    # ONE launch over [b*h] rows (see the per-row-SMEM note at the
+    # first call site): kv_map spans the global [b*kh] k/v row space.
+    kv_map = (
+        jnp.arange(b, dtype=jnp.int32)[:, None] * kh + kv_rows[None, :]
+    ).reshape(-1)
+    fn = vs_tile_attention if use_kernel else (
+        lambda *a, tq=None, tk=None, **kw:
+        vs_tok_attention_reference(*a, **kw)
+    )
+    o_f = fn(
+        q_f, k_f, v_f, v_idx, dflag, kv_map,
+        block=block, scale=scale, seq_len=s,
+        tq=tile, tk=tile,
+        **({"interpret": interpret} if use_kernel else {}),
+    )
     return (
         o_f.reshape(b, h, s_pad, dh)[:, :, :s]
         .transpose(0, 2, 1, 3)

@@ -108,6 +108,8 @@ def score_and_select(
     select_sets: int,
     approx: bool = False,
     landmark_scale: jnp.ndarray | None = None,
+    resident_ids: jnp.ndarray | None = None,
+    hysteresis: float = 0.0,
 ) -> jnp.ndarray:
     """Score landmarks against queries and pick top chunks.
 
@@ -139,6 +141,27 @@ def score_and_select(
     probs = jax.nn.softmax(scores, axis=-1)
     probs = jnp.sum(probs, axis=-2)  # over Q -> [B, K, G, C]
     probs = jnp.max(probs, axis=-2)  # over G -> [B, K, C]
+    if resident_ids is not None and hysteresis:
+        # Selection hysteresis (round 5, beyond-reference): boost the
+        # chunks currently RESIDENT in the sparse buffer by a relative
+        # margin. Near-tied scores (diffuse attention over thousands
+        # of landmarks) make the top-S set thrash between adjacent
+        # decode steps even when the distribution barely moves —
+        # measured 0.32 slot-stay at b4/122K where peaked-score models
+        # reach 0.5-0.6. A multiplicative (scale-free) bonus keeps a
+        # resident unless a challenger beats it by >h relative — pure
+        # anti-thrash damping, accuracy-validated by the oracle before
+        # any default flips (a challenger within h of a resident is by
+        # construction near-interchangeable attention mass).
+        b_, k_, c_ = probs.shape
+        bi = jnp.arange(b_)[:, None, None]
+        ki = jnp.arange(k_)[None, :, None]
+        res = (
+            jnp.zeros((b_, k_, c_), jnp.bool_)
+            .at[bi, ki, resident_ids]
+            .set(True, mode="drop")
+        )
+        probs = probs * (1.0 + hysteresis * res.astype(probs.dtype))
     if approx:
         # TPU ApproxTopK partial reduction. In the decode program the
         # exact lax.top_k lowers to a full sort (measured on chip,

@@ -83,6 +83,10 @@ def parse_args():
                    help="fused refresh kernel on the decode path; "
                         "'auto' switches on the measured hit-rate "
                         "crossover")
+    p.add_argument("--hysteresis", type=float, default=0.0,
+                   help="selection hysteresis (RuntimeConfig."
+                        "selection_hysteresis): relative score bonus "
+                        "for resident chunks; 0 = reference-exact")
     p.add_argument("--track_hit_rate", action="store_true",
                    default=False,
                    help="sample the decode slot hit rate; the final "
@@ -116,6 +120,7 @@ def main():
         dp=args.dp, tp=args.tp, sp=args.sp, pp=args.pp,
         weight_quant=args.weight_quant,
         track_hit_rate=args.track_hit_rate,
+        selection_hysteresis=args.hysteresis,
         kv_quant=args.kv_quant,
         approx_topk=(
             None if args.approx_topk is None else bool(args.approx_topk)

@@ -382,6 +382,7 @@ class Engine:
                 segmented=engine._decode_segmented,
                 debug_hit_rate=engine._debug_hit_rate,
                 debug_hit_layout=rt.debug_hit_layout,
+                hysteresis=rt.selection_hysteresis,
             )
             return _sample(logits, key, temperature, top_k, top_p), cache
 
@@ -453,6 +454,7 @@ class Engine:
                     segmented=engine._decode_segmented,
                     debug_hit_rate=rt.debug_hit_rate,
                     debug_hit_layout=rt.debug_hit_layout,
+                    hysteresis=rt.selection_hysteresis,
                 )
                 key, sub = jax.random.split(key)
                 t2 = _sample(logits, sub, temperature, top_k, top_p)

@@ -605,6 +605,8 @@ def decode_shadow(
     # than stacked-view attention; see probe_decode_variants_r3)
     debug_hit_rate: float | None = None,  # BENCHMARK-ONLY forced
     debug_hit_layout: str = "scatter",  # selection (RuntimeConfig)
+    hysteresis: float = 0.0,  # selection hysteresis
+    # (RuntimeConfig.selection_hysteresis, core/selection.py)
 ):
     """One sparse decode step (reference models/base.py:315-341 decode
     branch; see SURVEY.md §3.3 for the kernel-by-kernel mapping).
@@ -669,6 +671,7 @@ def decode_shadow(
             segmented=segmented,
             debug_hit_rate=debug_hit_rate,
             debug_hit_layout=debug_hit_layout,
+            hysteresis=hysteresis,
         )
         if segmented:
             ctx = decode_attention_segments(q, k_view, valid_len)

@@ -82,6 +82,9 @@ class LLM:
         use_pallas=None,  # fused refresh kernel: True / False / 'auto'
         # (RuntimeConfig.use_pallas; 'auto' flips on the measured
         # chunk-size-aware hit-rate crossover)
+        selection_hysteresis: float = 0.0,  # relative score bonus for
+        # resident chunks (RuntimeConfig.selection_hysteresis; 0 =
+        # reference-exact selection)
     ):
         mode_alias = {"shadowkv": "shadow", "shadowkv_cpu": "shadow_offload"}
         attn_mode = mode_alias.get(attn_mode, attn_mode)
@@ -138,6 +141,7 @@ class LLM:
             weight_quant=weight_quant or "none",
             track_hit_rate=track_hit_rate,
             use_pallas=use_pallas,
+            selection_hysteresis=selection_hysteresis,
             **stream_kw,
         )
         self.engine = Engine(self.config, self.cache_cfg, rt, params)
