@@ -1344,6 +1344,46 @@ STAGES = {
         },
         "timeout": 2400,
     },
+    # Selection hysteresis (round-5 beyond-reference mechanism):
+    # accuracy validation on the trained oracle FIRST (score must
+    # equal full's 0.65), then the organic-locality runs at bench
+    # scale. h=0.3: a challenger must carry 30 % more attention mass
+    # than a resident to evict it.
+    "eval5_hyst": {
+        "cmd": [
+            sys.executable, "-m", "shadowkv_tpu.entry.eval_acc",
+            "--model_name", "tiny-llama-trained",
+            "--model_dir", "/tmp/tiny-llama-trained",
+            "--datalen", "4096", "--num_samples", "20",
+            "--batch_size", "4",
+            "--method", "shadow", "--sparse_budget", "512",
+            "--rank", "64", "--bucket", "1024",
+            "--chunk_size", "16", "--kv_quant", "int8",
+            "--hysteresis", "0.3", "--track_hit_rate",
+        ],
+        "env": {},
+        "timeout": 5400,
+    },
+    "bench_trained_hyst_xla_r5": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_WEIGHTS": "checkpoints/bench1p4b_v2",
+            "BENCH_TRACK_HIT": "1",
+            "BENCH_HYSTERESIS": "0.3",
+        },
+        "timeout": 3600,
+    },
+    "bench_trained_hyst_auto_r5": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_WEIGHTS": "checkpoints/bench1p4b_v2",
+            "BENCH_USE_PALLAS": "auto",
+            "BENCH_HYSTERESIS": "0.3",
+        },
+        "timeout": 3600,
+    },
     # Step-anatomy trace at the r5 defaults with the grouped op_table
     # (the README quotes this).
     "prof_trace_r5": {
@@ -1426,6 +1466,8 @@ _ORDER = [
     "eval16k_kernel",
     "probe_mem_yi_full_b2", "bench_60k_b8_wq8disk_r5",
     "bench_60k_b6_trained_r5", "probe_mem_8b_60k_b2",
+    "eval5_hyst", "bench_trained_hyst_xla_r5",
+    "bench_trained_hyst_auto_r5",
     "prof_trace_r5",
 ]
 assert set(_ORDER) == set(STAGES), (
