@@ -1565,6 +1565,49 @@ def main():
             print("== paused (/tmp/tpu_session_pause)", flush=True)
             time.sleep(30)
         spec = STAGES[name]
+        # Kernel-path precondition (VERDICT r4 weak #9): any stage that
+        # drives the fused Pallas decode kernel auto-runs the compiled
+        # kernel suite first, so HEAD-at-chip kernel health never
+        # depends on someone remembering a session stage.
+        if (
+            spec["env"].get("BENCH_USE_PALLAS") in ("1", "auto")
+            and "kernel_tests_r5" not in skip
+            and name != "kernel_tests_r5"
+        ):
+            print(f"== {name}: kernel-path stage -> running "
+                  "kernel_tests_r5 precondition first", flush=True)
+            run_stage = STAGES["kernel_tests_r5"]
+            kenv = dict(os.environ, **run_stage["env"])
+            kenv["PYTHONPATH"] = ROOT + os.pathsep + kenv.get(
+                "PYTHONPATH", ""
+            )
+            t0 = time.time()
+            try:
+                kp = subprocess.run(
+                    run_stage["cmd"], cwd=ROOT, env=kenv,
+                    capture_output=True, text=True,
+                    timeout=run_stage["timeout"],
+                )
+                krec = {
+                    "stage": "kernel_tests_r5",
+                    "ok": kp.returncode == 0,
+                    "seconds": round(time.time() - t0, 1),
+                    "tail": kp.stdout.splitlines()[-4:],
+                    "infra": False,
+                }
+            except subprocess.TimeoutExpired:
+                krec = {
+                    "stage": "kernel_tests_r5", "ok": False,
+                    "seconds": round(time.time() - t0, 1),
+                    "tail": ["precondition timeout"], "infra": True,
+                }
+            with open(RESULTS, "a") as f:
+                f.write(json.dumps(krec) + "\n")
+            skip.add("kernel_tests_r5")
+            if not krec["ok"]:
+                print(f"== {name}: SKIPPED (kernel_tests_r5 "
+                      "precondition failed)", flush=True)
+                continue
         env = dict(os.environ, **spec["env"])
         # Scripts run as `python benchmarks/x.py` — put the repo root on
         # sys.path so `import shadowkv_tpu` resolves.
