@@ -231,6 +231,12 @@ class RuntimeConfig:
     # >=~0.45 (18.0 vs 19.3; 2x faster by 0.9). A float pins it.
     pallas_hit_threshold: Optional[float] = None
     pallas_auto_interval: int = 16
+    # Hysteresis band around pallas_hit_threshold for the 'auto' path
+    # flip: ON above thresh+band, OFF below thresh-band. A workload
+    # sitting AT the crossover otherwise oscillates (2 switches and a
+    # worse-than-either result, bench_trained_auto_r5); inside the
+    # band the two paths cost the same, so holding is free.
+    pallas_auto_deadband: float = 0.05
     # BENCHMARK-ONLY forced selection: replace every layer's top-k
     # chunk selection with a deterministic sliding-window id stream
     # whose step-to-step overlap is exactly this hit rate — the knob

@@ -1308,7 +1308,18 @@ class Engine:
                 thresh = (
                     0.45 if self.cache_cfg.chunk_size >= 16 else 0.7
                 )
-            want = self._auto_hit_ema >= thresh
+            # Dead-band around the crossover (round 5): a workload
+            # whose EMA sits AT the threshold made auto oscillate
+            # (bench_trained_auto_r5: 2 switches, 118.9 tok/s — worse
+            # than either path held steady). Flip ON only clearly
+            # above, OFF only clearly below; inside the band both
+            # paths cost the same anyway (that is what a crossover
+            # means), so staying put is free.
+            band = rt.pallas_auto_deadband
+            if self._kernel_now:
+                want = self._auto_hit_ema >= thresh - band
+            else:
+                want = self._auto_hit_ema >= thresh + band
             if want != self._kernel_now:
                 self._kernel_now = want
                 self._auto_switches += 1
