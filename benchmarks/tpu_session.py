@@ -1323,6 +1323,48 @@ STAGES = {
         },
         "timeout": 3600,
     },
+    # Same knee test on a SYNTHETIC snapshot (checkpoints/ is
+    # gitignored — trained weights don't survive a fresh checkout;
+    # the knee is a speed question, trained-ness irrelevant).
+    # Measured r5: 161.5 tok/s — the remat persists with the ~0.9 GB
+    # freed by disk-side quant, falsifying the headroom hypothesis.
+    "gen_bench_npz_syn": {
+        "cmd": [sys.executable, "scripts/gen_bench_npz.py"],
+        "env": {"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""},
+        "timeout": 1800,
+    },
+    "bench_60k_b8_wq8disk_syn_r5": {
+        "cmd": [sys.executable, "bench.py"],
+        "env": {
+            "BENCH_MODE": "shadow",
+            "BENCH_DATALEN": "61440",
+            "BENCH_SHADOW_BATCH": "8",
+            "BENCH_WEIGHTS": "checkpoints/bench1p4b_syn",
+            "BENCH_WQUANT": "int8",
+        },
+        "timeout": 3600,
+    },
+    # vs_tile compiled-kernel health alone (the r5 single-launch
+    # redesign broke then fixed it; 1 test, ~2 min warm).
+    "kernel_tests_vs_tile_r5": {
+        "cmd": [
+            sys.executable, "-m", "pytest",
+            "tests/test_kernel_tpu.py", "-q", "-k", "vs_tile",
+        ],
+        "env": {"SHADOWKV_TPU_TESTS": "1"},
+        "timeout": 1800,
+    },
+    # Re-time the VS tile kernel AFTER the single-launch redesign
+    # (the 2.4x clustered-pattern win was measured on the per-batch
+    # launch-loop version).
+    "prof_vs_tile_r5": {
+        "cmd": [
+            sys.executable, "benchmarks/prof_vs_kernel.py",
+            "tilec122", "tile122",
+        ],
+        "env": {},
+        "timeout": 3600,
+    },
     "bench_60k_b6_trained_r5": {
         "cmd": [sys.executable, "bench.py"],
         "env": {
@@ -1469,6 +1511,12 @@ _ORDER = [
     "eval5_hyst", "bench_trained_hyst_xla_r5",
     "bench_trained_hyst_auto_r5",
     "prof_trace_r5",
+    # round 5, fresh-checkout session: kernel health re-check,
+    # synthetic-snapshot knee test, single-launch vs_tile re-time
+    # (bench_yi_full_b2 re-ran from its r4 registration: 136.2 tok/s)
+    "kernel_tests_vs_tile_r5",
+    "gen_bench_npz_syn", "bench_60k_b8_wq8disk_syn_r5",
+    "prof_vs_tile_r5",
 ]
 assert set(_ORDER) == set(STAGES), (
     set(_ORDER) ^ set(STAGES)
